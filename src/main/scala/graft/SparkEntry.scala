@@ -1,13 +1,110 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has an entry in
+  * [[queries]]; SQL-expressible ones also have a DuckDB oracle in
+  * [[oracleSql]] (column names aligned exactly — the driver hashes
+  * values after sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Relational.q1PricingSummary _),
+    "q2_join_agg" -> (Relational.q2RevenueByNation _),
+    "q3_filter_topk" -> (Relational.q3TopOrders _),
+    "q4_semijoin" -> (Relational.q4SemiJoin _),
+    "q5_antijoin" -> (Relational.q5AntiJoin _),
+    "q6_window_top1" -> (Relational.q6WindowTopOrder _),
+    "q7_explode_onetomany" -> (Relational.q7ExplodeTokens _),
+    "q8_distinct" -> (Relational.q8Distinct _),
+    "q9_range_join" -> (Relational.q9RangeJoin _),
+    "q10_string_preds" -> (Relational.q10StringPredicates _),
+    "q11_ignorecase_join" -> (Relational.q11IgnoreCaseJoin _),
+    "q12_twohop_closure" -> (Relational.q12TwoHop _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_filter_topk" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY total_price DESC, o_orderkey LIMIT 30""".stripMargin,
+    "q4_semijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_antijoin" ->
+      """SELECT n_name, COUNT(*) AS n_orphans
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_window_top1" ->
+      """SELECT o_custkey, top_orderkey, top_price FROM (
+        | SELECT o_custkey, o_orderkey AS top_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q7_explode_onetomany" ->
+      """SELECT type_token, COUNT(*) AS n_parts FROM (
+        | SELECT unnest(string_split(p_type, ' ')) AS type_token FROM part) t
+        |GROUP BY type_token ORDER BY type_token""".stripMargin,
+    "q8_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q9_range_join" ->
+      """WITH bands(band, lo, hi) AS (
+        | VALUES ('b0_low', 0.0, 15.0), ('b1_mid', 15.0, 35.0),
+        |        ('b2_high', 35.0, 70.0), ('b3_tail', 70.0, 150.0),
+        |        ('b4_extreme', 150.0, 1e18))
+        |SELECT band, COUNT(*) AS n_events
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q10_string_preds" ->
+      """SELECT
+        | COUNT(CASE WHEN p_name LIKE 'a%' THEN 1 END) AS n_starts_a,
+        | COUNT(CASE WHEN p_name LIKE '%e' THEN 1 END) AS n_ends_e,
+        | COUNT(CASE WHEN p_name LIKE '%red%' THEN 1 END) AS n_contains_red,
+        | COUNT(CASE WHEN LENGTH(p_name) > 20 THEN 1 END) AS n_long
+        |FROM part""".stripMargin,
+    "q11_ignorecase_join" ->
+      """SELECT n.n_name AS n_name, d.dim_key AS dim_key
+        |FROM nation n
+        |JOIN (SELECT UPPER(n_name) AS dim_name, n_nationkey AS dim_key FROM nation) d
+        | ON LOWER(n.n_name) = LOWER(d.dim_name)
+        |ORDER BY n_name""".stripMargin,
+    "q12_twohop_closure" ->
+      """SELECT o_custkey, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY n_parts DESC, o_custkey LIMIT 30""".stripMargin,
+  )
 }

@@ -1,0 +1,97 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.snapshot.SnapshotTable
+
+final case class CleanupStats(nodesDeleted: Long, edgesDeleted: Long)
+
+/** Stale-fact deletion — the Spark-native rewrite of the reference's
+  * generated cleanup jobs (cartography/graph/cleanupbuilder.py:15-56):
+  *
+  *  1. delete stale nodes of the schema's label attached to the current
+  *     sub-resource: `lastupdated <> update_tag` scoped to the tenant
+  *     (cleanupbuilder.py:123-129,150-169);
+  *  2. DETACH: also drop every edge referencing a deleted node;
+  *  3. delete stale sub-resource / other-rel edges of the schema's rel
+  *     labels (cleanupbuilder.py:131-147).
+  *
+  * The reference executes this as an iterative LIMIT 100 delete loop
+  * (statement.py:116-128, job.py:152-161) to bound Neo4j transaction
+  * memory; set-oriented Spark needs no iteration — one declarative
+  * anti-filter per table, committed as a new snapshot version.
+  *
+  * Scale: the node rewrite touches only the schema's label partition and
+  * the edge rewrite only the schema's rel-label partitions
+  * (commitPartitions) — the sub-resource scoping that keeps the
+  * reference's cleanup from crossing tenants also keeps ours from
+  * rewriting 100 TB. The deleted-id set used for DETACH is the stale
+  * subset of one tenant, broadcast into the edge anti-joins.
+  */
+object Cleanup {
+
+  /** The `<> update_tag` freshness predicate — preserved exactly. */
+  private def stale(tag: Long) = col("lastupdated") =!= lit(tag)
+
+  def run(spark: SparkSession, schema: NodeSchema,
+          kwargs: Map[String, String], updateTag: Long,
+          nodes: SnapshotTable, edges: SnapshotTable): CleanupStats = {
+    val subId = schema.subResource.map(sr => kwargs.getOrElse(sr.ref.name,
+      sys.error(s"cleanup requires kwarg '${sr.ref.name}' — " +
+        "sub-resource scoping is mandatory (cleanupbuilder.py:191-206)")))
+
+    val nodeState = nodes.read()
+    val part = nodeState.filter(col("label") === schema.label)
+    val scope = subId match {
+      case Some(id) => col("sub_resource_id") === lit(id)
+      case None => lit(true)
+    }
+    val staleNodes = part.filter(scope && stale(updateTag))
+      .select(col("id")).cache()
+    val nDeleted = staleNodes.count()
+
+    if (nDeleted > 0) {
+      val kept = part.join(staleNodes.withColumnRenamed("id", "_sid"),
+        col("id") === col("_sid"), "left_anti")
+      nodes.commitPartitions(kept, updateTag, Seq(schema.label))
+    }
+
+    var eDeleted = 0L
+    if (edges.exists) {
+      val touched = edges.latestVersion.map(edges.partitionsOf).getOrElse(Map.empty).keys.toSeq
+      val relSet = schema.relLabels.toSet
+      val edgeState = edges.read()
+      val staleIds = broadcast(staleNodes.withColumnRenamed("id", "_sid"))
+      // detach: any edge touching a deleted node of this label
+      val touchesDeleted =
+        (col("src_label") === schema.label && col("src_id") === col("_sid")) ||
+        (col("dst_label") === schema.label && col("dst_id") === col("_sid"))
+      // stale rels of this schema's rel labels, scoped to this node label
+      val staleRel = col("rel_label").isin(relSet.toSeq: _*) &&
+        (col("src_label") === schema.label || col("dst_label") === schema.label) &&
+        stale(updateTag)
+      val doomed = edgeState.join(staleIds, touchesDeleted, "left_semi")
+        .unionByName(edgeState.filter(staleRel))
+        .dropDuplicates("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+      eDeleted = doomed.count()
+      if (eDeleted > 0) {
+        // Rewrite only rel partitions that can contain doomed edges.
+        val doomedRels = doomed.select("rel_label").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val keptE = edgeState
+          .filter(col("rel_label").isin(doomedRels: _*))
+          .join(doomed.select(col("src_label").as("_dsl"), col("src_id").as("_dsi"),
+            col("rel_label").as("_drl"), col("dst_label").as("_ddl"),
+            col("dst_id").as("_ddi")),
+            col("src_label") === col("_dsl") && col("src_id") === col("_dsi") &&
+              col("rel_label") === col("_drl") && col("dst_label") === col("_ddl") &&
+              col("dst_id") === col("_ddi"),
+            "left_anti")
+        edges.commitPartitions(keptE, updateTag, doomedRels)
+      }
+    }
+    staleNodes.unpersist()
+    CleanupStats(nDeleted, eDeleted)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model._
+import graft.snapshot.SnapshotTable
+
+/** Canonical graph-table schemas (FIXTURES.md §3). */
+object GraphTables {
+  val nodeSchema: StructType = StructType(Seq(
+    StructField("label", StringType),
+    StructField("id", StringType),
+    StructField("props", MapType(StringType, StringType)),
+    StructField("extra_labels", ArrayType(StringType)),
+    StructField("sub_resource_id", StringType),
+    StructField("firstseen", LongType),
+    StructField("lastupdated", LongType)))
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("src_label", StringType),
+    StructField("src_id", StringType),
+    StructField("rel_label", StringType),
+    StructField("dst_label", StringType),
+    StructField("dst_id", StringType),
+    StructField("props", MapType(StringType, StringType)),
+    StructField("firstseen", LongType),
+    StructField("lastupdated", LongType)))
+
+  def nodes(spark: SparkSession, root: String): SnapshotTable =
+    SnapshotTable(spark, s"$root/nodes", Some("label"))
+  def edges(spark: SparkSession, root: String): SnapshotTable =
+    SnapshotTable(spark, s"$root/edges", Some("rel_label"))
+
+  def emptyNodes(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], nodeSchema)
+  def emptyEdges(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema)
+}
+
+final case class LoadStats(nodesUpserted: Long, edgesUpserted: Long)
+
+/** The upsert ("MERGE") operator — Spark-native equivalent of the
+  * reference's generated ingestion query
+  * (cartography/graph/querybuilder.py:361-413 compiled via
+  * build_ingestion_query; entrypoint load(), client/core/tx.py:237-257).
+  *
+  * Semantics preserved exactly:
+  *  - node MERGE keyed on id: insert-or-update; `firstseen` set only on
+  *    create (querybuilder.py:384-393), `lastupdated` stamped with the
+  *    run's update_tag on every touched row (sync.py:190-192);
+  *  - per-row vs per-run property values (RowRef/KwargRef);
+  *  - extra labels (querybuilder.py:57-61);
+  *  - sub-resource attach skips silently when the container is absent
+  *    (querybuilder.py:165-209) — an inner join that yields no rows;
+  *  - other-rels matched Exact / IgnoreCase / FuzzyContains / OneToMany
+  *    (querybuilder.py:122-141), each rel independent so missing data for
+  *    one never kills the others (CALL{} UNION, querybuilder.py:271-303)
+  *    — here: independent joins unioned byName;
+  *  - rel MERGE keyed (src, label, dst) with firstseen preservation
+  *    (querybuilder.py:187-198).
+  *
+  * Scale design: the nodes table is partitioned by label and the edges
+  * table by rel_label; a load touches only its own label/rel partitions
+  * (SnapshotTable.commitPartitions — file-level reuse of everything
+  * else). Target-node lookups join against only the target label's
+  * partition, broadcast when small. There is no driver-side batching —
+  * the reference's 10k-dict write transactions (tx.py:209) are replaced
+  * by Spark's shuffle-partitioned distributed write.
+  */
+object GraphMerge {
+
+  private def resolve(ref: PropertyRef, kwargs: Map[String, String]): Column =
+    ref match {
+      case RowRef(f) => col(f).cast("string")
+      case KwargRef(n) => lit(kwargs.getOrElse(n,
+        sys.error(s"missing kwarg '$n'"))).cast("string")
+    }
+
+  /** Project a batch into canonical node rows for `schema`. */
+  def toNodeRows(batch: DataFrame, schema: NodeSchema,
+                 kwargs: Map[String, String], updateTag: Long): DataFrame = {
+    val propCols: Seq[Column] = schema.properties.toSeq.sortBy(_._1).flatMap {
+      case (name, ref) => Seq(lit(name), resolve(ref, kwargs))
+    }
+    val propsMap = if (propCols.isEmpty) map() else map(propCols: _*)
+    batch
+      .select(
+        lit(schema.label).as("label"),
+        resolve(schema.idRef, kwargs).as("id"),
+        propsMap.as("props"),
+        (if (schema.extraLabels.isEmpty) array().cast("array<string>")
+         else array(schema.extraLabels.map(lit): _*)).as("extra_labels"),
+        schema.subResource
+          .map(sr => resolve(sr.ref, kwargs))
+          .getOrElse(lit(null).cast("string")).as("sub_resource_id"),
+        lit(updateTag).as("firstseen"),
+        lit(updateTag).as("lastupdated"))
+      .filter(col("id").isNotNull)
+      // MERGE collapses duplicate ids within a batch; max_by props keeps
+      // the projection deterministic (last-writer-wins like repeated SET).
+      .dropDuplicates("id")
+  }
+
+  /** Key-wise upsert of `fresh` rows into the existing table state,
+    * preserving firstseen. Both sides must share the canonical schema;
+    * `keys` identifies a row.
+    */
+  def upsert(existing: DataFrame, fresh: DataFrame, keys: Seq[String],
+             updateTag: Long): DataFrame = {
+    val oldDf = existing.select(existing.columns.map(c => col(c).as(s"old_$c")).toSeq: _*)
+    val joinCond = keys.map(k => col(s"old_$k") <=> col(k)).reduce(_ && _)
+    val nonKeyCols = fresh.columns.filterNot(keys.contains)
+    val merged = fresh.join(oldDf, joinCond, "full_outer")
+    val isFresh = col(keys.head).isNotNull
+    val outCols = keys.map(k => coalesce(col(k), col(s"old_$k")).as(k)) ++
+      nonKeyCols.map {
+        case "firstseen" =>
+          coalesce(col("old_firstseen"), lit(updateTag)).as("firstseen")
+        case "lastupdated" =>
+          when(isFresh, lit(updateTag)).otherwise(col("old_lastupdated")).as("lastupdated")
+        case c => when(isFresh, col(c)).otherwise(col(s"old_$c")).as(c)
+      }
+    merged.select(outCols: _*)
+  }
+
+  /** Full load: nodes + all relationship attachments, committed to the
+    * snapshot tables. Returns stats for lineage.
+    */
+  def load(spark: SparkSession, batch: DataFrame, schema: NodeSchema,
+           kwargs: Map[String, String], updateTag: Long,
+           nodes: SnapshotTable, edges: SnapshotTable): LoadStats = {
+    if (batch.isEmpty) return LoadStats(0, 0) // no-op on empty input (tx.py:253)
+
+    val fresh = toNodeRows(batch, schema, kwargs, updateTag)
+
+    val existingAll: DataFrame =
+      if (nodes.exists) nodes.read() else GraphTables.emptyNodes(spark)
+    val existingPart = existingAll.filter(col("label") === schema.label)
+    val mergedPart = upsert(existingPart, fresh, Seq("label", "id"), updateTag)
+    val nUpserted = fresh.count()
+    if (nodes.exists)
+      nodes.commitPartitions(mergedPart, updateTag, Seq(schema.label))
+    else
+      nodes.commit(mergedPart, updateTag)
+
+    // ---- relationships ----------------------------------------------------
+    // Target lookups read the *post-commit* node state so self-references
+    // and sub-resource containers loaded earlier in the same run resolve.
+    val nodeState = nodes.read()
+
+    val batchWithId = batch.withColumn("_src_id",
+      resolve(schema.idRef, kwargs))
+
+    def edgeRowsFor(rel: RelSchema, targets: DataFrame): DataFrame = {
+      val tgt = targets
+        .select(col("id").as("_tgt_id"), col("props").as("_tgt_props"))
+      def tgtKey(m: TargetMatcher): Column =
+        if (m.targetKey == "id") col("_tgt_id")
+        else element_at(col("_tgt_props"), m.targetKey)
+      val exploded = rel.matchers.zipWithIndex.foldLeft(batchWithId) {
+        case (df, (TargetMatcher(_, RowRef(f), MatchMode.OneToMany), i)) =>
+          df.withColumn(s"_o2m_$i", explode(col(f)))
+        case (df, _) => df
+      }
+      val conds: Seq[Column] = rel.matchers.zipWithIndex.map { case (m, i) =>
+        val refCol = m match {
+          case TargetMatcher(_, RowRef(_), MatchMode.OneToMany) =>
+            col(s"_o2m_$i").cast("string")
+          case _ => resolve(m.ref, kwargs)
+        }
+        m.mode match {
+          case MatchMode.Exact | MatchMode.OneToMany => tgtKey(m) === refCol
+          case MatchMode.IgnoreCase => lower(tgtKey(m)) === lower(refCol)
+          case MatchMode.FuzzyContains => lower(tgtKey(m)).contains(lower(refCol))
+        }
+      }
+      val joined = exploded.join(tgt, conds.reduce(_ && _))
+      val propCols: Seq[Column] = rel.properties.toSeq.sortBy(_._1).flatMap {
+        case (name, ref) => Seq(lit(name), resolve(ref, kwargs))
+      }
+      val propsMap = if (propCols.isEmpty)
+        map().cast("map<string,string>") else map(propCols: _*)
+      val (srcLabel, srcId, dstLabel, dstId) = rel.direction match {
+        case LinkDirection.Outward =>
+          (lit(schema.label), col("_src_id"), lit(rel.targetLabel), col("_tgt_id"))
+        case LinkDirection.Inward =>
+          (lit(rel.targetLabel), col("_tgt_id"), lit(schema.label), col("_src_id"))
+      }
+      joined.select(
+        srcLabel.as("src_label"), srcId.cast("string").as("src_id"),
+        lit(rel.relLabel).as("rel_label"),
+        dstLabel.as("dst_label"), dstId.cast("string").as("dst_id"),
+        propsMap.as("props"),
+        lit(updateTag).as("firstseen"), lit(updateTag).as("lastupdated"))
+        .dropDuplicates("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+    }
+
+    val subEdges: Seq[DataFrame] = schema.subResource.toSeq.map { sr =>
+      val container = nodeState
+        .filter(col("label") === sr.targetLabel &&
+          col("id") === lit(kwargs.getOrElse(sr.ref.name,
+            sys.error(s"missing kwarg '${sr.ref.name}'"))))
+      // The container is a single node — broadcast the lookup.
+      edgeRowsFor(
+        RelSchema(sr.relLabel, sr.targetLabel, sr.direction,
+          Seq(TargetMatcher(sr.targetKey, sr.ref, MatchMode.Exact))),
+        broadcast(container))
+    }
+    val otherEdges: Seq[DataFrame] = schema.otherRels.map { rel =>
+      edgeRowsFor(rel, nodeState.filter(col("label") === rel.targetLabel))
+    }
+    val allEdges = (subEdges ++ otherEdges).reduceOption(_ unionByName _)
+
+    val eUpserted = allEdges match {
+      case None => 0L
+      case Some(e) =>
+        val touched = schema.relLabels.distinct
+        val existingE =
+          if (edges.exists) edges.read() else GraphTables.emptyEdges(spark)
+        val existingTouched = existingE.filter(col("rel_label").isin(touched: _*))
+        val mergedE = upsert(existingTouched, e,
+          Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id"), updateTag)
+        val n = e.count()
+        if (edges.exists) edges.commitPartitions(mergedE, updateTag, touched)
+        else edges.commit(mergedE, updateTag)
+        n
+    }
+    LoadStats(nUpserted, eUpserted)
+  }
+}
