@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{GraphOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,9 @@ object SparkEntry {
     "q10_string_preds" -> (Relational.q10StringPredicates _),
     "q11_ignorecase_join" -> (Relational.q11IgnoreCaseJoin _),
     "q12_twohop_closure" -> (Relational.q12TwoHop _),
+    "q13_graph_upsert" -> (GraphOps.q13GraphUpsert _),
+    "q14_graph_cleanup" -> (GraphOps.q14GraphCleanup _),
+    "q15_drift" -> (GraphOps.q15Drift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +109,27 @@ object SparkEntry {
       """SELECT o_custkey, COUNT(DISTINCT l_partkey) AS n_parts
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_custkey ORDER BY n_parts DESC, o_custkey LIMIT 30""".stripMargin,
+    // Oracles below recompute the EXPECTED graph state after the
+    // upsert/cleanup/drift scenario that the Spark side actually executes
+    // through GraphMerge/Cleanup/SnapshotTable.
+    "q13_graph_upsert" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        | CAST(CASE WHEN c_custkey % 2 = 0 THEN 100 ELSE 200 END AS BIGINT) AS firstseen,
+        | CAST(200 AS BIGINT) AS lastupdated,
+        | c_mktsegment AS segment
+        |FROM customer WHERE c_nationkey = 1 ORDER BY id""".stripMargin,
+    "q14_graph_cleanup" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        | CAST(100 AS BIGINT) AS firstseen, CAST(200 AS BIGINT) AS lastupdated,
+        | CAST(1 AS BIGINT) AS n_res_edges
+        |FROM customer WHERE c_nationkey = 1 AND c_custkey % 2 = 0
+        |ORDER BY id""".stripMargin,
+    "q15_drift" ->
+      """WITH c AS (SELECT c_custkey AS k, CAST(c_custkey AS VARCHAR) AS id
+        |           FROM customer WHERE c_nationkey = 1)
+        |SELECT id, 'added' AS direction FROM c WHERE k % 3 = 0 AND k % 2 <> 0
+        |UNION ALL
+        |SELECT id, 'removed' AS direction FROM c WHERE k % 2 = 0 AND k % 3 <> 0
+        |ORDER BY direction, id""".stripMargin,
   )
 }

@@ -47,6 +47,10 @@ object Cleanup {
       case Some(id) => col("sub_resource_id") === lit(id)
       case None => lit(true)
     }
+    // Tenant scope BEFORE deletion — used to scope the edge sweep so other
+    // tenants' edges survive (the MATCH ...<-[:RESOURCE]-(:SubRes{id:$kwarg})
+    // prefix of every generated cleanup query, cleanupbuilder.py:150-169).
+    val tenantIds = part.filter(scope).select(col("id")).cache()
     val staleNodes = part.filter(scope && stale(updateTag))
       .select(col("id")).cache()
     val nDeleted = staleNodes.count()
@@ -59,7 +63,6 @@ object Cleanup {
 
     var eDeleted = 0L
     if (edges.exists) {
-      val touched = edges.latestVersion.map(edges.partitionsOf).getOrElse(Map.empty).keys.toSeq
       val relSet = schema.relLabels.toSet
       val edgeState = edges.read()
       val staleIds = broadcast(staleNodes.withColumnRenamed("id", "_sid"))
@@ -68,11 +71,16 @@ object Cleanup {
         (col("src_label") === schema.label && col("src_id") === col("_sid")) ||
         (col("dst_label") === schema.label && col("dst_id") === col("_sid"))
       // stale rels of this schema's rel labels, scoped to this node label
-      val staleRel = col("rel_label").isin(relSet.toSeq: _*) &&
-        (col("src_label") === schema.label || col("dst_label") === schema.label) &&
-        stale(updateTag)
+      // AND to the tenant being synced
+      val tids = broadcast(tenantIds.withColumnRenamed("id", "_tid"))
+      val inTenant =
+        (col("src_label") === schema.label && col("src_id") === col("_tid")) ||
+        (col("dst_label") === schema.label && col("dst_id") === col("_tid"))
+      val staleRelEdges = edgeState
+        .filter(col("rel_label").isin(relSet.toSeq: _*) && stale(updateTag))
+        .join(tids, inTenant, "left_semi")
       val doomed = edgeState.join(staleIds, touchesDeleted, "left_semi")
-        .unionByName(edgeState.filter(staleRel))
+        .unionByName(staleRelEdges)
         .dropDuplicates("src_label", "src_id", "rel_label", "dst_label", "dst_id")
       eDeleted = doomed.count()
       if (eDeleted > 0) {
@@ -91,7 +99,7 @@ object Cleanup {
         edges.commitPartitions(keptE, updateTag, doomedRels)
       }
     }
-    staleNodes.unpersist()
+    staleNodes.unpersist(); tenantIds.unpersist()
     CleanupStats(nDeleted, eDeleted)
   }
 }

@@ -12,6 +12,6 @@ object SharedSpark {
 }
 
 abstract class SparkSpecBase extends AnyFunSuite {
-  def spark: SparkSession = SharedSpark.spark
+  lazy val spark: SparkSession = SharedSpark.spark
   val sf1: String = "/root/testdata/sf0.001"
 }
