@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, Relational}
+import graft.operators.{GraphOps, KgOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,12 @@ object SparkEntry {
     "q13_graph_upsert" -> (GraphOps.q13GraphUpsert _),
     "q14_graph_cleanup" -> (GraphOps.q14GraphCleanup _),
     "q15_drift" -> (GraphOps.q15Drift _),
+    "qkg1_extract_invariant" -> (KgOps.qkg1Invariant _),
+    "qkg2_mentions" -> (KgOps.qkg2Mentions _),
+    "qkg3_triples" -> (KgOps.qkg3Triples _),
+    "qkg4_canonical" -> (KgOps.qkg4Canonical _),
+    "qkg5_mention_degree" -> (KgOps.qkg5Degree _),
+    "qkg6_graph_edges" -> (KgOps.qkg6GraphEdges _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +137,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT id, 'removed' AS direction FROM c WHERE k % 2 = 0 AND k % 3 <> 0
         |ORDER BY direction, id""".stripMargin,
+    // KG-pipeline oracles: recompute planted facts arithmetically from
+    // documents.parquet; the Spark side must reproduce them through real
+    // HTML extraction, Aho-Corasick mention detection, LSH blocking, CC
+    // canonicalization and graph merge.
+    "qkg1_extract_invariant" ->
+      "SELECT COUNT(*) AS n_pages, COUNT(*) AS n_exact FROM documents",
+    "qkg2_mentions" ->
+      s"""${KgOps.mentionCte}
+         |SELECT 'https://host' || CAST(i % 50 AS VARCHAR) || '.example/p/' || CAST(i AS VARCHAR) AS url,
+         | 'e' || lpad(CAST(ck AS VARCHAR), 4, '0') AS entity_id,
+         | COUNT(*) AS n_mentions
+         |FROM c GROUP BY 1, 2 ORDER BY url, entity_id""".stripMargin,
+    "qkg3_triples" ->
+      s"""${KgOps.tripleCte}
+         |SELECT 'https://host' || CAST(i % 50 AS VARCHAR) || '.example/p/' || CAST(i AS VARCHAR) AS url,
+         | 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS subj,
+         | ${KgOps.predCase} AS pred,
+         | 'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS obj
+         |FROM cz ORDER BY url, subj, pred, obj""".stripMargin,
+    "qkg4_canonical" ->
+      """SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS entity_id,
+        | 'e' || lpad(CAST(CASE WHEN k >= 800 THEN k - 800 ELSE k END AS VARCHAR), 4, '0') AS canonical_id
+        |FROM range(0, 1000) t(k) ORDER BY entity_id""".stripMargin,
+    "qkg5_mention_degree" ->
+      s"""${KgOps.mentionCte}
+         |SELECT 'e' || lpad(CAST(ck AS VARCHAR), 4, '0') AS entity_id,
+         | COUNT(*) AS n_mentions
+         |FROM c GROUP BY 1 ORDER BY n_mentions DESC, entity_id LIMIT 30""".stripMargin,
+    "qkg6_graph_edges" ->
+      s"""${KgOps.tripleCte}
+         |SELECT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src_id,
+         | ${KgOps.predCase} AS rel_label,
+         | 'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst_id,
+         | COUNT(DISTINCT i) AS n_sources,
+         | CAST(100 AS BIGINT) AS firstseen, CAST(100 AS BIGINT) AS lastupdated
+         |FROM cz GROUP BY 1, 2, 3 ORDER BY src_id, rel_label, dst_id""".stripMargin,
   )
 }

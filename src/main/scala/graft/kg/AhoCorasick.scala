@@ -1,0 +1,89 @@
+package graft.kg
+
+import scala.collection.mutable
+
+/** Multi-pattern string matcher (Aho–Corasick automaton).
+  *
+  * The engine's mention detector scans every page against the broadcast
+  * alias dictionary — the reference's exact/ignore_case TargetNodeMatcher
+  * applied at corpus scale (SURVEY.md §7.1). A per-pattern regex union
+  * would be O(|dict|) per position; the automaton is O(len + matches)
+  * regardless of dictionary size, which is what survives a 10^7-alias
+  * dictionary × 10^12 pages. Built once per executor partition from the
+  * broadcast pattern list.
+  *
+  * Case-insensitive matching is achieved by constructing over lowercased
+  * patterns and scanning lowercased text.
+  */
+final class AhoCorasick(val patterns: Array[String]) extends Serializable {
+
+  // Trie as growable arrays: children maps, fail links, output pattern ids.
+  private val children = mutable.ArrayBuffer[mutable.HashMap[Char, Int]](mutable.HashMap.empty)
+  private val fail = mutable.ArrayBuffer[Int](0)
+  private val out = mutable.ArrayBuffer[List[Int]](Nil)
+
+  locally {
+    patterns.zipWithIndex.foreach { case (p, idx) =>
+      var node = 0
+      p.foreach { ch =>
+        node = children(node).getOrElseUpdate(ch, {
+          children += mutable.HashMap.empty
+          fail += 0
+          out += Nil
+          children.size - 1
+        })
+      }
+      out(node) = idx :: out(node)
+    }
+    // BFS fail links
+    val queue = mutable.Queue[Int]()
+    children(0).values.foreach { c => fail(c) = 0; queue.enqueue(c) }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      children(u).foreach { case (ch, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).contains(ch)) f = fail(f)
+        fail(v) = children(f).get(ch).filter(_ != v).getOrElse(0)
+        out(v) = out(v) ++ out(fail(v))
+        queue.enqueue(v)
+      }
+    }
+  }
+
+  /** All occurrences as (start, endExclusive, patternIdx). */
+  def findAll(text: String): IndexedSeq[(Int, Int, Int)] = {
+    val res = mutable.ArrayBuffer[(Int, Int, Int)]()
+    var node = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (node != 0 && !children(node).contains(ch)) node = fail(node)
+      node = children(node).getOrElse(ch, 0)
+      out(node).foreach { idx =>
+        val len = patterns(idx).length
+        res += ((i - len + 1, i + 1, idx))
+      }
+      i += 1
+    }
+    res.toIndexedSeq
+  }
+
+  /** Occurrences that sit on word boundaries (neither neighbor char is a
+    * letter/digit), reduced to non-overlapping leftmost-longest spans —
+    * so "shared widget 1" never fires inside "shared widget 10" and a
+    * longer alias wins over a prefix alias at the same start.
+    */
+  def findMentions(text: String): IndexedSeq[(Int, Int, Int)] = {
+    val ok = findAll(text).filter { case (s, e, _) =>
+      (s == 0 || !Character.isLetterOrDigit(text.charAt(s - 1))) &&
+      (e == text.length || !Character.isLetterOrDigit(text.charAt(e)))
+    }
+    val sorted = ok.sortBy { case (s, e, idx) => (s, -(e - s), idx) }
+    val kept = mutable.ArrayBuffer[(Int, Int, Int)]()
+    var lastEnd = -1
+    sorted.foreach { m =>
+      if (m._1 >= lastEnd) { kept += m; lastEnd = m._2 }
+    }
+    kept.toIndexedSeq
+  }
+}

@@ -1,0 +1,131 @@
+package graft.kg
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One Common-Crawl-style page (BASELINE.json input_hint schema). */
+final case class Page(url: String, warc_ts: Timestamp, html: Array[Byte],
+                      text: String, lang: String)
+
+/** Alias-dictionary row: normalized surface form -> entity id. Shared
+  * aliases (2+ entity ids) are the duplicate-entity fixture that CC must
+  * merge (FIXTURES.md §2).
+  */
+final case class AliasRow(alias: String, entity_id: String)
+
+/** Deterministic synthetic web corpus, seeded from the driver's
+  * documents.parquet (TESTDATA.md) — no wall-clock, no randomness, no
+  * external data. Every planted fact is pure `doc_id` arithmetic so an
+  * independent SQL oracle can recompute the expected mentions, triples
+  * and canonical entity assignment without running the pipeline.
+  *
+  * Plantings per document i (entity space E=1000, canonical groups
+  * {g, g+800} for g < 200):
+  *  - triple sentence: subject s = i mod 1000, object o = (7i+3) mod
+  *    1000, predicate p = i mod 5; subject surface case-variant
+  *    v = i mod 3 (exact / UPPER / "The "-prefixed), object variant
+  *    (i+1) mod 3;
+  *  - Zipf head-entity skew: i mod 100 < 30 adds a mention of entity 0
+  *    (FIXTURES.md §2 skew fixture);
+  *  - ambiguous shared alias: i mod 10 == 7 mentions "shared widget g",
+  *    g = i mod 100 — an alias owned by BOTH e{g} and e{g+800};
+  *  - near-duplicate aliases: i mod 10 == 3 / 9 mention the long / short
+  *    form of "alpha{h} beta{h} holdings incorporated|inc", h = 100 +
+  *    i mod 100 — owned by e{h} / e{h+800}, linked only through
+  *    LSH/blocking + Jaccard verification;
+  *  - an entity-escape paragraph with &, <, and non-ASCII chars to
+  *    exercise the HTML decoder.
+  */
+object Corpus {
+
+  val E = 1000
+  val DupGroups = 200
+
+  val predicates: Vector[(String, String)] = Vector(
+    "works_for" -> "works for",
+    "located_in" -> "is located in",
+    "part_of" -> "is part of",
+    "founded" -> "founded",
+    "acquired" -> "acquired")
+
+  def entityId(k: Int): String = f"e$k%04d"
+  def canonicalOf(k: Int): Int = if (k >= E - DupGroups) k - (E - DupGroups) else k
+
+  def surface(k: Int, variant: Int): String = variant match {
+    case 0 => s"Entity $k"
+    case 1 => s"ENTITY $k"
+    case _ => s"The Entity $k"
+  }
+
+  /** Ground-truth extracted text for document (i, srcText). */
+  def groundTruthText(i: Long, srcText: String): String = {
+    val s = (i % E).toInt
+    val o = ((7 * i + 3) % E).toInt
+    val p = (i % predicates.size).toInt
+    val vS = (i % 3).toInt
+    val vO = ((i + 1) % 3).toInt
+    val sb = new StringBuilder(srcText)
+    sb.append("\n\n").append(surface(s, vS)).append(' ')
+      .append(predicates(p)._2).append(' ').append(surface(o, vO)).append('.')
+    if (i % 100 < 30) sb.append("\n\nEntity 0 appears again.")
+    if (i % 10 == 7) sb.append(s"\n\nEveryone knows shared widget ${i % 100}.")
+    val h = 100 + (i % 100)
+    if (i % 10 == 3)
+      sb.append(s"\n\nAlpha$h beta$h holdings incorporated expanded.")
+    if (i % 10 == 9)
+      sb.append(s"\n\nThen alpha$h beta$h holdings inc announced.")
+    sb.append(s"\n\nR&D <sec$i> café №${i % 7}.")
+    sb.toString
+  }
+
+  def urlOf(i: Long): String = s"https://host${i % 50}.example/p/$i"
+
+  /** warc_ts derived from i — epoch 2024-01-01 UTC plus i minutes. */
+  def tsOf(i: Long): Timestamp = new Timestamp(1704067200000L + i * 60000L)
+
+  /** Wrap ground-truth text into the noisy HTML page. */
+  def renderHtml(i: Long, text: String): String = {
+    val paras = text.split("\n\n", -1)
+      .map(p => s"<p>${Html.escape(p)}</p>").mkString
+    s"""<html><head><title>Doc $i</title><script type="text/javascript">var p=$i;if(p<0){document.write("<p>ghost</p>");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl $i --><nav><ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li></ul></nav><div id="main"><article>$paras</article></div><footer><p>&copy; host${i % 50} &middot; all rights reserved</p></footer></body></html>"""
+  }
+
+  /** The pages table: one page per document row × `replicas` (replica r
+    * shifts the id space by r×10000 to keep urls unique; used only to
+    * scale the benchmark corpus). Narrow map — no shuffle.
+    */
+  def pages(spark: SparkSession, sfDir: String, replicas: Int = 1): Dataset[Page] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+    val r = replicas
+    docs.flatMap { case (docId, src, lang) =>
+      (0 until r).map { rep =>
+        val i = docId + rep.toLong * 10000L
+        val text = groundTruthText(i, src)
+        Page(urlOf(i), tsOf(i),
+          renderHtml(i, text).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text, lang)
+      }
+    }
+  }
+
+  /** The alias dictionary (broadcast side of the linker). */
+  def aliasRows: Seq[AliasRow] = {
+    val plain = (0 until E).map(k => AliasRow(s"entity $k", entityId(k)))
+    val shared = (0 until 100).flatMap(g => Seq(
+      AliasRow(s"shared widget $g", entityId(g)),
+      AliasRow(s"shared widget $g", entityId(g + 800))))
+    val nearDup = (100 until 200).flatMap(g => Seq(
+      AliasRow(s"alpha$g beta$g holdings incorporated", entityId(g)),
+      AliasRow(s"alpha$g beta$g holdings inc", entityId(g + 800))))
+    plain ++ shared ++ nearDup
+  }
+
+  def aliasDict(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    aliasRows.toDF()
+  }
+}

@@ -1,0 +1,132 @@
+package graft.kg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+final case class PageText(url: String, text: String, lang: String)
+final case class MentionRow(url: String, start: Int, end: Int, alias: String)
+final case class LinkRow(url: String, start: Int, end: Int, entity_id: String)
+final case class TripleRow(url: String, subj: String, pred: String, obj: String)
+
+/** Stage-1 transforms: deterministic HTML→text, dictionary mention
+  * detection, and OpenIE-style pattern triple extraction — all narrow
+  * mapPartitions over typed Datasets (no shuffle), the Spark re-cast of
+  * the reference's pure-Python `transform` functions
+  * (docs/root/dev/writing-intel-modules.md:24-56 contract: deterministic,
+  * fail-fast on malformed required fields).
+  */
+object Extract {
+
+  /** Length-preserving ASCII lowercasing — locale-free by construction
+    * (String.toLowerCase can change length under some locales, which
+    * would corrupt mention spans).
+    */
+  def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** HTML → text. The byte-identical-per-url invariant (BASELINE.json
+    * input_hint) is asserted against Page.text in tests and in the
+    * qkg1 driver query.
+    */
+  def pageText(pages: Dataset[Page]): Dataset[PageText] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions(_.map(p => PageText(p.url, Html.extract(p.html), p.lang)))
+  }
+
+  /** Dictionary mention detection: one Aho–Corasick automaton per
+    * partition built from the broadcast alias list; case-insensitive,
+    * word-boundary, leftmost-longest.
+    */
+  def mentions(spark: SparkSession, texts: Dataset[PageText],
+               aliases: Seq[String]): Dataset[MentionRow] = {
+    import spark.implicits._
+    val pats = spark.sparkContext.broadcast(
+      aliases.map(asciiLower).distinct.sorted.toArray)
+    texts.mapPartitions { it =>
+      val ac = new AhoCorasick(pats.value)
+      it.flatMap { pt =>
+        val lower = asciiLower(pt.text)
+        ac.findMentions(lower).map { case (s, e, idx) =>
+          MentionRow(pt.url, s, e, pats.value(idx))
+        }
+      }
+    }
+  }
+
+  /** Mention → entity links via the broadcast dictionary. Ambiguous
+    * aliases yield one link per owning entity; canonicalization later
+    * collapses them (exact/ignore_case TargetNodeMatcher analog).
+    */
+  def links(spark: SparkSession, ments: Dataset[MentionRow],
+            dict: Seq[AliasRow]): Dataset[LinkRow] = {
+    import spark.implicits._
+    val byAlias: Map[String, Seq[String]] =
+      dict.groupBy(r => asciiLower(r.alias)).view
+        .mapValues(_.map(_.entity_id).distinct.sorted).toMap
+    val b = spark.sparkContext.broadcast(byAlias)
+    ments.flatMap { m =>
+      b.value.getOrElse(m.alias, Nil).map(e => LinkRow(m.url, m.start, m.end, e))
+    }
+  }
+
+  private val sentenceSplit = "(?<=[.!?])\\s+|\\n\\n"
+
+  private def stripArticles(s: String): String = {
+    var t = s.trim
+    for (a <- Seq("the ", "a ", "an ")) if (t.startsWith(a)) t = t.drop(a.length)
+    for (a <- Seq(" the", " a", " an")) if (t.endsWith(a)) t = t.dropRight(a.length)
+    t.trim
+  }
+
+  /** Pattern triple extraction: per sentence, the first two dictionary
+    * mentions become (subj, obj) if the text between them normalizes to a
+    * known predicate phrase (articles stripped). The analog of the
+    * reference's template/pattern matching (Okta regex extraction,
+    * okta/awssaml.py:23-47; requirements parser, github/repos.py:433-540)
+    * recast as OpenIE-style relation patterns.
+    */
+  def triples(spark: SparkSession, texts: Dataset[PageText],
+              dict: Seq[AliasRow],
+              predicatePhrases: Seq[(String, String)]): Dataset[TripleRow] = {
+    import spark.implicits._
+    val pats = spark.sparkContext.broadcast(
+      dict.map(r => asciiLower(r.alias)).distinct.sorted.toArray)
+    val byAlias: Map[String, Seq[String]] =
+      dict.groupBy(r => asciiLower(r.alias)).view
+        .mapValues(_.map(_.entity_id).distinct.sorted).toMap
+    val bAlias = spark.sparkContext.broadcast(byAlias)
+    val bPred = spark.sparkContext.broadcast(
+      predicatePhrases.map { case (id, phrase) => asciiLower(phrase) -> id }.toMap)
+    texts.mapPartitions { it =>
+      val ac = new AhoCorasick(pats.value)
+      it.flatMap { pt =>
+        val sentences = pt.text.split(sentenceSplit)
+        sentences.iterator.flatMap { sent =>
+          val lower = asciiLower(sent)
+          val ms = ac.findMentions(lower)
+          if (ms.length < 2) Iterator.empty
+          else {
+            val (s1, e1, i1) = ms(0)
+            val (s2, _, i2) = ms(1)
+            val between = stripArticles(lower.substring(e1, s2))
+            bPred.value.get(between) match {
+              case Some(predId) =>
+                for {
+                  subj <- bAlias.value.getOrElse(pats.value(i1), Nil).iterator
+                  obj <- bAlias.value.getOrElse(pats.value(i2), Nil)
+                } yield TripleRow(pt.url, subj, predId, obj)
+              case None => Iterator.empty
+            }
+          }
+        }
+      }
+    }
+  }
+}

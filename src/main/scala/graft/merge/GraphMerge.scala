@@ -124,6 +124,30 @@ object GraphMerge {
     merged.select(outCols: _*)
   }
 
+  /** Upsert a precomputed edge batch (canonical edge schema) with the
+    * same firstseen-preserving MERGE semantics as schema-driven rels —
+    * the analog of the reference's 68 handwritten UNWIND+MERGE loads
+    * (SURVEY.md §2.3 "handwritten loads"). Used for dynamic rel labels
+    * (e.g. one per extracted predicate) where a static RelSchema can't
+    * express the label.
+    */
+  def upsertEdgeBatch(spark: SparkSession, batch: DataFrame, updateTag: Long,
+                      edges: SnapshotTable): Long = {
+    val keys = Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+    val fresh = batch.dropDuplicates(keys)
+    val touched = fresh.select(col("rel_label")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return 0L
+    val existing =
+      if (edges.exists) edges.read().filter(col("rel_label").isin(touched: _*))
+      else GraphTables.emptyEdges(spark)
+    val merged = upsert(existing, fresh, keys, updateTag)
+    val n = fresh.count()
+    if (edges.exists) edges.commitPartitions(merged, updateTag, touched)
+    else edges.commit(merged, updateTag)
+    n
+  }
+
   /** Full load: nodes + all relationship attachments, committed to the
     * snapshot tables. Returns stats for lineage.
     */

@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg.{Corpus, KgPipeline}
+
+/** Driver-checkable KG-pipeline queries. The pipeline runs once per
+  * scale dir (memoized) over pages synthesized deterministically from
+  * documents.parquet; every planted fact is pure doc_id arithmetic, so
+  * the DuckDB oracles recompute expected mentions / triples / canonical
+  * ids / graph edges WITHOUT running any pipeline code — extraction,
+  * linking, LSH blocking, CC and merge are all on the hook.
+  */
+object KgOps {
+
+  private val cache = TrieMap.empty[String, (KgPipeline, KgPipeline#Result)]
+
+  private def pipelineFor(spark: SparkSession, sfDir: String): (KgPipeline, KgPipeline#Result) =
+    cache.getOrElseUpdate(sfDir, {
+      val work = Files.createTempDirectory("kgops").toString
+      val pipe = new KgPipeline(spark, work)
+      val res = pipe.run(Corpus.pages(spark, sfDir), Corpus.aliasRows, 100L,
+        mergeGraph = true)
+      (pipe, res)
+    })
+
+  /** Byte-identical extraction invariant, as counts the oracle can state:
+    * every page's extracted text equals its ground truth.
+    */
+  def qkg1Invariant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, res) = pipelineFor(spark, sfDir)
+    val pages = res.pages.select(col("url"), col("text").as("gt"))
+    val texts = res.texts.select(col("url"), col("text"))
+    pages.join(texts, "url")
+      .agg(count(lit(1)).as("n_pages"),
+        count(when(col("text") === col("gt"), 1)).as("n_exact"))
+  }
+
+  /** Canonical mention counts per (url, entity). */
+  def qkg2Mentions(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val canon = broadcast(res.canonical
+      .select(col("id").as("entity_id"), col("canonical_id")))
+    res.links.join(canon, Seq("entity_id"))
+      .dropDuplicates("url", "start", "end", "canonical_id")
+      .groupBy(col("url"), col("canonical_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_mentions"))
+      .orderBy(col("url"), col("entity_id"))
+  }
+
+  /** Canonicalized (url, subj, pred, obj) triples. */
+  def qkg3Triples(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    res.triples.select("url", "subj", "pred", "obj")
+      .orderBy("url", "subj", "pred", "obj")
+  }
+
+  /** Entity canonicalization map (LSH/blocking + CC output). */
+  def qkg4Canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    res.canonical.select(col("id").as("entity_id"), col("canonical_id"))
+      .orderBy("entity_id")
+  }
+
+  /** Mention degree: top-30 canonical entities by total mentions — shows
+    * the Zipf head (entity e0000) on top.
+    */
+  def qkg5Degree(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val canon = broadcast(res.canonical
+      .select(col("id").as("entity_id"), col("canonical_id")))
+    res.links.join(canon, Seq("entity_id"))
+      .dropDuplicates("url", "start", "end", "canonical_id")
+      .groupBy(col("canonical_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_mentions"))
+      .orderBy(col("n_mentions").desc, col("entity_id"))
+      .limit(30)
+  }
+
+  /** Materialized triple edges from the graph tables (post-GraphMerge),
+    * with per-edge source counts and freshness tags.
+    */
+  def qkg6GraphEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pipe, _) = pipelineFor(spark, sfDir)
+    val preds = Corpus.predicates.map(_._1)
+    pipe.edges.read()
+      .filter(col("rel_label").isin(preds: _*))
+      .select(col("src_id"), col("rel_label"), col("dst_id"),
+        element_at(col("props"), "n_sources").cast("bigint").as("n_sources"),
+        col("firstseen"), col("lastupdated"))
+      .orderBy("src_id", "rel_label", "dst_id")
+  }
+
+  /** Oracle SQL fragments shared by the KG queries. */
+  val predCase: String =
+    "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"
+
+  val mentionCte: String =
+    """WITH en AS (SELECT doc_id AS i FROM documents WHERE lang = 'en'),
+      |m AS (
+      |  SELECT i, i % 1000 AS k FROM en
+      |  UNION ALL SELECT i, (7*i+3) % 1000 FROM en
+      |  UNION ALL SELECT i, 0 FROM en WHERE i % 100 < 30
+      |  UNION ALL SELECT i, i % 100 FROM en WHERE i % 10 = 7
+      |  UNION ALL SELECT i, 100 + (i % 100) FROM en WHERE i % 10 = 3
+      |  UNION ALL SELECT i, 100 + (i % 100) FROM en WHERE i % 10 = 9),
+      |c AS (SELECT i, CASE WHEN k >= 800 THEN k - 800 ELSE k END AS ck FROM m)""".stripMargin
+
+  val tripleCte: String =
+    """WITH en AS (SELECT doc_id AS i FROM documents WHERE lang = 'en'),
+      |t AS (SELECT i, i % 1000 AS s, (7*i+3) % 1000 AS o, i % 5 AS p FROM en),
+      |cz AS (SELECT i, p,
+      |  CASE WHEN s >= 800 THEN s - 800 ELSE s END AS cs,
+      |  CASE WHEN o >= 800 THEN o - 800 ELSE o END AS co FROM t)""".stripMargin
+}
