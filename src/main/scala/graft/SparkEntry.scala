@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, KgOps, Relational}
+import graft.operators.{DataOps, GraphOps, KgOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,20 @@ object SparkEntry {
     "qkg4_canonical" -> (KgOps.qkg4Canonical _),
     "qkg5_mention_degree" -> (KgOps.qkg5Degree _),
     "qkg6_graph_edges" -> (KgOps.qkg6GraphEdges _),
+    "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
+    "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
+    "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
+    "qdd4_minhash_lsh" -> (DataOps.qdd4MinhashLsh _),
+    "qdd5_simhash" -> (DataOps.qdd5Simhash _),
+    "qtx1_tokens" -> (DataOps.qtx1Tokens _),
+    "qtx2_quality" -> (DataOps.qtx2Quality _),
+    "qtx3_langid" -> (DataOps.qtx3LangId _),
+    "qtx4_fingerprint" -> (DataOps.qtx4Fingerprint _),
+    "qtx5_rabin" -> (DataOps.qtx5Rabin _),
+    "qann1_topk" -> (DataOps.qann1TopK _),
+    "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
+    "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
+    "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +187,122 @@ object SparkEntry {
          | COUNT(DISTINCT i) AS n_sources,
          | CAST(100 AS BIGINT) AS firstseen, CAST(100 AS BIGINT) AS lastupdated
          |FROM cz GROUP BY 1, 2, 3 ORDER BY src_id, rel_label, dst_id""".stripMargin,
+    // Dedup oracles rebuild the copy corpus and recompute pair ground
+    // truth relationally (integer Jaccard threshold — no floating point).
+    "qdd1_exact_dedup" ->
+      s"""$dedupCorpusCte
+         |SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+         | MIN(doc_id) AS canonical
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_hash""".stripMargin,
+    "qdd2_neardup_allpairs" ->
+      s"""$dedupCorpusCte, $dedupPairsCte
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "qdd3_dedup_clusters" ->
+      s"""$dedupCorpusCte, $dedupPairsCte,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |lbl(n, l) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.n)
+         |SELECT n AS doc_id, MIN(l) AS canonical FROM lbl
+         |GROUP BY n ORDER BY doc_id""".stripMargin,
+    "qtx1_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qtx2_quality" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   w -> w IN ('the','a','an','and','of','to','in'))) AS BIGINT) AS n_stopwords,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   w -> w IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        | CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qtx3_langid" ->
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))/5
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' and ','')))/5
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' of ','')))/4 AS BIGINT) AS s_en,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' der ','')))/5
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' und ','')))/5
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' das ','')))/5 AS BIGINT) AS s_de,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' el ','')))/4
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' los ','')))/5
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' una ','')))/5 AS BIGINT) AS s_es,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' le ','')))/4
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' les ','')))/5
+        |   + (length(' '||text||' ') - length(replace(' '||text||' ',' une ','')))/5 AS BIGINT) AS s_fr
+        | FROM documents)
+        |SELECT doc_id, lang,
+        | CASE WHEN GREATEST(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+        |      WHEN s_en = GREATEST(s_en,s_de,s_es,s_fr) THEN 'en'
+        |      WHEN s_de = GREATEST(s_en,s_de,s_es,s_fr) THEN 'de'
+        |      WHEN s_es = GREATEST(s_en,s_de,s_es,s_fr) THEN 'es'
+        |      ELSE 'fr' END AS pred_lang,
+        | s_en
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "qtx4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qann1_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.v, c.v) AS cos
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT query_id, neighbor_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "qann2_pairs_above" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
+
+  /** Shared oracle CTE: rebuild the dedup test corpus (originals +
+    * perturbed copies + exact copies) in SQL.
+    */
+  private def dedupCorpusCte: String =
+    """WITH RECURSIVE corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT d.doc_id + 100000,
+      |   string_agg(CASE WHEN r.i % 17 = 0
+      |     THEN 'zz' || CAST(d.doc_id + 100000 AS VARCHAR)
+      |     ELSE d.ws[r.i + 1] END, ' ' ORDER BY r.i)
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |       FROM documents WHERE doc_id % 5 = 0) d
+      | JOIN range(0, 100000) r(i) ON r.i < len(d.ws)
+      | GROUP BY d.doc_id
+      | UNION ALL
+      | SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Shared oracle CTE: exact all-pairs Jaccard ≥ 1/2 over `corpus` via
+    * inverted-index self-join with integer threshold arithmetic.
+    */
+  private def dedupPairsCte: String =
+    """sh AS (
+      | SELECT DISTINCT doc_id, c.ws[r.i+1] || ' ' || c.ws[r.i+2] || ' ' || c.ws[r.i+3] AS shingle
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) c
+      | JOIN range(0, 100000) r(i) ON r.i <= len(c.ws) - 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
+      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM inter
+      | JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      | WHERE 3 * n >= sa.sz + sb.sz)""".stripMargin
 }

@@ -1,0 +1,124 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.util.hashing.MurmurHash3
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the scale path (probe only same-bucket candidates).
+  *
+  * Numeric discipline: dot products run in DOUBLE with sequential
+  * left-to-right accumulation (functions.aggregate over zip_with), so
+  * the result is bit-reproducible and matches any engine that does the
+  * same — no UDF, stays inside codegen.
+  */
+object Knn {
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"), col("label"))
+
+  /** Columnar cosine similarity of two array<float> columns, computed in
+    * double.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(x: Column) = transform(x, v => v.cast("double"))
+    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(d(b), x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for `queries` vec_ids: broadcast the queries
+    * against the corpus (the corpus side stays partitioned — this is the
+    * "broadcast the small side of a 100 TB join" shape), rank per query.
+    */
+  def bruteForceTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                     k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val joined = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Pairs with cosine ≥ threshold (brute-force; the exact near-dup
+    * baseline for embedding-space dedup).
+    */
+  def pairsAbove(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    val l = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val r = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    l.join(r, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for
+    * (table, plane, dim).
+    */
+  private def planeComp(table: Int, plane: Int, dim: Int): Double = {
+    val h = MurmurHash3.productHash((table, plane, dim))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** Multi-table random-hyperplane LSH: `tables` independent `bits`-bit
+    * sign sketches per vector (one output row per table). Two vectors
+    * are ANN candidates if they share a bucket in ANY table — the
+    * standard recall amplifier (single-table sign-LSH recall is poor for
+    * 64-dim data; multiple independent tables trade candidate volume
+    * for recall). At scale: corpus hashed once per table, queries probe
+    * only their buckets.
+    */
+  def hyperplaneBuckets(spark: SparkSession, emb: DataFrame, bits: Int = 4,
+                        tables: Int = 16): DataFrame = {
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until tables).map { t =>
+          var sketch = 0L
+          var p = 0
+          while (p < bits) {
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += v(i) * planeComp(t, p, i); i += 1 }
+            if (dot >= 0) sketch |= (1L << p)
+            p += 1
+          }
+          (id, t, sketch)
+        }
+      }.toDF("vec_id", "table", "bucket")
+  }
+
+  /** ANN top-k via LSH buckets: candidates share the query's bucket in
+    * any table.
+    */
+  def lshTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+              k: Int, bits: Int = 4, tables: Int = 16): DataFrame = {
+    val buckets = hyperplaneBuckets(spark, emb, bits, tables)
+    val q = buckets.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val candIds = buckets.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qv = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = candIds.join(emb, "vec_id").join(broadcast(qv), "query_id")
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

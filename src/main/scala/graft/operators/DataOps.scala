@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ann.Knn
+import graft.dedup.Dedup
+import graft.kg.Corpus
+import graft.multimodal.BinaryOps
+import graft.text.TextStats
+
+/** Driver-checkable training-data-pipeline queries: dedup, text
+  * analysis, similarity search, multimodal plumbing.
+  */
+object DataOps {
+
+  // ---- dedup --------------------------------------------------------------
+
+  def qdd1ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactDupGroups(Dedup.corpusWithCopies(spark, sfDir))
+
+  def qdd2NearDupAllPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.allPairsJaccard(spark, Dedup.corpusWithCopies(spark, sfDir))
+
+  def qdd3DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Dedup.corpusWithCopies(spark, sfDir)
+    val pairs = Dedup.allPairsJaccard(spark, corpus)
+    Dedup.clusters(spark, corpus, pairs)
+  }
+
+  /** MinHash-LSH near-dup detection (probabilistic candidates + exact
+    * verify). Driver records rows-only; ScalaTest asserts recall vs the
+    * exact all-pairs baseline.
+    */
+  def qdd4MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
+
+  /** SimHash near-dup detection (banded Hamming buckets + verify). */
+  def qdd5Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
+
+  // ---- text analysis ------------------------------------------------------
+
+  def qtx1Tokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.tokenCounts(TextStats.docs(spark, sfDir))
+
+  def qtx2Quality(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.quality(TextStats.docs(spark, sfDir))
+
+  def qtx3LangId(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.langId(TextStats.docs(spark, sfDir))
+
+  def qtx4Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.fingerprintMd5(TextStats.docs(spark, sfDir))
+
+  /** Rabin rolling-hash fingerprints — rows-only (not SQL-expressible);
+    * determinism asserted in ScalaTest.
+    */
+  def qtx5Rabin(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.rabinFingerprints(spark, TextStats.docs(spark, sfDir))
+
+  // ---- similarity search --------------------------------------------------
+
+  val annQueryIds: Seq[Long] = (0L until 20L)
+  val annK = 5
+
+  def qann1TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.bruteForceTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"))
+
+  def qann2PairsAbove(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.pairsAbove(spark, Knn.embeddings(spark, sfDir), 0.42)
+
+  /** LSH-bucketed ANN — rows-only; recall vs brute force asserted in
+    * ScalaTest.
+    */
+  def qann3LshTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.lshTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
+
+  // ---- multimodal ---------------------------------------------------------
+
+  /** Binary media metadata over the page corpus html payloads (stubbed
+    * decode, real plumbing) — rows-only.
+    */
+  def qmm1MediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Corpus.pages(spark, sfDir)
+      .select(col("url"), col("html").as("payload"))
+    BinaryOps.extractMeta(spark, media).toDF()
+      .orderBy("url")
+  }
+}
