@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DataOps, GraphOps, KgOps, Relational}
+import graft.operators.{Analysis, DataOps, GraphOps, KgOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,13 @@ object SparkEntry {
     "q13_graph_upsert" -> (GraphOps.q13GraphUpsert _),
     "q14_graph_cleanup" -> (GraphOps.q14GraphCleanup _),
     "q15_drift" -> (GraphOps.q15Drift _),
+    "q16_khop" -> (Analysis.q16KHop _),
+    "q17_wildcard_policy" -> (Analysis.q17Wildcard _),
+    "q18_collect_agg" -> (Analysis.q18Collect _),
+    "q19_json_props" -> (Analysis.q19Json _),
+    "q20_exposure_propagation" -> (Analysis.q20Exposure _),
+    "q21_lineage" -> (Analysis.q21Lineage _),
+    "q22_suffix_subzones" -> (Analysis.q22Subzones _),
     "qkg1_extract_invariant" -> (KgOps.qkg1Invariant _),
     "qkg2_mentions" -> (KgOps.qkg2Mentions _),
     "qkg3_triples" -> (KgOps.qkg3Triples _),
@@ -129,6 +136,75 @@ object SparkEntry {
       """SELECT o_custkey, COUNT(DISTINCT l_partkey) AS n_parts
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_custkey ORDER BY n_parts DESC, o_custkey LIMIT 30""".stripMargin,
+    "q16_khop" ->
+      """SELECT 1 AS hop, COUNT(DISTINCT c_custkey) AS n_nodes
+        |FROM customer WHERE c_nationkey = 1
+        |UNION ALL
+        |SELECT 2, COUNT(DISTINCT o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 1
+        |ORDER BY hop""".stripMargin,
+    "q17_wildcard_policy" ->
+      s"""${Analysis.policyCte}
+         |SELECT policy_id, COUNT(*) AS n_allowed FROM (
+         | SELECT policy_id, p_partkey,
+         |  MAX(CASE WHEN kind = 'allow' THEN 1 ELSE 0 END) AS a,
+         |  MAX(CASE WHEN kind = 'deny' THEN 1 ELSE 0 END) AS d
+         | FROM part JOIN pats ON p_name LIKE pattern
+         | GROUP BY policy_id, p_partkey) t
+         |WHERE a = 1 AND d = 0
+         |GROUP BY policy_id ORDER BY policy_id""".stripMargin,
+    "q18_collect_agg" ->
+      """SELECT o_custkey,
+        | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100""".stripMargin,
+    "q19_json_props" ->
+      """SELECT k % 10 AS k_mod, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |      FROM events) t
+        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_exposure_propagation" ->
+      """WITH tagged AS (
+        | SELECT s_suppkey, tag FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | CROSS JOIN (VALUES ('europe'), ('lowbal')) v(tag)
+        | WHERE (tag = 'europe' AND r_name = 'EUROPE')
+        |    OR (tag = 'lowbal' AND s_acctbal < 3000.0)),
+        |pt AS (
+        | SELECT DISTINCT l_partkey, tag
+        | FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        | JOIN tagged ON l_suppkey = s_suppkey),
+        |pe AS (
+        | SELECT l_partkey, string_agg(DISTINCT tag, ',' ORDER BY tag) AS exposure
+        | FROM pt GROUP BY l_partkey)
+        |SELECT exposure, COUNT(*) AS n_parts FROM pe
+        |GROUP BY exposure ORDER BY exposure""".stripMargin,
+    "q21_lineage" ->
+      """WITH en AS (SELECT doc_id AS i FROM documents WHERE lang = 'en'),
+        |tot AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT stage, total_rows FROM (
+        | SELECT 'canonical' AS stage, CAST(1000 AS BIGINT) AS total_rows
+        | UNION ALL SELECT 'extract', n FROM tot
+        | UNION ALL SELECT 'links', (SELECT CAST(COALESCE(SUM(
+        |    2 + CASE WHEN i % 100 < 30 THEN 1 ELSE 0 END
+        |      + CASE WHEN i % 10 = 7 THEN 2 ELSE 0 END
+        |      + CASE WHEN i % 10 = 3 THEN 1 ELSE 0 END
+        |      + CASE WHEN i % 10 = 9 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM en)
+        | UNION ALL SELECT 'pages', n FROM tot
+        | UNION ALL SELECT 'triples', (SELECT COUNT(*) FROM en)) t
+        |ORDER BY stage""".stripMargin,
+    "q22_suffix_subzones" ->
+      """WITH d AS (SELECT DISTINCT doc_id % 50 AS m, doc_id % 3 AS j
+        |           FROM documents),
+        |zones AS (
+        | SELECT 'example' AS zone
+        | UNION SELECT 'host' || CAST(m AS VARCHAR) || '.example' FROM d
+        | UNION SELECT 'd' || CAST(j AS VARCHAR) || '.host' || CAST(m AS VARCHAR) || '.example' FROM d)
+        |SELECT p.zone AS zone, COUNT(*) AS n_subzones
+        |FROM zones c JOIN zones p ON c.zone LIKE '%.' || p.zone
+        |GROUP BY p.zone ORDER BY zone""".stripMargin,
     // Oracles below recompute the EXPECTED graph state after the
     // upsert/cleanup/drift scenario that the Spark side actually executes
     // through GraphMerge/Cleanup/SnapshotTable.

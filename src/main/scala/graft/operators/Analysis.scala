@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Graft.table
+
+/** Analysis-job operator pack — the remaining query shapes of the
+  * reference's analysis/enrichment corpus (SURVEY.md §2.5) as
+  * driver-checkable queries:
+  *
+  *  - bounded variable-length path (k-hop BFS via unrolled self-joins,
+  *    aws_ec2_asset_exposure.json stmt 5's `[*..2]` pattern);
+  *  - IAM-style wildcard policy evaluation with Allow/Deny precedence
+  *    (cartography/intel/aws/permission_relationships.py:21-184);
+  *  - collect() grouping aggregate (permission_relationships.py:246-254);
+  *  - JSON property parsing (S3 policy parsing analog,
+  *    cartography/intel/aws/s3.py:453-697) via from_json — no UDF;
+  *  - fixpoint-ish exposure propagation with list-append dedup
+  *    (aws_ec2_asset_exposure.json stmts 8-10: array_union semantics);
+  *  - per-stage lineage/sync-metadata readback (ModuleSyncMetadata,
+  *    cartography/util.py:133-165);
+  *  - suffix (subzone containment) theta-join
+  *    (cartography/intel/aws/route53.py:213-233).
+  */
+object Analysis {
+
+  // ---- bounded k-hop ------------------------------------------------------
+
+  /** New nodes reached at each hop 1..k from `seeds` over `edges(src,dst)`
+    * — BFS semantics (a node counts at its first hop only). k is small
+    * and static, so the loop unrolls into k chained equi-joins; each
+    * frontier is distinct'd before the next join so fan-out duplication
+    * never amplifies (at 100 TB the frontier stays ≤ |V| per hop).
+    */
+  def kHopCounts(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    var visited = seeds.select(col("id")).distinct()
+    var frontier = visited
+    var out: Seq[DataFrame] = Nil
+    for (hop <- 1 to k) {
+      val next = edges.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      out = out :+ next.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(hop).as("hop"), col("n_nodes"))
+      visited = visited.union(next).distinct()
+      frontier = next
+    }
+    out.reduce(_ unionByName _).orderBy("hop")
+  }
+
+  /** q16: 2-hop reachability nation→customers→orders as a typed-id edge
+    * list, seeded at nation 1.
+    */
+  def q16KHop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nc = table(spark, sfDir, "customer")
+      .select(concat(lit("n"), col("c_nationkey")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"))
+    val co = table(spark, sfDir, "orders")
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("o"), col("o_orderkey")).as("dst"))
+    val seeds = Seq("n1").toDF("id")
+    kHopCounts(nc.unionByName(co), seeds, 2)
+  }
+
+  // ---- wildcard policy evaluation -----------------------------------------
+
+  /** AWS-style glob (`*`, `?`) → SQL LIKE pattern. The reference compiles
+    * these to regex per principal (permission_relationships.py:199-242);
+    * LIKE keeps the predicate inside whole-stage codegen with identical
+    * semantics for `*`/`?` globs.
+    */
+  def globToLike(glob: String): String =
+    glob.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case c => c.toString
+    }
+
+  private val policyGlobs: Seq[(String, String, String)] = Seq(
+    ("pol_a", "allow", "*widget*"), ("pol_a", "deny", "small*"),
+    ("pol_b", "allow", "l*"), ("pol_b", "deny", "*bolt"),
+    ("pol_c", "allow", "*"), ("pol_c", "deny", "*widget*"),
+    ("pol_d", "allow", "?o*"))
+
+  /** q17: evaluate each policy's allow/deny glob patterns against every
+    * part name; a part is allowed iff ≥1 allow matches and no deny
+    * matches (Deny precedence, permission_relationships.py:21-184).
+    * The tiny policy table is broadcast against the big resource side —
+    * the only sane join shape at 100 TB.
+    */
+  def q17Wildcard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pats = policyGlobs
+      .map { case (p, k, g) => (p, k, globToLike(g)) }
+      .toDF("policy_id", "kind", "pattern")
+    val parts = table(spark, sfDir, "part").select("p_partkey", "p_name")
+    parts.join(broadcast(pats), expr("p_name LIKE pattern"))
+      .groupBy(col("policy_id"), col("p_partkey"))
+      .agg(max(when(col("kind") === "allow", 1).otherwise(0)).as("a"),
+        max(when(col("kind") === "deny", 1).otherwise(0)).as("d"))
+      .filter(col("a") === 1 && col("d") === 0)
+      .groupBy(col("policy_id"))
+      .agg(count(lit(1)).as("n_allowed"))
+      .orderBy(col("policy_id"))
+  }
+
+  /** DuckDB oracle fragment: the same policy patterns as a VALUES CTE. */
+  val policyCte: String = {
+    val rows = policyGlobs
+      .map { case (p, k, g) => s"('$p', '$k', '${globToLike(g)}')" }
+      .mkString(", ")
+    s"WITH pats(policy_id, kind, pattern) AS (VALUES $rows)"
+  }
+
+  // ---- collect() aggregate ------------------------------------------------
+
+  /** q18: per-customer sorted distinct order-priority list — the
+    * `collect(statements)` grouping aggregate
+    * (permission_relationships.py:246-254) with a canonical string
+    * rendering so any engine can state the same value.
+    */
+  def q18Collect(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+      .limit(100)
+
+  // ---- JSON property parsing ----------------------------------------------
+
+  /** q19: parse the events.props JSON blob with from_json (schema-typed,
+    * codegen'd — the S3-policy-document parsing analog, s3.py:453-697;
+    * no UDF), then aggregate by k mod 10.
+    */
+  def q19Json(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    table(spark, sfDir, "events")
+      .select(from_json(col("props"), schema).getField("k").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod"))
+  }
+
+  // ---- exposure propagation (fixpoint-ish tagging) ------------------------
+
+  /** q20: two-level exposure propagation with list-append dedup — the
+    * LB→EC2→ASG `exposed_internet_type` array-union chain
+    * (aws_ec2_asset_exposure.json stmts 8-10). Suppliers are tagged from
+    * two independent sources ('europe' region membership, 'lowbal'
+    * balance), parts inherit the deduplicated sorted union of their
+    * suppliers' tags through the lineitem relationship.
+    */
+  def q20Exposure(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = table(spark, sfDir, "supplier")
+    val nat = table(spark, sfDir, "nation")
+    val reg = table(spark, sfDir, "region")
+    val li = table(spark, sfDir, "lineitem")
+    val tagged = sup
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("s_suppkey"),
+        array_compact(array(
+          when(col("r_name") === "EUROPE", lit("europe")),
+          when(col("s_acctbal") < 3000.0, lit("lowbal")))).as("tags"))
+      .filter(size(col("tags")) > 0)
+    // propagate: part inherits union of supplier tags (explode → distinct
+    // → collect = the distributed array_union aggregation)
+    val partTags = li.select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(tagged), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), explode(col("tags")).as("tag"))
+      .distinct()
+      .groupBy(col("l_partkey"))
+      .agg(array_join(array_sort(collect_set(col("tag"))), ",").as("exposure"))
+    partTags.groupBy(col("exposure"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("exposure"))
+  }
+
+  // ---- lineage readback ---------------------------------------------------
+
+  /** q21: per-stage committed row totals from the KG pipeline's lineage
+    * table (per-partition rows summed) — ModuleSyncMetadata + statsd
+    * counters analog (util.py:133-165; statement.py:99-112). The oracle
+    * recomputes every stage's expected row count arithmetically.
+    */
+  def q21Lineage(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pipe, _) = KgOps.pipelineHandle(spark, sfDir)
+    pipe.lineageRows()
+      .filter(col("stage").isin("pages", "extract", "links", "canonical", "triples"))
+      .groupBy(col("stage"))
+      .agg(sum(col("rows_out")).as("total_rows"))
+      .orderBy(col("stage"))
+  }
+
+  // ---- suffix (subzone) join ----------------------------------------------
+
+  /** Subzone containment: child zone ENDS WITH '.' + parent zone
+    * (route53.py:213-233). The parent dim is broadcast; the child side
+    * stays partitioned.
+    */
+  def subzoneCounts(zones: DataFrame, parents: DataFrame): DataFrame =
+    zones.join(broadcast(parents.select(col("zone").as("parent"))),
+        col("zone").endsWith(concat(lit("."), col("parent"))))
+      .groupBy(col("parent").as("zone"))
+      .agg(count(lit(1)).as("n_subzones"))
+      .orderBy(col("zone"))
+
+  /** q22: zone hierarchy derived from the synthetic corpus hosts:
+    * 'example' ← 'host{m}.example' ← 'd{j}.host{m}.example'.
+    */
+  def q22Subzones(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+    val hosts = docs.select(
+      concat(lit("host"), col("doc_id") % 50, lit(".example")).as("zone"))
+      .distinct()
+    val subs = docs.select(
+      concat(lit("d"), col("doc_id") % 3, lit(".host"), col("doc_id") % 50,
+        lit(".example")).as("zone"))
+      .distinct()
+    val root = Seq("example").toDF("zone")
+    val zones = root.unionByName(hosts).unionByName(subs)
+    subzoneCounts(zones, zones)
+  }
+}

@@ -17,6 +17,10 @@ object KgOps {
 
   private val cache = TrieMap.empty[String, (KgPipeline, KgPipeline#Result)]
 
+  /** Memoized pipeline run for a scale dir (shared with Analysis.q21). */
+  def pipelineHandle(spark: SparkSession, sfDir: String): (KgPipeline, KgPipeline#Result) =
+    pipelineFor(spark, sfDir)
+
   private def pipelineFor(spark: SparkSession, sfDir: String): (KgPipeline, KgPipeline#Result) =
     cache.getOrElseUpdate(sfDir, {
       val work = Files.createTempDirectory("kgops").toString

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class AnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("kHopCounts is BFS: nodes count at first hop only, cycles don't revisit") {
+    // a→b, b→c, c→a (cycle back to seed), a→d, d→e
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val got = Analysis.kHopCounts(edges, seeds, 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // hop1: {b,d}; hop2: {c,e} (a already visited); hop3: nothing new
+    assert(got === Map(1 -> 2L, 2 -> 2L, 3 -> 0L))
+  }
+
+  test("globToLike translates * and ? and escapes LIKE metacharacters") {
+    assert(Analysis.globToLike("*widget*") === "%widget%")
+    assert(Analysis.globToLike("?o*") === "_o%")
+    assert(Analysis.globToLike("a%b_c") === "a\\%b\\_c")
+  }
+
+  test("wildcard policy: deny precedence blocks an otherwise-allowed name") {
+    val rows = Analysis.q17Wildcard(spark, sf1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pol_c allows '*' but denies '*widget*': strictly fewer than all parts
+    val nParts = spark.read.parquet(s"$sf1/part.parquet").count()
+    assert(rows("pol_c") > 0 && rows("pol_c") < nParts)
+    // pol_a allows widgets minus 'small*' ones; disjoint from pol_c's set
+    assert(rows("pol_a") > 0 && rows("pol_a") + rows("pol_c") <= nParts)
+  }
+
+  test("subzoneCounts: child counts once per ancestor level") {
+    val zones = Seq("example", "a.example", "b.a.example").toDF("zone")
+    val got = Analysis.subzoneCounts(zones, zones)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("example" -> 2L, "a.example" -> 1L))
+  }
+
+  test("exposure propagation emits only sorted deduplicated tag sets") {
+    val rows = Analysis.q20Exposure(spark, sf1).collect()
+    rows.foreach { r =>
+      val tags = r.getString(0).split(",").toSeq
+      assert(tags === tags.sorted.distinct, s"unsorted/dup: ${r.getString(0)}")
+      assert(tags.toSet.subsetOf(Set("europe", "lowbal")))
+    }
+  }
+}
