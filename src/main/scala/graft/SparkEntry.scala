@@ -46,6 +46,7 @@ object SparkEntry {
     "qkg4_canonical" -> (KgOps.qkg4Canonical _),
     "qkg5_mention_degree" -> (KgOps.qkg5Degree _),
     "qkg6_graph_edges" -> (KgOps.qkg6GraphEdges _),
+    "qkg7_comention" -> (KgOps.qkg7Comention _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
     "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
@@ -263,6 +264,14 @@ object SparkEntry {
          | COUNT(DISTINCT i) AS n_sources,
          | CAST(100 AS BIGINT) AS firstseen, CAST(100 AS BIGINT) AS lastupdated
          |FROM cz GROUP BY 1, 2, 3 ORDER BY src_id, rel_label, dst_id""".stripMargin,
+    "qkg7_comention" ->
+      s"""${KgOps.mentionCte},
+         |pe AS (SELECT DISTINCT i, ck FROM c)
+         |SELECT 'e' || lpad(CAST(a.ck AS VARCHAR), 4, '0') AS entity_a,
+         | 'e' || lpad(CAST(b.ck AS VARCHAR), 4, '0') AS entity_b,
+         | COUNT(*) AS n_pages
+         |FROM pe a JOIN pe b ON a.i = b.i AND a.ck < b.ck
+         |GROUP BY 1, 2 ORDER BY n_pages DESC, entity_a, entity_b LIMIT 30""".stripMargin,
     // Dedup oracles rebuild the copy corpus and recompute pair ground
     // truth relationally (integer Jaccard threshold — no floating point).
     "qdd1_exact_dedup" ->

@@ -84,29 +84,65 @@ object Corpus {
   /** warc_ts derived from i — epoch 2024-01-01 UTC plus i minutes. */
   def tsOf(i: Long): Timestamp = new Timestamp(1704067200000L + i * 60000L)
 
-  /** Wrap ground-truth text into the noisy HTML page. */
-  def renderHtml(i: Long, text: String): String = {
+  /** Deterministic boilerplate filler: `words` pseudo-random hex words
+    * derived from the page id (xorshift chain — no RNG object). Used to
+    * give bench pages Common-Crawl-like weight; lives inside an <aside>
+    * block the extractor drops, so the ground-truth text is untouched.
+    */
+  def noiseWords(i: Long, words: Int): String = {
+    if (words <= 0) return ""
+    val sb = new StringBuilder(words * 8)
+    var s = i * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+    var w = 0
+    while (w < words) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      sb.append(java.lang.Long.toHexString(s & 0xffffffffL))
+      w += 1
+      if (w < words) sb.append(if (w % 12 == 0) ". " else " ")
+    }
+    sb.toString
+  }
+
+  /** Wrap ground-truth text into the noisy HTML page. `noise` > 0 adds
+    * that many boilerplate filler words (bench corpora only — the real
+    * Common-Crawl regime where markup/boilerplate dwarfs content and
+    * Stage-1 extraction dominates the pipeline cost).
+    */
+  def renderHtml(i: Long, text: String, noise: Int = 0): String = {
     val paras = text.split("\n\n", -1)
       .map(p => s"<p>${Html.escape(p)}</p>").mkString
-    s"""<html><head><title>Doc $i</title><script type="text/javascript">var p=$i;if(p<0){document.write("<p>ghost</p>");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl $i --><nav><ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li></ul></nav><div id="main"><article>$paras</article></div><footer><p>&copy; host${i % 50} &middot; all rights reserved</p></footer></body></html>"""
+    val aside =
+      if (noise <= 0) ""
+      else s"""<aside class="recommended"><ul><li>${noiseWords(i, noise)}</li></ul></aside>"""
+    s"""<html><head><title>Doc $i</title><script type="text/javascript">var p=$i;if(p<0){document.write("<p>ghost</p>");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl $i --><nav><ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li></ul></nav>$aside<div id="main"><article>$paras</article></div><footer><p>&copy; host${i % 50} &middot; all rights reserved</p></footer></body></html>"""
   }
 
   /** The pages table: one page per document row × `replicas` (replica r
     * shifts the id space by r×10000 to keep urls unique; used only to
     * scale the benchmark corpus). Narrow map — no shuffle.
     */
-  def pages(spark: SparkSession, sfDir: String, replicas: Int = 1): Dataset[Page] = {
+  def pages(spark: SparkSession, sfDir: String, replicas: Int = 1,
+            noise: Int = 0): Dataset[Page] = {
     import spark.implicits._
+    // The source table arrives as a single small file (one input split);
+    // spread it across the executors BEFORE the heavy narrow work
+    // (render/extract/mention chain) or the whole pipeline runs on one
+    // core. One tiny shuffle of the source rows buys full parallelism
+    // downstream — and the committed pages stage inherits the file count,
+    // so every later stage reads a well-partitioned table.
+    val par = spark.sparkContext.defaultParallelism * 2
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .repartition(par, col("doc_id"))
       .as[(Long, String, String)]
     val r = replicas
+    val nz = noise
     docs.flatMap { case (docId, src, lang) =>
       (0 until r).map { rep =>
         val i = docId + rep.toLong * 10000L
         val text = groundTruthText(i, src)
         Page(urlOf(i), tsOf(i),
-          renderHtml(i, text).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          renderHtml(i, text, nz).getBytes(java.nio.charset.StandardCharsets.UTF_8),
           text, lang)
       }
     }

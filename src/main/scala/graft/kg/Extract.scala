@@ -7,6 +7,13 @@ final case class MentionRow(url: String, start: Int, end: Int, alias: String)
 final case class LinkRow(url: String, start: Int, end: Int, entity_id: String)
 final case class TripleRow(url: String, subj: String, pred: String, obj: String)
 
+/** One extracted fact: kind 0 = mention link (start/end/a=entity_id),
+  * kind 1 = pattern triple (a=subj, pred, obj). A single union row type
+  * lets one corpus scan emit both (see [[Extract.facts]]).
+  */
+final case class FactRow(kind: Int, url: String, start: Int, end: Int,
+                         a: String, pred: String, obj: String)
+
 /** Stage-1 transforms: deterministic HTML→text, dictionary mention
   * detection, and OpenIE-style pattern triple extraction — all narrow
   * mapPartitions over typed Datasets (no shuffle), the Spark re-cast of
@@ -92,6 +99,66 @@ object Extract {
     * okta/awssaml.py:23-47; requirements parser, github/repos.py:433-540)
     * recast as OpenIE-style relation patterns.
     */
+  /** Fused single-pass extraction: ONE Aho–Corasick scan per page yields
+    * both the mention links and the pattern triples — the separate
+    * [[mentions]]+[[links]] and [[triples]] paths each rescan the full
+    * corpus, which at 10^12 pages doubles the dominant stage-1 cost.
+    * Semantics are pinned to the unfused paths by a test: the global
+    * mention list restricted to a sentence equals the per-sentence scan
+    * (aliases cannot span sentence separators — they contain no
+    * terminator characters, and separators are whitespace runs).
+    */
+  def facts(spark: SparkSession, texts: Dataset[PageText],
+            dict: Seq[AliasRow],
+            predicatePhrases: Seq[(String, String)]): Dataset[FactRow] = {
+    import spark.implicits._
+    val pats = spark.sparkContext.broadcast(
+      dict.map(r => asciiLower(r.alias)).distinct.sorted.toArray)
+    val byAlias: Map[String, Seq[String]] =
+      dict.groupBy(r => asciiLower(r.alias)).view
+        .mapValues(_.map(_.entity_id).distinct.sorted).toMap
+    val bAlias = spark.sparkContext.broadcast(byAlias)
+    val bPred = spark.sparkContext.broadcast(
+      predicatePhrases.map { case (id, phrase) => asciiLower(phrase) -> id }.toMap)
+    val sentRe = java.util.regex.Pattern.compile(sentenceSplit)
+    texts.mapPartitions { it =>
+      val ac = new AhoCorasick(pats.value)
+      it.flatMap { pt =>
+        val lower = asciiLower(pt.text)
+        val ms = ac.findMentions(lower) // sorted by start
+        val linkRows = ms.iterator.flatMap { case (s, e, idx) =>
+          bAlias.value.getOrElse(pats.value(idx), Nil)
+            .map(ent => FactRow(0, pt.url, s, e, ent, null, null))
+        }
+        // sentence segments as [start, end) over the same string
+        val m = sentRe.matcher(lower)
+        val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+        val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (m.find()) { ends += m.start(); cuts += m.end() }
+        ends += lower.length
+        val tripleRows = cuts.iterator.zip(ends.iterator).flatMap {
+          case (bs, be) =>
+            val in = ms.filter(mm => mm._1 >= bs && mm._2 <= be)
+            if (in.length < 2) Iterator.empty
+            else {
+              val (_, e1, i1) = in(0)
+              val (s2, _, i2) = in(1)
+              val between = stripArticles(lower.substring(e1, s2))
+              bPred.value.get(between) match {
+                case Some(predId) =>
+                  for {
+                    subj <- bAlias.value.getOrElse(pats.value(i1), Nil).iterator
+                    obj <- bAlias.value.getOrElse(pats.value(i2), Nil)
+                  } yield FactRow(1, pt.url, 0, 0, subj, predId, obj)
+                case None => Iterator.empty
+              }
+            }
+        }
+        linkRows ++ tripleRows
+      }
+    }
+  }
+
   def triples(spark: SparkSession, texts: Dataset[PageText],
               dict: Seq[AliasRow],
               predicatePhrases: Seq[(String, String)]): Dataset[TripleRow] = {

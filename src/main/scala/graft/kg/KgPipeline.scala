@@ -46,28 +46,44 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     t.latestVersion.exists(v => t.updateTagOf(v) == updateTag)
   }
 
+  // Per-stage lineage rows are buffered and flushed in ONE append at the
+  // end of the run — five separate tiny write jobs otherwise add a fixed
+  // serial cost to every sync. Plans are lazy: each buffered part scans
+  // its stage's committed table only at flush time.
+  private val lineageBuf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
   private def lineage(stage: String, updateTag: Long, df: DataFrame,
                       rowsIn: Long = -1L): DataFrame = {
-    val parts = df.groupBy(spark_partition_id().as("partition_id"))
+    lineageBuf += df.groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows_out"))
       .select(lit(stage).as("stage"), col("partition_id"),
         lit(updateTag).as("update_tag"), lit(rowsIn).as("rows_in"),
         col("rows_out"))
-    parts.write.mode("append").parquet(s"$workRoot/lineage")
     df
+  }
+
+  private def flushLineage(): Unit = if (lineageBuf.nonEmpty) {
+    lineageBuf.reduce(_ unionByName _)
+      .write.mode("append").parquet(s"$workRoot/lineage")
+    lineageBuf.clear()
   }
 
   def lineageRows(): DataFrame = spark.read.parquet(s"$workRoot/lineage")
 
-  /** Run (or resume) one stage: compute, commit, lineage. */
+  /** Run (or resume) one stage: compute, commit, lineage. Wall time per
+    * stage goes to stderr (the statsd-timer analog,
+    * cartography/util.py:176-196).
+    */
   private def stage(name: String, updateTag: Long)(compute: => DataFrame): DataFrame = {
     val t = stageTable(name)
     if (stageDone(name, updateTag)) t.read()
     else {
+      val t0 = System.nanoTime()
       val out = compute
       t.commit(out, updateTag)
       val committed = t.read()
       lineage(name, updateTag, committed)
+      System.err.println(f"[kg-timing] stage=$name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       committed
     }
   }
@@ -78,68 +94,108 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
 
   def run(pagesIn: Dataset[Page], dict: Seq[AliasRow], updateTag: Long,
           mergeGraph: Boolean = true): Result = {
-    val pagesDf = stage("pages", updateTag)(pagesIn.toDF())
+    // The pages table is the pipeline's INPUT — in production an
+    // immutable Iceberg table that already exists; it is never committed
+    // as a stage (a pipeline reads its input, it does not rewrite it).
+    // Resumability starts at the first derived stage: `pagesIn` must be
+    // deterministic or table-backed, and each stage below commits.
+    val pagesDf = pagesIn.toDF()
 
+    val extractWasDone = stageDone("extract", updateTag)
     val textsDf = stage("extract", updateTag) {
       Extract.pageText(pagesDf.as[Page]).toDF()
     }
+    // Input-cardinality lineage row, derived from the committed extract
+    // output (1 row per page) rather than by re-scanning the raw input.
+    if (!extractWasDone) lineage("pages", updateTag, textsDf)
 
     // mention/link detection on English pages only (lang filter is part
     // of the pipeline contract, FIXTURES.md §1)
     val en = textsDf.filter(col("lang") === "en").as[PageText]
 
-    val linksDf = stage("links", updateTag) {
-      val ments = Extract.mentions(spark, en, dict.map(_.alias))
-      Extract.links(spark, ments, dict).toDF()
+    // Fused single-pass extraction: one AC scan emits links AND raw
+    // triples (Extract.facts) — committed as one table, consumed as two
+    // filtered views. Lineage keeps the per-kind row counts.
+    val factsWasDone = stageDone("facts", updateTag)
+    val factsDf = stage("facts", updateTag) {
+      Extract.facts(spark, en, dict, Corpus.predicates).toDF()
     }
+    val linksDf = factsDf.filter(col("kind") === 0)
+      .select(col("url"), col("start"), col("end"), col("a").as("entity_id"))
+    if (!factsWasDone) lineage("links", updateTag, linksDf)
 
     val canonicalDf = stage("canonical", updateTag) {
-      val dictDs = dict.toDS()
-      val dupEdges = Blocking.duplicateEntityEdges(spark, dictDs)
-        .toDF("u", "v")
+      // Blocking + CC live in entity space (≪ corpus size). Below the
+      // local bound the candidate generation runs on the driver (same
+      // semantics, pinned by tests); above it the distributed
+      // Dataset/LSH path takes over.
+      val dupEdges =
+        if (dict.sizeIs <= 200000)
+          Blocking.duplicateEntityEdgesLocal(dict).map(p => (p.a, p.b))
+            .toDF("u", "v")
+        else
+          Blocking.duplicateEntityEdges(spark, dict.toDS()).toDF("u", "v")
       val allEntities = dict.map(_.entity_id).distinct.toDF("id")
       ConnectedComponents.run(spark, dupEdges, allEntities)
     }
 
     val triplesDf = stage("triples", updateTag) {
-      val raw = Extract.triples(spark, en, dict, Corpus.predicates)
+      val raw = factsDf.filter(col("kind") === 1)
+        .select(col("url"), col("a").as("subj"), col("pred"), col("obj"))
       // canonicalize subject and object (entity space is small relative
       // to the corpus -> broadcast both joins; no corpus-wide shuffle)
       val canonS = broadcast(canonicalDf
         .select(col("id").as("subj"), col("canonical_id").as("csubj")))
       val canonO = broadcast(canonicalDf
         .select(col("id").as("obj"), col("canonical_id").as("cobj")))
-      raw.toDF().join(canonS, Seq("subj")).join(canonO, Seq("obj"))
+      raw.join(canonS, Seq("subj")).join(canonO, Seq("obj"))
         .select(col("url"), col("csubj").as("subj"), col("pred"),
           col("cobj").as("obj"))
         .dropDuplicates()
     }
 
     if (mergeGraph && !stageDone("merge", updateTag)) {
-      mergeStage(pagesDf, linksDf, canonicalDf, triplesDf, updateTag)
+      val t0 = System.nanoTime()
+      mergeStage(textsDf, linksDf, canonicalDf, triplesDf, updateTag)
       stageTable("merge").commit(Seq((updateTag, "done")).toDF("tag", "state"), updateTag)
+      System.err.println(f"[kg-timing] stage=merge sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
+    flushLineage()
     Result(pagesDf, textsDf, linksDf, canonicalDf, triplesDf)
   }
 
   /** Stage 3: materialize Entity/Page nodes, MENTIONS edges and triple
     * edges through the upsert engine (firstseen/lastupdated semantics).
     */
-  private def mergeStage(pagesDf: DataFrame, linksDf: DataFrame,
-                         canonicalDf: DataFrame, triplesDf: DataFrame,
-                         updateTag: Long): Unit = {
-    // Page nodes
-    val pageBatch = pagesDf.select(col("url").as("id"), col("lang"))
-    GraphMerge.load(spark, pageBatch,
-      NodeSchema("Page", RowRef("id"), properties = Map("lang" -> RowRef("lang"))),
-      Map.empty, updateTag, nodes, edges)
+  private def subTimed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    System.err.println(f"[kg-timing] substage=$name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    a
+  }
 
-    // Entity nodes: canonical ids only
-    val entityBatch = canonicalDf.select(col("canonical_id").as("id")).distinct()
-    GraphMerge.load(spark, entityBatch,
+  /** `textsDf` (the committed extract output — one row per page with
+    * url + lang) supplies the Page-node batch: projecting the raw input
+    * would re-render/re-read every page's html for two columns.
+    */
+  private def mergeStage(textsDf: DataFrame, linksDf: DataFrame,
+                         canonicalDf: DataFrame, triplesDf: DataFrame,
+                         updateTag: Long): Unit = subTimed("merge.total") {
+    // Page + Entity nodes in ONE fused upsert + commit (two separate
+    // load() rounds would double the join/write jobs for no reason —
+    // neither schema declares relationships; those go through the edge
+    // batch below).
+    val pageRows = GraphMerge.toNodeRows(
+      textsDf.select(col("url").as("id"), col("lang")),
+      NodeSchema("Page", RowRef("id"), properties = Map("lang" -> RowRef("lang"))),
+      Map.empty, updateTag)
+    val entityRows = GraphMerge.toNodeRows(
+      canonicalDf.select(col("canonical_id").as("id")).distinct(),
       NodeSchema("Entity", RowRef("id")),
-      Map.empty, updateTag, nodes, edges)
+      Map.empty, updateTag)
+    subTimed("merge.nodes")(GraphMerge.upsertNodeBatch(spark,
+      pageRows.unionByName(entityRows), updateTag, nodes))
 
     // MENTIONS edges with per-pair mention counts: aggregate BEFORE the
     // edge upsert (partial aggregation defuses the Zipf head entity)
@@ -164,7 +220,8 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
         map(lit("n_sources"), col("n_sources").cast("string")).as("props"),
         lit(updateTag).as("firstseen"), lit(updateTag).as("lastupdated"))
 
-    GraphMerge.upsertEdgeBatch(spark,
-      mentionEdges.unionByName(tripleEdges), updateTag, edges)
+    subTimed("merge.edges")(GraphMerge.upsertEdgeBatch(spark,
+      mentionEdges.unionByName(tripleEdges), updateTag, edges,
+      collectStats = false))
   }
 }

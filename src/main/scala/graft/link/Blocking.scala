@@ -53,7 +53,19 @@ object Blocking {
     sig
   }
 
-  /** Candidate pairs from LSH banding: same band-hash in any band. */
+  /** LSH bucket-size cap: a band bucket holding more members than this
+    * is skipped. An oversized bucket means the band signature carries no
+    * discriminating information (here: every "entity k" alias min-hashes
+    * to the shared head token), and its O(n²) candidate pairs are noise
+    * that exact-Jaccard verification would reject anyway — at a quadratic
+    * price. The exact-alias and rare-token paths keep recall
+    * deterministic independent of this cap.
+    */
+  val MaxBucket = 100
+
+  /** Candidate pairs from LSH banding: same band-hash in any band,
+    * bucket size ≤ [[MaxBucket]].
+    */
   def lshCandidates(spark: SparkSession, dict: Dataset[AliasRow],
                     numHashes: Int = 16, bands: Int = 8): DataFrame = {
     import spark.implicits._
@@ -68,7 +80,11 @@ object Blocking {
       }: _*)).as("bk"))
       .select(col("alias"), col("entity_id"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-    pairUp(banded, Seq("band", "bh"))
+    val small = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= MaxBucket)
+      .select(col("band"), col("bh"))
+    pairUp(banded.join(small, Seq("band", "bh"), "left_semi"), Seq("band", "bh"))
   }
 
   /** Candidate pairs sharing a rare token (df ≤ maxDf). */
@@ -117,5 +133,44 @@ object Blocking {
       .filter { case (aliasA, _, aliasB, _) => jaccard(aliasA, aliasB) >= tau }
       .map { case (_, a, _, b) => EntityPair(a, b) }
       .distinct()
+  }
+
+  /** Same candidate-union + verify computation in plain Scala for a
+    * driver-resident dictionary — blocking runs in entity space, which
+    * is orders of magnitude smaller than the corpus, so small syncs skip
+    * ~10 tiny Spark jobs. Must stay semantically identical to
+    * [[duplicateEntityEdges]] (pinned by a test); the Dataset version
+    * remains the scale path for dictionaries too big for one heap.
+    */
+  def duplicateEntityEdgesLocal(dict: Seq[AliasRow], tau: Double = 0.55,
+                                numHashes: Int = 16, bands: Int = 8,
+                                maxDf: Int = 4): Seq[EntityPair] = {
+    val rows = dict.map(r => (r.alias, r.entity_id)).distinct
+    // exact: group by normalized surface form
+    val exact = rows.groupBy { case (a, _) => Extract.asciiLower(a) }
+      .valuesIterator.flatMap(g => for (x <- g; y <- g) yield (x, y))
+    // LSH: band-hash buckets (same murmur3 seeds as lshCandidates; the
+    // Spark side hashes the band's signature ints with Spark's hash(),
+    // but bucket EQUALITY is all that matters for candidacy, so any
+    // deterministic function of the same signature slice agrees)
+    val r = numHashes / bands
+    val sigs = rows.map { case (a, e) => (a, e, minhash(tokens(a), numHashes)) }
+    val lsh = (0 until bands).iterator.flatMap { b =>
+      sigs.groupBy { case (_, _, sig) => sig.slice(b * r, (b + 1) * r).toSeq }
+        .valuesIterator
+        .filter(_.sizeIs <= MaxBucket) // same cap as the Dataset path
+        .flatMap(g => for (x <- g; y <- g) yield ((x._1, x._2), (y._1, y._2)))
+    }
+    // rare tokens: document frequency over distinct (alias, entity) rows
+    val tokRows = rows.flatMap { case (a, e) => tokens(a).distinct.map(t => (t, a, e)) }
+    val dfs = tokRows.groupBy(_._1).view.mapValues(g => g.map(r0 => (r0._2, r0._3)).distinct.size)
+    val rare = tokRows.filter { case (t, _, _) => val d = dfs(t); d >= 2 && d <= maxDf }
+      .groupBy(_._1).valuesIterator
+      .flatMap(g => for (x <- g; y <- g) yield ((x._2, x._3), (y._2, y._3)))
+    (exact ++ lsh.map { case (x, y) => (x, y) } ++ rare)
+      .filter { case ((_, ea), (_, eb)) => ea < eb }
+      .filter { case ((aa, _), (ab, _)) => jaccard(aa, ab) >= tau }
+      .map { case ((_, ea), (_, eb)) => EntityPair(ea, eb) }
+      .toSeq.distinct
   }
 }

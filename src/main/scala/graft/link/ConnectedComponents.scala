@@ -22,8 +22,62 @@ object ConnectedComponents {
     * @param allNodes every node id, column (id) — singletons map to self
     * @return mapping (id, canonical_id)
     */
+  /** Edge-count bound under which the component computation runs as a
+    * driver-side union-find instead of the iterative DataFrame loop. The
+    * candidate-match edge set is orders of magnitude smaller than the
+    * corpus (it lives in entity space), so small syncs hit this path and
+    * skip ~30 tiny Spark jobs; the distributed loop below remains the
+    * scale path and is exercised by tests and by any run above the bound.
+    * allNodes stays distributed in BOTH paths — only edges are collected.
+    */
+  val DriverEdgeBound: Long = 2_000_000L
+
   def run(spark: SparkSession, edges: DataFrame, allNodes: DataFrame,
           maxIter: Int = 50): DataFrame = {
+    val eIn = edges.select(col("u"), col("v")).persist()
+    val nEdges = eIn.count()
+    try {
+      if (nEdges <= DriverEdgeBound) runDriver(spark, eIn, allNodes)
+      else runDistributed(spark, eIn, allNodes, maxIter)
+    } finally eIn.unpersist()
+  }
+
+  /** Union-find on the driver over the collected edge list; mapping is
+    * joined back (broadcast) so allNodes never leaves the cluster.
+    */
+  private def runDriver(spark: SparkSession, edges: DataFrame,
+                        allNodes: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.getString(0), row.getString(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // canonical = lexicographic minimum root, matching the
+        // distributed algorithm's min-id convention exactly
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val mapping = parent.keys.map(k => (k, find(k))).toSeq
+    import spark.implicits._
+    val mapDf = broadcast(mapping.toDF("id", "canonical_id"))
+    allNodes.select(col("id"))
+      .join(mapDf, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+  }
+
+  /** The large-star/small-star loop — the scale path (public so tests
+    * can pin it against the driver path regardless of input size).
+    */
+  def runDistributed(spark: SparkSession, edges: DataFrame,
+                     allNodes: DataFrame, maxIter: Int = 50): DataFrame = {
     var e = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))

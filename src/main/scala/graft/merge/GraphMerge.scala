@@ -132,20 +132,45 @@ object GraphMerge {
     * express the label.
     */
   def upsertEdgeBatch(spark: SparkSession, batch: DataFrame, updateTag: Long,
-                      edges: SnapshotTable): Long = {
+                      edges: SnapshotTable, collectStats: Boolean = true): Long = {
     val keys = Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id")
-    val fresh = batch.dropDuplicates(keys)
-    val touched = fresh.select(col("rel_label")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (touched.isEmpty) return 0L
-    val existing =
-      if (edges.exists) edges.read().filter(col("rel_label").isin(touched: _*))
-      else GraphTables.emptyEdges(spark)
-    val merged = upsert(existing, fresh, keys, updateTag)
-    val n = fresh.count()
-    if (edges.exists) edges.commitPartitions(merged, updateTag, touched)
-    else edges.commit(merged, updateTag)
-    n
+    val fresh = batch.dropDuplicates(keys).persist()
+    try {
+      val touched = fresh.select(col("rel_label")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) return 0L
+      val existing =
+        if (edges.exists) edges.read().filter(col("rel_label").isin(touched: _*))
+        else GraphTables.emptyEdges(spark)
+      val merged = upsert(existing, fresh, keys, updateTag)
+      val n = if (collectStats) fresh.count() else -1L
+      if (edges.exists) edges.commitPartitions(merged, updateTag, touched)
+      else edges.commit(merged, updateTag)
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** Upsert a precomputed batch of canonical node rows spanning one or
+    * more labels in a single merge + single commit — the fused fast path
+    * for pipelines loading several schemas per sync (each separate
+    * load() pays its own join + write round; a 100 TB sync with k node
+    * types does k× the jobs for no extra information).
+    */
+  def upsertNodeBatch(spark: SparkSession, batch: DataFrame, updateTag: Long,
+                      nodes: SnapshotTable): Long = {
+    val fresh = batch.dropDuplicates("label", "id").persist()
+    try {
+      val touched = fresh.select(col("label")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) return 0L
+      val existing =
+        if (nodes.exists) nodes.read().filter(col("label").isin(touched: _*))
+        else GraphTables.emptyNodes(spark)
+      val merged = upsert(existing, fresh, Seq("label", "id"), updateTag)
+      if (nodes.exists) nodes.commitPartitions(merged, updateTag, touched)
+      else nodes.commit(merged, updateTag)
+      -1L
+    } finally fresh.unpersist()
   }
 
   /** Full load: nodes + all relationship attachments, committed to the
@@ -153,7 +178,8 @@ object GraphMerge {
     */
   def load(spark: SparkSession, batch: DataFrame, schema: NodeSchema,
            kwargs: Map[String, String], updateTag: Long,
-           nodes: SnapshotTable, edges: SnapshotTable): LoadStats = {
+           nodes: SnapshotTable, edges: SnapshotTable,
+           collectStats: Boolean = true): LoadStats = {
     if (batch.isEmpty) return LoadStats(0, 0) // no-op on empty input (tx.py:253)
 
     val fresh = toNodeRows(batch, schema, kwargs, updateTag)
@@ -162,7 +188,7 @@ object GraphMerge {
       if (nodes.exists) nodes.read() else GraphTables.emptyNodes(spark)
     val existingPart = existingAll.filter(col("label") === schema.label)
     val mergedPart = upsert(existingPart, fresh, Seq("label", "id"), updateTag)
-    val nUpserted = fresh.count()
+    val nUpserted = if (collectStats) fresh.count() else -1L
     if (nodes.exists)
       nodes.commitPartitions(mergedPart, updateTag, Seq(schema.label))
     else
@@ -245,7 +271,7 @@ object GraphMerge {
         val existingTouched = existingE.filter(col("rel_label").isin(touched: _*))
         val mergedE = upsert(existingTouched, e,
           Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id"), updateTag)
-        val n = e.count()
+        val n = if (collectStats) e.count() else -1L
         if (edges.exists) edges.commitPartitions(mergedE, updateTag, touched)
         else edges.commit(mergedE, updateTag)
         n

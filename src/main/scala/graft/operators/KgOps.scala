@@ -98,6 +98,29 @@ object KgOps {
       .orderBy("src_id", "rel_label", "dst_id")
   }
 
+  /** Co-mention pairs: top-30 canonical entity pairs by number of pages
+    * mentioning both. The distinct (page, entity) projection happens
+    * BEFORE the per-page self-join — the aggregate-then-join shape that
+    * keeps the Zipf head entity from exploding the join (each page
+    * contributes O(k²) pairs for its k distinct entities, never
+    * mention-count²).
+    */
+  def qkg7Comention(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val canon = broadcast(res.canonical
+      .select(col("id").as("entity_id"), col("canonical_id")))
+    val pageEnt = res.links.join(canon, Seq("entity_id"))
+      .select(col("url"), col("canonical_id")).distinct()
+    val a = pageEnt.select(col("url"), col("canonical_id").as("entity_a"))
+    val b = pageEnt.select(col("url"), col("canonical_id").as("entity_b"))
+    a.join(b, Seq("url"))
+      .filter(col("entity_a") < col("entity_b"))
+      .groupBy(col("entity_a"), col("entity_b"))
+      .agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("n_pages").desc, col("entity_a"), col("entity_b"))
+      .limit(30)
+  }
+
   /** Oracle SQL fragments shared by the KG queries. */
   val predCase: String =
     "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"

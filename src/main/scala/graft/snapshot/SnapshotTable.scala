@@ -127,6 +127,43 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     rel
   }
 
+  /** Decode Spark/Hive percent-escaped partition directory names. */
+  private def unescapePart(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Write every `values` partition of `df` in ONE Spark job via
+    * partitionBy — a commit touching k partitions would otherwise run k
+    * write jobs, each recomputing or rescanning the plan. Returns
+    * partition value → data dir for the manifest; values that produced
+    * no rows are absent (an empty partition and a missing one read the
+    * same).
+    */
+  private def writeDataPartitioned(df: DataFrame, v: Long, c: String,
+                                   values: Seq[String]): Map[String, String] = {
+    val base = s"data/v$v"
+    df.withColumn(c, col(c).cast("string"))
+      .filter(col(c).isin(values: _*))
+      .write.mode("overwrite").partitionBy(c).parquet(s"$root/$base")
+    val dir = Paths.get(root, "data", s"v$v")
+    if (!Files.isDirectory(dir)) return Map.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(s"$c="))
+      .map(d => unescapePart(d.stripPrefix(s"$c=")) -> s"$base/$d")
+      .toMap
+  }
+
   /** Full-table commit: every partition present in `df` is rewritten;
     * partitions absent from `df` are dropped.
     */
@@ -134,10 +171,15 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     val v = latestVersion.getOrElse(0L) + 1
     val parts: Map[String, String] = partitionCol match {
       case Some(c) =>
-        val values = df.select(col(c).cast("string")).distinct()
-          .collect().map(_.getString(0)).sorted
-        values.map(value =>
-          value -> writeData(df.filter(col(c).cast("string") === value), v, value)).toMap
+        // One partitionBy job writes every partition; a distinct-values
+        // pre-pass + one write per value would run the upstream plan
+        // k+1 times.
+        df.persist()
+        try {
+          val values = df.select(col(c).cast("string")).distinct()
+            .collect().map(_.getString(0)).sorted
+          writeDataPartitioned(df, v, c, values)
+        } finally df.unpersist()
       case None =>
         Map("all" -> writeData(df, v, "all"))
     }
@@ -155,8 +197,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
       sys.error("commitPartitions requires a partition column"))
     val v = latestVersion.getOrElse(0L) + 1
     val carried = latestVersion.map(partitionsOf).getOrElse(Map.empty) -- touched
-    val fresh = touched.map(value =>
-      value -> writeData(df.filter(col(c).cast("string") === value), v, value)).toMap
+    val fresh = writeDataPartitioned(df, v, c, touched)
     writeManifest(v, updateTag, carried ++ fresh)
     v
   }

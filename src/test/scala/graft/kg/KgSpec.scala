@@ -47,6 +47,26 @@ class KgSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("local (driver) blocking path agrees with the distributed Dataset path") {
+    val dict = Corpus.aliasDict(spark).as[AliasRow]
+    val dist = Blocking.duplicateEntityEdges(spark, dict)
+      .collect().map(p => (p.a, p.b)).toSet
+    val local = Blocking.duplicateEntityEdgesLocal(Corpus.aliasRows)
+      .map(p => (p.a, p.b)).toSet
+    assert(local === dist)
+  }
+
+  test("distributed large-star/small-star CC agrees with the driver union-find path") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("x", "z"), ("y", "z"))
+      .toDF("u", "v")
+    val nodes = Seq("a", "b", "c", "d", "x", "y", "z", "lone").toDF("id")
+    val viaLoop = ConnectedComponents.runDistributed(spark, edges, nodes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaDriver = ConnectedComponents.run(spark, edges, nodes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaLoop === viaDriver)
+  }
+
   test("LSH banding alone finds most near-dup pairs (it's a candidate path, not the recall guarantee)") {
     val dict = Corpus.aliasDict(spark).as[AliasRow]
     val lsh = Blocking.lshCandidates(spark, dict)
@@ -84,6 +104,24 @@ class KgSpec extends SparkSpecBase {
     }
   }
 
+  test("fused single-pass facts == unfused mentions+links and triples paths") {
+    val texts = Extract.pageText(Corpus.pages(spark, sf1))
+      .filter(_.lang == "en")
+    val dict = Corpus.aliasRows
+    val fused = Extract.facts(spark, texts, dict, Corpus.predicates).collect()
+    val fusedLinks = fused.filter(_.kind == 0)
+      .map(f => (f.url, f.start, f.end, f.a)).toSet
+    val fusedTriples = fused.filter(_.kind == 1)
+      .map(f => (f.url, f.a, f.pred, f.obj)).toSet
+    val ments = Extract.mentions(spark, texts, dict.map(_.alias))
+    val links = Extract.links(spark, ments, dict).collect()
+      .map(l => (l.url, l.start, l.end, l.entity_id)).toSet
+    val triples = Extract.triples(spark, texts, dict, Corpus.predicates)
+      .collect().map(t => (t.url, t.subj, t.pred, t.obj)).toSet
+    assert(fusedLinks === links)
+    assert(fusedTriples === triples)
+  }
+
   // ---- Mentions / triples vs planted oracle -------------------------------
 
   private def expectedTriples(): Set[(String, String, String, String)] = {
@@ -117,16 +155,16 @@ class KgSpec extends SparkSpecBase {
     val pipe = new KgPipeline(spark, work)
     val pages = Corpus.pages(spark, sf1)
     pipe.run(pages, Corpus.aliasRows, 100L, mergeGraph = false)
-    val vBefore = graft.snapshot.SnapshotTable(spark, s"$work/stage_links", None).latestVersion
+    val vBefore = graft.snapshot.SnapshotTable(spark, s"$work/stage_facts", None).latestVersion
     // simulate restart: new pipeline object, same work dir + tag
     val pipe2 = new KgPipeline(spark, work)
-    assert(pipe2.stageDone("links", 100L))
+    assert(pipe2.stageDone("facts", 100L))
     val res2 = pipe2.run(pages, Corpus.aliasRows, 100L, mergeGraph = false)
-    val vAfter = graft.snapshot.SnapshotTable(spark, s"$work/stage_links", None).latestVersion
+    val vAfter = graft.snapshot.SnapshotTable(spark, s"$work/stage_facts", None).latestVersion
     assert(vBefore === vAfter, "stage must not be recommitted on resume")
     assert(res2.triples.count() > 0)
     // a NEW tag recomputes
-    assert(!pipe2.stageDone("links", 200L))
+    assert(!pipe2.stageDone("facts", 200L))
   }
 
   test("graph merge stage materializes Entity/Page nodes and MENTIONS/predicate edges") {
