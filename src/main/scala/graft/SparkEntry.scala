@@ -40,6 +40,8 @@ object SparkEntry {
     "q20_exposure_propagation" -> (Analysis.q20Exposure _),
     "q21_lineage" -> (Analysis.q21Lineage _),
     "q22_suffix_subzones" -> (Analysis.q22Subzones _),
+    "q23_array_any" -> (Analysis.q23ArrayAny _),
+    "q24_incremental_sync" -> (GraphOps.q24IncrementalSync _),
     "qkg1_extract_invariant" -> (KgOps.qkg1Invariant _),
     "qkg2_mentions" -> (KgOps.qkg2Mentions _),
     "qkg3_triples" -> (KgOps.qkg3Triples _),
@@ -264,6 +266,24 @@ object SparkEntry {
          | COUNT(DISTINCT i) AS n_sources,
          | CAST(100 AS BIGINT) AS firstseen, CAST(100 AS BIGINT) AS lastupdated
          |FROM cz GROUP BY 1, 2, 3 ORDER BY src_id, rel_label, dst_id""".stripMargin,
+    "q23_array_any" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM (
+        | SELECT o_custkey,
+        |  MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS has_u,
+        |  MAX(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS has_l
+        | FROM orders GROUP BY o_custkey) t
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE has_u = 1 AND has_l = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q24_incremental_sync" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM documents),
+        |ids AS (SELECT doc_id AS i FROM documents)
+        |SELECT 'https://host' || CAST(i % 50 AS VARCHAR) || '.example/p/' || CAST(i AS VARCHAR) AS id,
+        | CAST(CASE WHEN i < (SELECT n*6//10 FROM c) THEN 100 ELSE 200 END AS BIGINT) AS firstseen,
+        | CAST(CASE WHEN i >= (SELECT n*4//10 FROM c) THEN 200 ELSE 100 END AS BIGINT) AS lastupdated
+        |FROM ids
+        |WHERE i < (SELECT n*6//10 FROM c) OR i >= (SELECT n*4//10 FROM c)
+        |ORDER BY id""".stripMargin,
     "qkg7_comention" ->
       s"""${KgOps.mentionCte},
          |pe AS (SELECT DISTINCT i, ck FROM c)

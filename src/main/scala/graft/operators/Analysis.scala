@@ -200,6 +200,27 @@ object Analysis {
       .orderBy(col("stage"))
   }
 
+  // ---- array-ANY predicate ------------------------------------------------
+
+  /** q23: list-property predicates via higher-order functions — the
+    * `any(x IN stmt.action WHERE ...)` shape on stored list properties
+    * (cartography/client/aws/iam.py:28-36; exposed_internet_type list
+    * membership). Customers are reduced to their order-priority SET,
+    * then filtered with exists / negated-exists on the array.
+    */
+  def q23ArrayAny(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = table(spark, sfDir, "orders")
+    val cust = table(spark, sfDir, "customer")
+    val withArr = ord.groupBy(col("o_custkey"))
+      .agg(collect_set(col("o_orderpriority")).as("priorities"))
+      .filter(exists(col("priorities"), p => p === "1-URGENT") &&
+        !exists(col("priorities"), p => p === "5-LOW"))
+    withArr.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ---- suffix (subzone) join ----------------------------------------------
 
   /** Subzone containment: child zone ENDS WITH '.' + parent zone

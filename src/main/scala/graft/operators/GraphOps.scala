@@ -91,6 +91,37 @@ object GraphOps {
       .orderBy(col("id"))
   }
 
+  /** Incremental windowed sync — the CVE-feed shape (windowed fetch +
+    * last-modified incremental, cartography/intel/cve/feed.py:98-173)
+    * over `warc_ts`: sync T1 covers the first 60% of the time range,
+    * sync T2 the last 60% (20% overlap). Rows seen in both windows must
+    * keep firstseen = 100 with lastupdated advanced to 200; the
+    * freshness tags are exactly the reference's update_tag semantics.
+    */
+  def q24IncrementalSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.kg.Corpus
+    val root = tempRoot()
+    val nodes = SnapshotTable(spark, s"$root/nodes", Some("label"))
+    val edges = SnapshotTable(spark, s"$root/edges", Some("rel_label"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("i"))
+    val n = docs.count()
+    val aEnd = Corpus.tsOf(n * 6 / 10)   // exclusive upper bound of window A
+    val bStart = Corpus.tsOf(n * 4 / 10) // inclusive lower bound of window B
+    val pages = docs.select(
+      concat(lit("https://host"), col("i") % 50, lit(".example/p/"), col("i")).as("pid"),
+      (lit(Corpus.tsOf(0).getTime / 1000).cast("long") + col("i") * 60).cast("timestamp").as("warc_ts"))
+    val schema = NodeSchema("Page", RowRef("pid"))
+    // warc_ts range predicates prune at the scan (PushedFilters)
+    GraphMerge.load(spark, pages.filter(col("warc_ts") < lit(aEnd)),
+      schema, Map.empty, 100L, nodes, edges, collectStats = false)
+    GraphMerge.load(spark, pages.filter(col("warc_ts") >= lit(bStart)),
+      schema, Map.empty, 200L, nodes, edges, collectStats = false)
+    nodes.read().filter(col("label") === "Page")
+      .select(col("id"), col("firstseen"), col("lastupdated"))
+      .orderBy(col("id"))
+  }
+
   /** Drift detection (driftdetect/detect_deviations.py:66-112): diff two
     * snapshot versions in both directions via anti-joins.
     */
