@@ -8,7 +8,7 @@ import graft.kg.{Corpus, KgPipeline}
   *
   * Two measurements in one run:
   *  1. headline operator queries on SPARK_GRAFT_SF_DIR at local[N]
-  *     (N = SPARK_GRAFT_CPUS, default 32) — seconds each;
+  *     (N = SPARK_GRAFT_CPUS, default 16) — seconds each;
   *  2. the north-star KG pipeline (extract → fused mention/triple facts
   *     → canonical → triples → graph merge) end-to-end at TWO
   *     parallelism levels (default local[2] vs local[8] — a true 4×) on
@@ -70,7 +70,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // 16, not 32: saturating this VM's overcommitted vCPUs measures
+    // hypervisor throttling, not the engine (BASELINE.md notes).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     // 20 replicas over sf0.1 ≈ 100k pages with Common-Crawl-like
     // boilerplate weight (`noise` filler words per page): the regime
     // where page-proportional Stage-1 work dominates the fixed

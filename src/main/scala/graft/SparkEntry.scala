@@ -49,6 +49,7 @@ object SparkEntry {
     "qkg5_mention_degree" -> (KgOps.qkg5Degree _),
     "qkg6_graph_edges" -> (KgOps.qkg6GraphEdges _),
     "qkg7_comention" -> (KgOps.qkg7Comention _),
+    "qkg8_salted_degree" -> (KgOps.qkg8SaltedDegree _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
     "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
@@ -292,6 +293,11 @@ object SparkEntry {
          | COUNT(*) AS n_pages
          |FROM pe a JOIN pe b ON a.i = b.i AND a.ck < b.ck
          |GROUP BY 1, 2 ORDER BY n_pages DESC, entity_a, entity_b LIMIT 30""".stripMargin,
+    "qkg8_salted_degree" ->
+      s"""${KgOps.mentionCte}
+         |SELECT 'e' || lpad(CAST(ck AS VARCHAR), 4, '0') AS entity_id,
+         | COUNT(*) AS n_mentions
+         |FROM c GROUP BY 1 ORDER BY n_mentions DESC, entity_id LIMIT 30""".stripMargin,
     // Dedup oracles rebuild the copy corpus and recompute pair ground
     // truth relationally (integer Jaccard threshold — no floating point).
     "qdd1_exact_dedup" ->

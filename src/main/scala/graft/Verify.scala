@@ -6,7 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // 16, not 32: this VM's 32 vCPUs are overcommitted and saturating
+    // them triggers hypervisor throttling convoys (see BASELINE.md
+    // measurement notes) — 16 is the measured wall-clock sweet spot.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = core.Graft.session(s"local[$cpus]", cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -121,6 +121,26 @@ object KgOps {
       .limit(30)
   }
 
+  /** Mention degree via the SALTED join path: same answer as qkg5, but
+    * the entity-canonicalization join runs as a salted repartition join
+    * (Skew.saltedJoin, salt = hash(url)) instead of a broadcast — the
+    * shape used when the dictionary outgrows the broadcast threshold and
+    * the Zipf head entity (e0000, on ~30% of pages) would otherwise pin
+    * one reducer. Oracle identical to qkg5's.
+    */
+  def qkg8SaltedDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val canon = res.canonical
+      .select(col("id").as("entity_id"), col("canonical_id"))
+    val linked = Skew.saltedJoin(
+      res.links.toDF(), canon, "entity_id", hash(col("url")), salts = 16)
+    linked.dropDuplicates("url", "start", "end", "canonical_id")
+      .groupBy(col("canonical_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_mentions"))
+      .orderBy(col("n_mentions").desc, col("entity_id"))
+      .limit(30)
+  }
+
   /** Oracle SQL fragments shared by the KG queries. */
   val predCase: String =
     "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"

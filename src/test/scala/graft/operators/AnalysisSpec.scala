@@ -39,6 +39,24 @@ class AnalysisSpec extends SparkSpecBase {
     assert(got === Map("example" -> 2L, "a.example" -> 1L))
   }
 
+  test("salted join equals the plain join and spreads the head key across salts") {
+    import org.apache.spark.sql.functions._
+    // Zipf head: key "hot" on 90% of rows
+    val skewed = (0 until 1000)
+      .map(i => (if (i % 10 == 0) "cold" else "hot", i))
+      .toDF("k", "payload")
+    val dim = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "v")
+    val plain = skewed.join(dim, "k")
+    val salted = Skew.saltedJoin(skewed, dim, "k", hash(col("payload")), 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted).count() === 0L)
+    // the head key's rows really do receive multiple distinct salts
+    val saltsUsed = skewed.withColumn("_salt", pmod(hash(col("payload")), lit(8)))
+      .filter(col("k") === "hot").select("_salt").distinct().count()
+    assert(saltsUsed === 8L)
+  }
+
   test("exposure propagation emits only sorted deduplicated tag sets") {
     val rows = Analysis.q20Exposure(spark, sf1).collect()
     rows.foreach { r =>
