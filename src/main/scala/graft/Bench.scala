@@ -111,7 +111,13 @@ object Bench {
       if (runsBig.isEmpty || runsSmall.isEmpty) 0.0
       else (runsSmall.map(_._3).min / runsBig.map(_._3).min) / (bigCores.toDouble / smallCores)
     var pass = 0
-    while (pass < 2 || (pass < 4 && minEff() < 0.8)) {
+    val loopStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - loopStart) / 1e9
+    // ≥1 pass per leg always; extra passes only while the measurement
+    // still looks contention-poisoned AND the wall-clock budget holds
+    // (a single poisoned run can take 5-10×, so unbounded retries could
+    // blow any driver timeout).
+    while (pass < 1 || (pass < 4 && minEff() < 0.8 && elapsedSec < 900)) {
       pass += 1
       spark = core.Graft.session(s"local[$bigCores]", bigCores, s"graft-bench-$bigCores-$pass")
       if (pass == 1) kgRun(spark, "/root/testdata/sf0.001", 1, 0) // JIT warmup
