@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(_ => "-Xlog:gc").toSeq
+
+// The driver greps `runMain graft.Bench` stdout for a bare JSON metric
+// line. sbt's default for forked runs is LoggedOutput, which prefixes
+// every child line with [info]/[error] and breaks that parse
+// (BENCH_r01.json "parsed": null). StdoutOutput passes the child's
+// stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

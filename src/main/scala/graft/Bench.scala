@@ -1,10 +1,10 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.kg.{Corpus, KgPipeline}
 
-/** Benchmark main (driver contract): one JSON line on stdout.
+/** Benchmark main (driver contract): one JSON metric line on stdout.
   *
   * Two measurements in one run:
   *  1. headline operator queries on SPARK_GRAFT_SF_DIR at local[N]
@@ -17,6 +17,27 @@ import graft.kg.{Corpus, KgPipeline}
   *     cluster available here). Reported: pages/sec and triples/sec at
   *     both levels, raw per-run times, and efficiency =
   *     (throughput_big / throughput_small) / (big/small).
+  *
+  * Output contract (round-1 failure was here — BENCH_r01.json
+  * "parsed": null):
+  *  - build.sbt forks `run` with StdoutOutput so the metric line reaches
+  *    the driver bare, not wrapped in sbt's "[info] " prefix;
+  *  - a fallback metric line is printed as soon as the FIRST big+small
+  *    pass pair completes, so a later crash/timeout still leaves a
+  *    parseable record; the final line (superseding it) prints last;
+  *  - the final JSON is also written to BENCH_LOCAL.json as a sidecar.
+  *
+  * Measurement discipline (round-1 driver run was contention-poisoned —
+  * extract measured 2.3 s, then 785 s, then 2290 s for the same work):
+  *  - a probe run first detects a heavily contended host and shrinks the
+  *    corpus once, for ALL passes, so every pass stays comparable;
+  *  - the pass count is FIXED (default 3, wall-budget bounded) — the
+  *    stopping rule is independent of the 0.8 efficiency gate, so there
+  *    is no retry-until-pass selection bias;
+  *  - per leg the MIN time over passes is reported (min is the right
+  *    estimator under one-sided contention noise) plus every raw time;
+  *  - stale bench work dirs are cleaned up before measuring (leftover
+  *    GBs destabilize this VM's disk cache).
   *
   * The pipeline is write-heavy by design (every stage commits a
   * snapshot); throughput includes those commits — it is end-to-end, not
@@ -68,6 +89,21 @@ object Bench {
     f.delete(): Unit
   }
 
+  /** Remove kgbench/kgprof work dirs left behind by killed earlier runs. */
+  private def cleanStaleWorkDirs(): Unit = {
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))
+    if (!Files.isDirectory(tmp)) return
+    val it = Files.list(tmp).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("kgbench") || n.startsWith("kgprof"))
+        try deleteRecursively(p.toFile) catch { case _: Exception => () }
+    }
+  }
+
+  private final case class Pass(big: (Long, Long, Double), small: (Long, Long, Double))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 16, not 32: saturating this VM's overcommitted vCPUs measures
@@ -77,17 +113,24 @@ object Bench {
     // boilerplate weight (`noise` filler words per page): the regime
     // where page-proportional Stage-1 work dominates the fixed
     // entity-space work, as on a real crawl.
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_KG_REPLICAS", "20").toInt
+    val replicas0 = sys.env.getOrElse("SPARK_GRAFT_KG_REPLICAS", "20").toInt
     val noise = sys.env.getOrElse("SPARK_GRAFT_KG_NOISE", "5000").toInt
     // Scaling legs run at 2 and 8 cores (the north rule's "N and 4N").
     // NOT 8/32: this VM's 32 vCPUs are overcommitted (nonzero steal time
     // at idle; saturating all cores triggers hypervisor throttling
-    // convoys where every task stalls in lockstep for ~28 s, and
-    // sustained load above ~8 threads delivers well under one core per
-    // thread), so the legs stay low enough to measure the engine, not
-    // the hypervisor.
+    // convoys where every task stalls in lockstep for ~28 s), so the
+    // legs stay low enough to measure the engine, not the hypervisor.
     val smallCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "2").toInt
     val bigCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_BIG", "8").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toDouble
+    // Probe throughput below this (pages/s at bigCores on a 10k-page
+    // corpus; nominal on an idle host is >2000) means the host is in a
+    // sustained contention window — shrink the corpus ONCE for all
+    // passes so the run finishes inside the driver's budget.
+    val contentionFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "400").toDouble
+
+    cleanStaleWorkDirs()
 
     // ---- headline queries at local[cpus] -----------------------------------
     var spark = core.Graft.session(s"local[$cpus]", cpus, "graft-bench")
@@ -98,50 +141,58 @@ object Bench {
     }
     spark.stop()
 
-    // ---- KG pipeline at two parallelism levels, best-of-N per leg ----------
-    // This shared VM shows transient multi-x contention windows (a
-    // no-change stage has measured 12 s and 98 s back-to-back), so each
-    // leg takes the MIN over alternating passes — min is the right
-    // estimator when noise is one-sided slowdown. Passes continue until
-    // the min-based efficiency stops looking contention-poisoned, capped
-    // at 4; every raw time is reported.
-    val runsBig = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    val runsSmall = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    def minEff(): Double =
-      if (runsBig.isEmpty || runsSmall.isEmpty) 0.0
-      else (runsSmall.map(_._3).min / runsBig.map(_._3).min) / (bigCores.toDouble / smallCores)
-    var pass = 0
+    // ---- probe: JIT warmup + contention detection ---------------------------
+    spark = core.Graft.session(s"local[$bigCores]", bigCores, "graft-bench-probe")
+    kgRun(spark, "/root/testdata/sf0.001", 1, 0) // pure JIT warmup
+    val (probePages, _, probeSec) = kgRun(spark, sfDir, 2, noise)
+    spark.stop()
+    val probeThru = probePages / probeSec
+    val replicas =
+      if (probeThru < contentionFloor) math.max(replicas0 / 4, 2) else replicas0
+    System.err.println(
+      f"[bench] probe: $probePages pages in $probeSec%.1f s (${probeThru}%.0f pages/s) -> replicas=$replicas")
+
+    // ---- KG pipeline at two parallelism levels, fixed passes ----------------
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
     val loopStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - loopStart) / 1e9
-    // ≥1 pass per leg always; extra passes only while the measurement
-    // still looks contention-poisoned AND the wall-clock budget holds
-    // (a single poisoned run can take 5-10×, so unbounded retries could
-    // blow any driver timeout).
-    while (pass < 1 || (pass < 4 && minEff() < 0.8 && elapsedSec < 900)) {
-      pass += 1
-      spark = core.Graft.session(s"local[$bigCores]", bigCores, s"graft-bench-$bigCores-$pass")
-      if (pass == 1) kgRun(spark, "/root/testdata/sf0.001", 1, 0) // JIT warmup
-      runsBig += kgRun(spark, sfDir, replicas, noise)
-      spark.stop()
-      spark = core.Graft.session(s"local[$smallCores]", smallCores, s"graft-bench-$smallCores-$pass")
-      runsSmall += kgRun(spark, sfDir, replicas, noise)
-      spark.stop()
+
+    def metricLine(note: String): String = {
+      val runsBig = passes.map(_.big)
+      val runsSmall = passes.map(_.small)
+      val (pagesN, triplesN, _) = runsBig.head
+      val secBig = runsBig.map(_._3).min
+      val secSmall = runsSmall.map(_._3).min
+      val thruBig = pagesN / secBig
+      val thruSmall = pagesN / secSmall
+      val eff = (thruBig / thruSmall) / (bigCores.toDouble / smallCores)
+      val total = qtimes.map(_._2).sum + secBig
+      val qs = (qtimes ++ Seq(
+        "kg_pipeline" -> secBig, s"kg_pipeline_${smallCores}core" -> secSmall))
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val rawBig = runsBig.map(r => f"${r._3}%.1f").mkString("[", ",", "]")
+      val rawSmall = runsSmall.map(r => f"${r._3}%.1f").mkString("[", ",", "]")
+      f"""{"metric":"headline+kg_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pages":$pagesN,"kg_triples":$triplesN,"kg_noise_words":$noise,"kg_pages_per_sec":$thruBig%.1f,"kg_triples_per_sec":${triplesN / secBig}%.1f,"kg_pages_per_sec_small":$thruSmall%.1f,"kg_runs_sec":{"c$bigCores":$rawBig,"c$smallCores":$rawSmall},"scaling_cores":[$smallCores,$bigCores],"scaling_efficiency":$eff%.3f,"probe_pages_per_sec":$probeThru%.1f,"passes":${passes.size},"note":"$note"}"""
     }
 
-    val (pagesN, triplesN, _) = runsBig.head
-    val secBig = runsBig.map(_._3).min
-    val secSmall = runsSmall.map(_._3).min
-    val thruBig = pagesN / secBig
-    val thruSmall = pagesN / secSmall
-    val eff = (thruBig / thruSmall) / (bigCores.toDouble / smallCores)
+    var pass = 0
+    while (pass < maxPasses && (pass == 0 || elapsedSec < wallBudgetSec)) {
+      pass += 1
+      spark = core.Graft.session(s"local[$bigCores]", bigCores, s"graft-bench-$bigCores-$pass")
+      val big = kgRun(spark, sfDir, replicas, noise)
+      spark.stop()
+      spark = core.Graft.session(s"local[$smallCores]", smallCores, s"graft-bench-$smallCores-$pass")
+      val small = kgRun(spark, sfDir, replicas, noise)
+      spark.stop()
+      passes += Pass(big, small)
+      // Fallback record: if a later pass crashes or the driver kills the
+      // run, this line (already in the right format) is still parseable.
+      if (pass == 1 && maxPasses > 1) println(metricLine("fallback_after_pass1"))
+    }
 
-    val total = qtimes.map(_._2).sum + secBig
-    val qs = (qtimes ++ Seq(
-      "kg_pipeline" -> secBig, s"kg_pipeline_${smallCores}core" -> secSmall))
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val rawBig = runsBig.map(r => f"${r._3}%.1f").mkString("[", ",", "]")
-    val rawSmall = runsSmall.map(r => f"${r._3}%.1f").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"headline+kg_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pages":$pagesN,"kg_triples":$triplesN,"kg_noise_words":$noise,"kg_pages_per_sec":$thruBig%.1f,"kg_triples_per_sec":${triplesN / secBig}%.1f,"kg_pages_per_sec_small":$thruSmall%.1f,"kg_runs_sec":{"c$bigCores":$rawBig,"c$smallCores":$rawSmall},"scaling_cores":[$smallCores,$bigCores],"scaling_efficiency":$eff%.3f}""")
+    val finalLine = metricLine("final")
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), finalLine + "\n")
+    catch { case _: Exception => () }
+    println(finalLine)
   }
 }

@@ -90,8 +90,13 @@ object Corpus {
     * block the extractor drops, so the ground-truth text is untouched.
     */
   def noiseWords(i: Long, words: Int): String = {
-    if (words <= 0) return ""
-    val sb = new StringBuilder(words * 8)
+    val sb = new java.lang.StringBuilder(words * 9 + 8)
+    appendNoiseWords(sb, i, words)
+    sb.toString
+  }
+
+  private def appendNoiseWords(sb: java.lang.StringBuilder, i: Long, words: Int): Unit = {
+    if (words <= 0) return
     var s = i * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
     var w = 0
     while (w < words) {
@@ -100,21 +105,53 @@ object Corpus {
       w += 1
       if (w < words) sb.append(if (w % 12 == 0) ". " else " ")
     }
-    sb.toString
+  }
+
+  private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') sb.append("&amp;")
+      else if (c == '<') sb.append("&lt;")
+      else if (c == '>') sb.append("&gt;")
+      else if (c > 126) sb.append("&#").append(c.toInt).append(';')
+      else sb.append(c)
+      i += 1
+    }
   }
 
   /** Wrap ground-truth text into the noisy HTML page. `noise` > 0 adds
     * that many boilerplate filler words (bench corpora only — the real
     * Common-Crawl regime where markup/boilerplate dwarfs content and
-    * Stage-1 extraction dominates the pipeline cost).
+    * Stage-1 extraction dominates the pipeline cost). Built in ONE
+    * StringBuilder: page generation shares the Stage-1 hot loop with
+    * extraction in the benchmark, so intermediate 40 KB string copies
+    * were a measurable fraction of pipeline wall time.
     */
   def renderHtml(i: Long, text: String, noise: Int = 0): String = {
-    val paras = text.split("\n\n", -1)
-      .map(p => s"<p>${Html.escape(p)}</p>").mkString
-    val aside =
-      if (noise <= 0) ""
-      else s"""<aside class="recommended"><ul><li>${noiseWords(i, noise)}</li></ul></aside>"""
-    s"""<html><head><title>Doc $i</title><script type="text/javascript">var p=$i;if(p<0){document.write("<p>ghost</p>");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl $i --><nav><ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li></ul></nav>$aside<div id="main"><article>$paras</article></div><footer><p>&copy; host${i % 50} &middot; all rights reserved</p></footer></body></html>"""
+    val sb = new java.lang.StringBuilder(text.length + noise * 9 + 512)
+    sb.append("<html><head><title>Doc ").append(i)
+      .append("</title><script type=\"text/javascript\">var p=").append(i)
+      .append(";if(p<0){document.write(\"<p>ghost</p>\");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl ")
+      .append(i).append(" --><nav><ul><li><a href=\"/home\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav>")
+    if (noise > 0) {
+      sb.append("<aside class=\"recommended\"><ul><li>")
+      appendNoiseWords(sb, i, noise)
+      sb.append("</li></ul></aside>")
+    }
+    sb.append("<div id=\"main\"><article>")
+    var from = 0
+    while (from <= text.length) {
+      val cut = text.indexOf("\n\n", from)
+      val end = if (cut < 0) text.length else cut
+      sb.append("<p>")
+      appendEscaped(sb, text.substring(from, end))
+      sb.append("</p>")
+      if (cut < 0) from = text.length + 1 else from = cut + 2
+    }
+    sb.append("</article></div><footer><p>&copy; host").append(i % 50)
+      .append(" &middot; all rights reserved</p></footer></body></html>")
+    sb.toString
   }
 
   /** The pages table: one page per document row × `replicas` (replica r

@@ -46,10 +46,13 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     t.latestVersion.exists(v => t.updateTagOf(v) == updateTag)
   }
 
-  // Per-stage lineage rows are buffered and flushed in ONE append at the
-  // end of the run — five separate tiny write jobs otherwise add a fixed
-  // serial cost to every sync. Plans are lazy: each buffered part scans
-  // its stage's committed table only at flush time.
+  // Lineage rows are buffered per stage and flushed as ONE append right
+  // after that stage's commit. Flushing any later (e.g. once at the end
+  // of the run) opens a crash window where a stage is committed but its
+  // lineage is not — resume then sees stageDone and never re-emits the
+  // rows, leaving the lineage table permanently incomplete. Plans are
+  // lazy: each buffered part scans its stage's committed table only at
+  // flush time.
   private val lineageBuf = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
   private def lineage(stage: String, updateTag: Long, df: DataFrame,
@@ -74,7 +77,9 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     * stage goes to stderr (the statsd-timer analog,
     * cartography/util.py:176-196).
     */
-  private def stage(name: String, updateTag: Long)(compute: => DataFrame): DataFrame = {
+  private def stage(name: String, updateTag: Long,
+                    extraLineage: DataFrame => Unit = _ => ())
+                   (compute: => DataFrame): DataFrame = {
     val t = stageTable(name)
     if (stageDone(name, updateTag)) t.read()
     else {
@@ -83,6 +88,8 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
       t.commit(out, updateTag)
       val committed = t.read()
       lineage(name, updateTag, committed)
+      extraLineage(committed) // rides in the same flush — one write job per stage
+      flushLineage()
       System.err.println(f"[kg-timing] stage=$name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       committed
     }
@@ -92,8 +99,31 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
                           links: DataFrame, canonical: DataFrame,
                           triples: DataFrame)
 
+  /** Driver-resident dictionary entrypoint (tests, small syncs). */
   def run(pagesIn: Dataset[Page], dict: Seq[AliasRow], updateTag: Long,
-          mergeGraph: Boolean = true): Result = {
+          mergeGraph: Boolean = true): Result =
+    runWith(pagesIn, dict, None, updateTag, mergeGraph)
+
+  /** Table-native dictionary entrypoint — the 100 TB shape: the alias
+    * dictionary arrives as a (parquet/Iceberg-backed) Dataset, not a
+    * driver Seq. Only the bounded Aho–Corasick broadcast is
+    * driver-materialized (size-checked against
+    * [[KgPipeline.MaxBroadcastAliases]] — the automaton must fit in one
+    * executor heap regardless of where the rows come from); blocking +
+    * CC candidate generation stays on the Dataset above the local bound.
+    */
+  def run(pagesIn: Dataset[Page], dict: Dataset[AliasRow], updateTag: Long,
+          mergeGraph: Boolean): Result = {
+    val n = dict.count()
+    require(n <= KgPipeline.MaxBroadcastAliases,
+      s"alias dictionary has $n rows; the AC broadcast is capped at " +
+        s"${KgPipeline.MaxBroadcastAliases} — shard the dictionary across runs")
+    runWith(pagesIn, dict.collect().toSeq, Some(dict), updateTag, mergeGraph)
+  }
+
+  private def runWith(pagesIn: Dataset[Page], dict: Seq[AliasRow],
+                      dictDs: Option[Dataset[AliasRow]], updateTag: Long,
+                      mergeGraph: Boolean): Result = {
     // The pages table is the pipeline's INPUT — in production an
     // immutable Iceberg table that already exists; it is never committed
     // as a stage (a pipeline reads its input, it does not rewrite it).
@@ -101,13 +131,13 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     // deterministic or table-backed, and each stage below commits.
     val pagesDf = pagesIn.toDF()
 
-    val extractWasDone = stageDone("extract", updateTag)
-    val textsDf = stage("extract", updateTag) {
+    // Input-cardinality lineage row ("pages") is derived from the
+    // committed extract output (1 row per page) rather than by
+    // re-scanning the raw input, and flushes with the extract row.
+    val textsDf = stage("extract", updateTag,
+      committed => lineage("pages", updateTag, committed)) {
       Extract.pageText(pagesDf.as[Page]).toDF()
     }
-    // Input-cardinality lineage row, derived from the committed extract
-    // output (1 row per page) rather than by re-scanning the raw input.
-    if (!extractWasDone) lineage("pages", updateTag, textsDf)
 
     // mention/link detection on English pages only (lang filter is part
     // of the pipeline contract, FIXTURES.md §1)
@@ -116,26 +146,32 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     // Fused single-pass extraction: one AC scan emits links AND raw
     // triples (Extract.facts) — committed as one table, consumed as two
     // filtered views. Lineage keeps the per-kind row counts.
-    val factsWasDone = stageDone("facts", updateTag)
-    val factsDf = stage("facts", updateTag) {
+    def linksView(facts: DataFrame): DataFrame =
+      facts.filter(col("kind") === 0)
+        .select(col("url"), col("start"), col("end"), col("a").as("entity_id"))
+    val factsDf = stage("facts", updateTag,
+      committed => lineage("links", updateTag, linksView(committed))) {
       Extract.facts(spark, en, dict, Corpus.predicates).toDF()
     }
-    val linksDf = factsDf.filter(col("kind") === 0)
-      .select(col("url"), col("start"), col("end"), col("a").as("entity_id"))
-    if (!factsWasDone) lineage("links", updateTag, linksDf)
+    val linksDf = linksView(factsDf)
 
     val canonicalDf = stage("canonical", updateTag) {
       // Blocking + CC live in entity space (≪ corpus size). Below the
       // local bound the candidate generation runs on the driver (same
       // semantics, pinned by tests); above it the distributed
-      // Dataset/LSH path takes over.
+      // Dataset/LSH path takes over — on the table-backed Dataset when
+      // one was provided, so the dictionary never round-trips the driver.
       val dupEdges =
-        if (dict.sizeIs <= 200000)
+        if (dict.sizeIs <= KgPipeline.LocalBlockingBound)
           Blocking.duplicateEntityEdgesLocal(dict).map(p => (p.a, p.b))
             .toDF("u", "v")
         else
-          Blocking.duplicateEntityEdges(spark, dict.toDS()).toDF("u", "v")
-      val allEntities = dict.map(_.entity_id).distinct.toDF("id")
+          Blocking.duplicateEntityEdges(spark, dictDs.getOrElse(dict.toDS()))
+            .toDF("u", "v")
+      val allEntities = dictDs match {
+        case Some(ds) => ds.select(col("entity_id").as("id")).distinct()
+        case None => dict.map(_.entity_id).distinct.toDF("id")
+      }
       ConnectedComponents.run(spark, dupEdges, allEntities)
     }
 
@@ -224,4 +260,20 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
       mentionEdges.unionByName(tripleEdges), updateTag, edges,
       collectStats = false))
   }
+}
+
+object KgPipeline {
+  /** Upper bound on driver-materialized dictionary rows: the AC automaton
+    * and alias→entity map are broadcast to every executor, so they must
+    * fit in one heap no matter how the rows arrive. ~5M aliases ≈ low
+    * hundreds of MB of automaton — the practical ceiling for a broadcast;
+    * beyond it, shard the dictionary across runs (or automaton shards).
+    */
+  val MaxBroadcastAliases: Long = 5000000L
+
+  /** Below this many dictionary rows, blocking + CC candidate generation
+    * runs on the driver (identical semantics, pinned by KgSpec) — small
+    * syncs skip ~10 tiny Spark jobs.
+    */
+  val LocalBlockingBound: Int = 200000
 }

@@ -22,10 +22,11 @@ final case class CleanupStats(nodesDeleted: Long, edgesDeleted: Long)
   * memory; set-oriented Spark needs no iteration — one declarative
   * anti-filter per table, committed as a new snapshot version.
   *
-  * Scale: the node rewrite touches only the schema's label partition and
-  * the edge rewrite only the schema's rel-label partitions
-  * (commitPartitions) — the sub-resource scoping that keeps the
-  * reference's cleanup from crossing tenants also keeps ours from
+  * Scale: the node rewrite touches only the hash buckets of the schema's
+  * label that contain stale rows, and the edge rewrite only the
+  * (rel_label, bucket) partitions containing doomed edges
+  * (SnapshotTable.commitPhysical) — the sub-resource scoping that keeps
+  * the reference's cleanup from crossing tenants also keeps ours from
   * rewriting 100 TB. The deleted-id set used for DETACH is the stale
   * subset of one tenant, broadcast into the edge anti-joins.
   */
@@ -41,8 +42,9 @@ object Cleanup {
       sys.error(s"cleanup requires kwarg '${sr.ref.name}' — " +
         "sub-resource scoping is mandatory (cleanupbuilder.py:191-206)")))
 
-    val nodeState = nodes.read()
-    val part = nodeState.filter(col("label") === schema.label)
+    // The label-scoped read prunes to the label's buckets only.
+    val part = nodes.readPartition(schema.label)
+      .getOrElse(sys.error(s"no partition for label ${schema.label}"))
     val scope = subId match {
       case Some(id) => col("sub_resource_id") === lit(id)
       case None => lit(true)
@@ -51,14 +53,19 @@ object Cleanup {
     // tenants' edges survive (the MATCH ...<-[:RESOURCE]-(:SubRes{id:$kwarg})
     // prefix of every generated cleanup query, cleanupbuilder.py:150-169).
     val tenantIds = part.filter(scope).select(col("id")).cache()
-    val staleNodes = part.filter(scope && stale(updateTag))
-      .select(col("id")).cache()
+    val staleRows = part.filter(scope && stale(updateTag)).cache()
+    val staleNodes = staleRows.select(col("id")).cache()
     val nDeleted = staleNodes.count()
 
     if (nDeleted > 0) {
-      val kept = part.join(staleNodes.withColumnRenamed("id", "_sid"),
-        col("id") === col("_sid"), "left_anti")
-      nodes.commitPartitions(kept, updateTag, Seq(schema.label))
+      // bucket-precise: rewrite only the buckets that contain stale rows;
+      // the label's other buckets carry forward by file reference
+      val touched = nodes.physicalValuesOf(staleRows)
+      val kept = nodes.readPhysical(touched)
+        .getOrElse(sys.error("stale buckets vanished mid-cleanup"))
+        .join(staleNodes.withColumnRenamed("id", "_sid"),
+          col("id") === col("_sid"), "left_anti")
+      nodes.commitPhysical(kept, updateTag, touched)
     }
 
     var eDeleted = 0L
@@ -82,13 +89,14 @@ object Cleanup {
       val doomed = edgeState.join(staleIds, touchesDeleted, "left_semi")
         .unionByName(staleRelEdges)
         .dropDuplicates("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+        .cache()
       eDeleted = doomed.count()
       if (eDeleted > 0) {
-        // Rewrite only rel partitions that can contain doomed edges.
-        val doomedRels = doomed.select("rel_label").distinct()
-          .collect().map(_.getString(0)).toSeq
-        val keptE = edgeState
-          .filter(col("rel_label").isin(doomedRels: _*))
+        // bucket-precise: rewrite only the (rel_label, bucket) partitions
+        // that contain doomed edges
+        val touchedE = edges.physicalValuesOf(doomed)
+        val keptE = edges.readPhysical(touchedE)
+          .getOrElse(sys.error("doomed buckets vanished mid-cleanup"))
           .join(doomed.select(col("src_label").as("_dsl"), col("src_id").as("_dsi"),
             col("rel_label").as("_drl"), col("dst_label").as("_ddl"),
             col("dst_id").as("_ddi")),
@@ -96,10 +104,11 @@ object Cleanup {
               col("rel_label") === col("_drl") && col("dst_label") === col("_ddl") &&
               col("dst_id") === col("_ddi"),
             "left_anti")
-        edges.commitPartitions(keptE, updateTag, doomedRels)
+        edges.commitPhysical(keptE, updateTag, touchedE)
       }
+      doomed.unpersist()
     }
-    staleNodes.unpersist(); tenantIds.unpersist()
+    staleRows.unpersist(); staleNodes.unpersist(); tenantIds.unpersist()
     CleanupStats(nDeleted, eDeleted)
   }
 }

@@ -27,10 +27,22 @@ object GraphTables {
     StructField("firstseen", LongType),
     StructField("lastupdated", LongType)))
 
-  def nodes(spark: SparkSession, root: String): SnapshotTable =
-    SnapshotTable(spark, s"$root/nodes", Some("label"))
-  def edges(spark: SparkSession, root: String): SnapshotTable =
-    SnapshotTable(spark, s"$root/edges", Some("rel_label"))
+  /** Bucket counts are deployment-sized: 8 at test scale; thousands at
+    * 100 TB so one bucket stays executor-memory-sized. Node buckets hash
+    * the id; edge buckets hash (src_id, dst_id) — both are merge-key
+    * columns, so a batch row maps to a deterministic bucket and an
+    * incremental merge reads/rewrites only the buckets it hashes into.
+    */
+  val DefaultBuckets = 8
+
+  def nodes(spark: SparkSession, root: String,
+            buckets: Int = DefaultBuckets): SnapshotTable =
+    SnapshotTable(spark, s"$root/nodes", Some("label"),
+      Some(graft.snapshot.BucketSpec(Seq("id"), buckets)))
+  def edges(spark: SparkSession, root: String,
+            buckets: Int = DefaultBuckets): SnapshotTable =
+    SnapshotTable(spark, s"$root/edges", Some("rel_label"),
+      Some(graft.snapshot.BucketSpec(Seq("src_id", "dst_id"), buckets)))
 
   def emptyNodes(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], nodeSchema)
@@ -61,12 +73,15 @@ final case class LoadStats(nodesUpserted: Long, edgesUpserted: Long)
   *    (querybuilder.py:187-198).
   *
   * Scale design: the nodes table is partitioned by label and the edges
-  * table by rel_label; a load touches only its own label/rel partitions
-  * (SnapshotTable.commitPartitions — file-level reuse of everything
-  * else). Target-node lookups join against only the target label's
-  * partition, broadcast when small. There is no driver-side batching —
-  * the reference's 10k-dict write transactions (tx.py:209) are replaced
-  * by Spark's shuffle-partitioned distributed write.
+  * table by rel_label, each hash-sub-bucketed on its merge key
+  * (BucketSpec) — a load reads and rewrites ONLY the buckets its batch
+  * hashes into (SnapshotTable.commitPhysical; file-level reuse of
+  * everything else), so an incremental sync into a corpus-sized label
+  * stays proportional to the batch, not the table. Target-node lookups
+  * join against only the target label's partition, broadcast when
+  * small. There is no driver-side batching — the reference's 10k-dict
+  * write transactions (tx.py:209) are replaced by Spark's
+  * shuffle-partitioned distributed write.
   */
 object GraphMerge {
 
@@ -136,15 +151,16 @@ object GraphMerge {
     val keys = Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id")
     val fresh = batch.dropDuplicates(keys).persist()
     try {
-      val touched = fresh.select(col("rel_label")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+      // bucket-precise: only the physical partitions the batch hashes
+      // into are read and rewritten; every other bucket's files are
+      // carried forward by reference in the new manifest
+      val touched = edges.physicalValuesOf(fresh)
       if (touched.isEmpty) return 0L
-      val existing =
-        if (edges.exists) edges.read().filter(col("rel_label").isin(touched: _*))
-        else GraphTables.emptyEdges(spark)
+      val existing = (if (edges.exists) edges.readPhysical(touched) else None)
+        .getOrElse(GraphTables.emptyEdges(spark))
       val merged = upsert(existing, fresh, keys, updateTag)
       val n = if (collectStats) fresh.count() else -1L
-      if (edges.exists) edges.commitPartitions(merged, updateTag, touched)
+      if (edges.exists) edges.commitPhysical(merged, updateTag, touched)
       else edges.commit(merged, updateTag)
       n
     } finally fresh.unpersist()
@@ -160,14 +176,12 @@ object GraphMerge {
                       nodes: SnapshotTable): Long = {
     val fresh = batch.dropDuplicates("label", "id").persist()
     try {
-      val touched = fresh.select(col("label")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+      val touched = nodes.physicalValuesOf(fresh)
       if (touched.isEmpty) return 0L
-      val existing =
-        if (nodes.exists) nodes.read().filter(col("label").isin(touched: _*))
-        else GraphTables.emptyNodes(spark)
+      val existing = (if (nodes.exists) nodes.readPhysical(touched) else None)
+        .getOrElse(GraphTables.emptyNodes(spark))
       val merged = upsert(existing, fresh, Seq("label", "id"), updateTag)
-      if (nodes.exists) nodes.commitPartitions(merged, updateTag, touched)
+      if (nodes.exists) nodes.commitPhysical(merged, updateTag, touched)
       else nodes.commit(merged, updateTag)
       -1L
     } finally fresh.unpersist()
@@ -182,17 +196,19 @@ object GraphMerge {
            collectStats: Boolean = true): LoadStats = {
     if (batch.isEmpty) return LoadStats(0, 0) // no-op on empty input (tx.py:253)
 
-    val fresh = toNodeRows(batch, schema, kwargs, updateTag)
-
-    val existingAll: DataFrame =
-      if (nodes.exists) nodes.read() else GraphTables.emptyNodes(spark)
-    val existingPart = existingAll.filter(col("label") === schema.label)
+    val fresh = toNodeRows(batch, schema, kwargs, updateTag).persist()
+    // bucket-precise merge: read + rewrite only the buckets the batch
+    // hashes into; untouched buckets carry forward by file reference
+    val touched = nodes.physicalValuesOf(fresh)
+    val existingPart = (if (nodes.exists) nodes.readPhysical(touched) else None)
+      .getOrElse(GraphTables.emptyNodes(spark))
     val mergedPart = upsert(existingPart, fresh, Seq("label", "id"), updateTag)
     val nUpserted = if (collectStats) fresh.count() else -1L
     if (nodes.exists)
-      nodes.commitPartitions(mergedPart, updateTag, Seq(schema.label))
+      nodes.commitPhysical(mergedPart, updateTag, touched)
     else
       nodes.commit(mergedPart, updateTag)
+    fresh.unpersist()
 
     // ---- relationships ----------------------------------------------------
     // Target lookups read the *post-commit* node state so self-references
@@ -264,17 +280,23 @@ object GraphMerge {
 
     val eUpserted = allEdges match {
       case None => 0L
-      case Some(e) =>
-        val touched = schema.relLabels.distinct
-        val existingE =
-          if (edges.exists) edges.read() else GraphTables.emptyEdges(spark)
-        val existingTouched = existingE.filter(col("rel_label").isin(touched: _*))
-        val mergedE = upsert(existingTouched, e,
-          Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id"), updateTag)
-        val n = if (collectStats) e.count() else -1L
-        if (edges.exists) edges.commitPartitions(mergedE, updateTag, touched)
-        else edges.commit(mergedE, updateTag)
-        n
+      case Some(e0) =>
+        val e = e0.persist()
+        try {
+          val touchedE = edges.physicalValuesOf(e)
+          if (touchedE.isEmpty) 0L // every matcher missed (silent skip)
+          else {
+            val existingTouched =
+              (if (edges.exists) edges.readPhysical(touchedE) else None)
+                .getOrElse(GraphTables.emptyEdges(spark))
+            val mergedE = upsert(existingTouched, e,
+              Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id"), updateTag)
+            val n = if (collectStats) e.count() else -1L
+            if (edges.exists) edges.commitPhysical(mergedE, updateTag, touchedE)
+            else edges.commit(mergedE, updateTag)
+            n
+          }
+        } finally e.unpersist()
     }
     LoadStats(nUpserted, eUpserted)
   }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Graft
-import graft.merge.{Cleanup, GraphMerge}
+import graft.merge.{Cleanup, GraphMerge, GraphTables}
 import graft.model._
 import graft.snapshot.SnapshotTable
 
@@ -51,8 +51,8 @@ object GraphOps {
     */
   def q13GraphUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val root = tempRoot()
-    val nodes = SnapshotTable(spark, s"$root/nodes", Some("label"))
-    val edges = SnapshotTable(spark, s"$root/edges", Some("rel_label"))
+    val nodes = GraphTables.nodes(spark, root)
+    val edges = GraphTables.edges(spark, root)
     loadNation(spark, sfDir, 1, nodes, edges)
     val all = customersOf(spark, sfDir, 1)
     val kw = Map("nation_id" -> "1")
@@ -72,8 +72,8 @@ object GraphOps {
     */
   def q14GraphCleanup(spark: SparkSession, sfDir: String): DataFrame = {
     val root = tempRoot()
-    val nodes = SnapshotTable(spark, s"$root/nodes", Some("label"))
-    val edges = SnapshotTable(spark, s"$root/edges", Some("rel_label"))
+    val nodes = GraphTables.nodes(spark, root)
+    val edges = GraphTables.edges(spark, root)
     loadNation(spark, sfDir, 1, nodes, edges)
     val all = customersOf(spark, sfDir, 1)
     val kw = Map("nation_id" -> "1")
@@ -101,8 +101,8 @@ object GraphOps {
   def q24IncrementalSync(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.kg.Corpus
     val root = tempRoot()
-    val nodes = SnapshotTable(spark, s"$root/nodes", Some("label"))
-    val edges = SnapshotTable(spark, s"$root/edges", Some("rel_label"))
+    val nodes = GraphTables.nodes(spark, root)
+    val edges = GraphTables.edges(spark, root)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("i"))
     val n = docs.count()
@@ -127,7 +127,9 @@ object GraphOps {
     */
   def q15Drift(spark: SparkSession, sfDir: String): DataFrame = {
     val root = tempRoot()
-    val t = SnapshotTable(spark, s"$root/snap", Some("label"))
+    // bucketed on purpose: drift/time-travel must work on the bucketed layout
+    val t = SnapshotTable(spark, s"$root/snap", Some("label"),
+      Some(graft.snapshot.BucketSpec(Seq("id"), 4)))
     val all = customersOf(spark, sfDir, 1)
       .select(lit("Customer").as("label"), col("cid").as("id"))
     t.commit(all.filter(col("id").cast("long") % 2 === 0), 100L)

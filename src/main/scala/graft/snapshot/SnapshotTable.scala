@@ -2,8 +2,19 @@ package graft.snapshot
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Hash-bucket sub-partitioning inside each logical partition:
+  * physical partition value = `<logicalValue>~b<pmod(xxhash64(hashCols), n)>`.
+  * This is what keeps an incremental merge from rewriting a whole label
+  * at 100 TB: a batch touches only the buckets its keys hash into, and
+  * every untouched bucket's files are carried forward by reference
+  * (Iceberg MERGE file-pruning semantics). `n` is sized per deployment —
+  * 8 here (test scale); thousands on a real corpus so a bucket stays
+  * executor-memory-sized.
+  */
+final case class BucketSpec(hashCols: Seq[String], n: Int)
 
 /** Iceberg-style snapshot table over partitioned Parquet.
   *
@@ -15,13 +26,13 @@ import org.apache.spark.sql.functions._
   *     versioned JSON manifest is moved into place atomically; readers
   *     only ever see fully-committed versions (the manifest move is the
   *     commit point, like an Iceberg metadata swap).
-  *  2. **Partition-level file reuse** — a commit that touches only
-  *     partition P writes new files for P and *references* the previous
-  *     version's files for every other partition. This is what keeps the
-  *     reference's sub-resource-scoped cleanup
-  *     (cartography/graph/cleanupbuilder.py:150-169) from becoming a
-  *     full-table rewrite at 100 TB: only the touched label/tenant
-  *     partition is rewritten.
+  *  2. **Partition/bucket-level file reuse** — a commit that touches only
+  *     physical partition P writes new files for P and *references* the
+  *     previous version's files for every other partition. With a
+  *     [[BucketSpec]] the physical unit is `(label, hash(key) % n)`, so
+  *     an incremental merge into a corpus-sized label rewrites only the
+  *     touched buckets, and the reference's sub-resource-scoped cleanup
+  *     (cartography/graph/cleanupbuilder.py:150-169) stays sub-linear.
   *  3. **Time travel** — every historical version stays readable until
   *     expired, which powers drift detection
   *     (cartography/driftdetect/detect_deviations.py:66-112) and
@@ -29,12 +40,22 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   root/data/v{N}/{partitionValue}/part-*.parquet
-  *   root/_manifest/v{N}.json   // commit record + partition -> data dir
+  *   root/data/v{N}/{physicalValue}/part-*.parquet
+  *   root/_manifest/v{N}.json   // commit record + physical value -> data dir
   * }}}
+  *
+  * Bucketed tables keep the logical partition column in the data files
+  * (readers get it for free in one multi-path scan); non-bucketed tables
+  * keep the original layout (column re-added from the manifest value).
   */
 final class SnapshotTable(val spark: SparkSession, val root: String,
-                          val partitionCol: Option[String] = None) {
+                          val partitionCol: Option[String] = None,
+                          val bucket: Option[BucketSpec] = None) {
+
+  require(bucket.isEmpty || partitionCol.isDefined,
+    "bucketing requires a partition column")
+
+  private val pvCol = "_pv" // physical partition value column (write-side only)
 
   private def manifestDir: Path = Paths.get(root, "_manifest")
   private def manifestPath(v: Long): Path = manifestDir.resolve(s"v$v.json")
@@ -51,6 +72,35 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   def latestVersion: Option[Long] = versions.lastOption
 
   def exists: Boolean = latestVersion.isDefined
+
+  // ---- physical partition values ------------------------------------------
+
+  /** The physical partition value of each row: the logical value itself,
+    * or `<logical>~b<bucket>` when bucketed.
+    */
+  def physicalValue: Column = {
+    val c = partitionCol.getOrElse(sys.error("table has no partition column"))
+    bucket match {
+      case None => col(c).cast("string")
+      case Some(BucketSpec(hashCols, n)) =>
+        concat(col(c).cast("string"), lit("~b"),
+          pmod(xxhash64(hashCols.map(col): _*), lit(n.toLong)).cast("string"))
+    }
+  }
+
+  /** Distinct physical partition values present in `df` (an action). */
+  def physicalValuesOf(df: DataFrame): Seq[String] =
+    df.select(physicalValue.as(pvCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Physical values of logical partition `value` in version `v`. */
+  private def physicalKeysOf(v: Long, logical: String): Seq[String] = {
+    val keys = partitionsOf(v).keys
+    bucket match {
+      case None => keys.filter(_ == logical).toSeq
+      case Some(_) => keys.filter(_.startsWith(logical + "~b")).toSeq
+    }
+  }
 
   // ---- manifest (de)serialization: minimal hand-rolled JSON; labels and
   // paths are controlled charsets (no escaping needed beyond quotes).
@@ -69,7 +119,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   private val partRe = """"([^"]*)":"([^"]*)"""".r
   private val tagRe = """"updateTag":(-?\d+)""".r
 
-  /** partition value -> data dir (relative to root) for a version. */
+  /** physical partition value -> data dir (relative to root) for a version. */
   def partitionsOf(v: Long): Map[String, String] = {
     val json = Files.readString(manifestPath(v))
     val body = json.substring(json.indexOf("\"partitions\":") + 13)
@@ -82,37 +132,50 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
 
   // ---- reads -------------------------------------------------------------
 
-  /** Read one version (time travel). Empty table -> empty DataFrame caller
-    * must handle via [[exists]].
-    */
-  def readVersion(v: Long): DataFrame = {
-    val parts = partitionsOf(v)
-    val dfs = parts.toSeq.sortBy(_._1).map { case (value, rel) =>
-      val df = spark.read.parquet(s"$root/$rel")
-      partitionCol match {
-        case Some(c) => df.withColumn(c, lit(value))
-        case None => df
-      }
+  private def readDirs(parts: Seq[(String, String)]): Option[DataFrame] = {
+    if (parts.isEmpty) return None
+    bucket match {
+      case Some(_) =>
+        // logical column lives in the data: one multi-path relation
+        Some(spark.read.parquet(parts.map { case (_, rel) => s"$root/$rel" }: _*))
+      case None =>
+        val dfs = parts.sortBy(_._1).map { case (value, rel) =>
+          val df = spark.read.parquet(s"$root/$rel")
+          partitionCol match {
+            case Some(c) => df.withColumn(c, lit(value))
+            case None => df
+          }
+        }
+        Some(dfs.reduce(_ unionByName _))
     }
-    dfs.reduce(_ unionByName _)
   }
+
+  /** Read one version (time travel). */
+  def readVersion(v: Long): DataFrame =
+    readDirs(partitionsOf(v).toSeq)
+      .getOrElse(sys.error(s"snapshot table $root version $v is empty"))
 
   /** Latest committed state. */
   def read(): DataFrame = readVersion(latestVersion.getOrElse(
     sys.error(s"snapshot table $root has no committed version")))
 
-  /** Read a single partition of the latest version — a pruned scan that
-    * never touches other partitions' files.
+  /** Read a single LOGICAL partition (all its buckets) of the latest
+    * version — a pruned scan that never touches other partitions' files.
     */
   def readPartition(value: String): Option[DataFrame] =
     latestVersion.flatMap { v =>
-      partitionsOf(v).get(value).map { rel =>
-        val df = spark.read.parquet(s"$root/$rel")
-        partitionCol match {
-          case Some(c) => df.withColumn(c, lit(value))
-          case None => df
-        }
-      }
+      val parts = partitionsOf(v)
+      readDirs(physicalKeysOf(v, value).map(k => k -> parts(k)))
+    }
+
+  /** Read only the given PHYSICAL partitions of the latest version;
+    * values absent from the manifest are skipped. None when nothing
+    * matches (caller supplies the empty frame).
+    */
+  def readPhysical(values: Seq[String]): Option[DataFrame] =
+    latestVersion.flatMap { v =>
+      val parts = partitionsOf(v)
+      readDirs(values.flatMap(k => parts.get(k).map(k -> _)))
     }
 
   // ---- commits -----------------------------------------------------------
@@ -142,43 +205,49 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     sb.toString
   }
 
-  /** Write every `values` partition of `df` in ONE Spark job via
+  /** Write every `values` physical partition of `df` in ONE Spark job via
     * partitionBy — a commit touching k partitions would otherwise run k
     * write jobs, each recomputing or rescanning the plan. Returns
-    * partition value → data dir for the manifest; values that produced
+    * physical value → data dir for the manifest; values that produced
     * no rows are absent (an empty partition and a missing one read the
     * same).
     */
-  private def writeDataPartitioned(df: DataFrame, v: Long, c: String,
+  private def writeDataPartitioned(df: DataFrame, v: Long,
                                    values: Seq[String]): Map[String, String] = {
     val base = s"data/v$v"
-    df.withColumn(c, col(c).cast("string"))
-      .filter(col(c).isin(values: _*))
-      .write.mode("overwrite").partitionBy(c).parquet(s"$root/$base")
+    val (out, byCol) = bucket match {
+      case Some(_) =>
+        // keep the logical column in the data; partition dirs carry _pv
+        (df.withColumn(pvCol, physicalValue), pvCol)
+      case None =>
+        val c = partitionCol.get
+        (df.withColumn(c, col(c).cast("string")), c)
+    }
+    out.filter(col(byCol).isin(values: _*))
+      .write.mode("overwrite").partitionBy(byCol).parquet(s"$root/$base")
     val dir = Paths.get(root, "data", s"v$v")
     if (!Files.isDirectory(dir)) return Map.empty
     Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.startsWith(s"$c="))
-      .map(d => unescapePart(d.stripPrefix(s"$c=")) -> s"$base/$d")
+      .filter(_.startsWith(s"$byCol="))
+      .map(d => unescapePart(d.stripPrefix(s"$byCol=")) -> s"$base/$d")
       .toMap
   }
 
-  /** Full-table commit: every partition present in `df` is rewritten;
-    * partitions absent from `df` are dropped.
+  /** Full-table commit: every physical partition present in `df` is
+    * written; partitions absent from `df` are dropped.
     */
   def commit(df: DataFrame, updateTag: Long): Long = {
     val v = latestVersion.getOrElse(0L) + 1
     val parts: Map[String, String] = partitionCol match {
-      case Some(c) =>
+      case Some(_) =>
         // One partitionBy job writes every partition; a distinct-values
         // pre-pass + one write per value would run the upstream plan
         // k+1 times.
         df.persist()
         try {
-          val values = df.select(col(c).cast("string")).distinct()
-            .collect().map(_.getString(0)).sorted
-          writeDataPartitioned(df, v, c, values)
+          val values = physicalValuesOf(df)
+          writeDataPartitioned(df, v, values)
         } finally df.unpersist()
       case None =>
         Map("all" -> writeData(df, v, "all"))
@@ -187,24 +256,49 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     v
   }
 
-  /** Partition-scoped commit: rewrite only `touched` partitions from `df`;
-    * every other partition of the previous version is carried forward by
-    * reference (no data movement). This is the scale path.
+  /** Commit scoped to PHYSICAL partitions: rewrite only `touched` from
+    * `df`; every other physical partition of the previous version is
+    * carried forward by reference (no data movement). This is the scale
+    * path — for a bucketed table, `touched` is the bucket set a merge
+    * batch actually hashes into.
+    */
+  def commitPhysical(df: DataFrame, updateTag: Long,
+                     touched: Seq[String]): Long = {
+    require(partitionCol.isDefined, "commitPhysical requires a partition column")
+    val v = latestVersion.getOrElse(0L) + 1
+    val carried = latestVersion.map(partitionsOf).getOrElse(Map.empty) -- touched
+    val fresh = writeDataPartitioned(df, v, touched)
+    writeManifest(v, updateTag, carried ++ fresh)
+    v
+  }
+
+  /** Commit scoped to LOGICAL partitions: every bucket of a touched
+    * logical value is rewritten from `df` (or dropped if `df` has no rows
+    * for it); other logical values are carried forward by reference.
     */
   def commitPartitions(df: DataFrame, updateTag: Long,
                        touched: Seq[String]): Long = {
-    val c = partitionCol.getOrElse(
-      sys.error("commitPartitions requires a partition column"))
-    val v = latestVersion.getOrElse(0L) + 1
-    val carried = latestVersion.map(partitionsOf).getOrElse(Map.empty) -- touched
-    val fresh = writeDataPartitioned(df, v, c, touched)
-    writeManifest(v, updateTag, carried ++ fresh)
-    v
+    bucket match {
+      case None => commitPhysical(df, updateTag, touched)
+      case Some(_) =>
+        df.persist()
+        try {
+          // only rows of touched logical values participate (matching the
+          // non-bucketed contract, where the isin filter did this)
+          val fresh = physicalValuesOf(df)
+            .filter(pv => touched.exists(t => pv.startsWith(t + "~b")))
+          val prev = latestVersion
+            .map(v => touched.flatMap(t => physicalKeysOf(v, t)))
+            .getOrElse(Seq.empty)
+          commitPhysical(df, updateTag, (fresh ++ prev).distinct.sorted)
+        } finally df.unpersist()
+    }
   }
 }
 
 object SnapshotTable {
   def apply(spark: SparkSession, root: String,
-            partitionCol: Option[String] = None): SnapshotTable =
-    new SnapshotTable(spark, root, partitionCol)
+            partitionCol: Option[String] = None,
+            bucket: Option[BucketSpec] = None): SnapshotTable =
+    new SnapshotTable(spark, root, partitionCol, bucket)
 }

@@ -150,6 +150,29 @@ class KgSpec extends SparkSpecBase {
       s"missing=${exp.diff(got).take(3)} extra=${got.diff(exp).take(3)}")
   }
 
+  test("table-native dictionary: parquet-backed Dataset[AliasRow] run equals the Seq run") {
+    val dictPath = Files.createTempDirectory("kgdict").toString + "/aliases.parquet"
+    Corpus.aliasRows.toDF().write.parquet(dictPath)
+    val dictDs = spark.read.parquet(dictPath).as[AliasRow]
+
+    val work = Files.createTempDirectory("kgpipeds").toString
+    val pipe = new KgPipeline(spark, work)
+    val res = pipe.run(Corpus.pages(spark, sf1), dictDs, 100L, mergeGraph = false)
+    val got = res.triples.select("url", "subj", "pred", "obj")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got === expectedTriples(), "Dataset-dict run must emit the planted triples")
+
+    // the size check guards the AC broadcast
+    val huge = spark.range(KgPipeline.MaxBroadcastAliases + 1)
+      .selectExpr("concat('alias ', id) AS alias", "concat('e', id) AS entity_id")
+      .as[AliasRow]
+    val err = intercept[IllegalArgumentException] {
+      new KgPipeline(spark, Files.createTempDirectory("kgpipeds2").toString)
+        .run(Corpus.pages(spark, sf1), huge, 100L, mergeGraph = false)
+    }
+    assert(err.getMessage.contains("capped"))
+  }
+
   test("pipeline resumes: committed stages are not recomputed on re-run") {
     val work = Files.createTempDirectory("kgresume").toString
     val pipe = new KgPipeline(spark, work)
