@@ -42,6 +42,10 @@ object SparkEntry {
     "q22_suffix_subzones" -> (Analysis.q22Subzones _),
     "q23_array_any" -> (Analysis.q23ArrayAny _),
     "q24_incremental_sync" -> (GraphOps.q24IncrementalSync _),
+    "q25_clear_props" -> (GraphOps.q25ClearProps _),
+    "q26_analysis_job" -> (GraphOps.q26AnalysisJob _),
+    "q27_drift_states" -> (GraphOps.q27DriftStates _),
+    "q28_selected_rels" -> (GraphOps.q28SelectedRels _),
     "qkg1_extract_invariant" -> (KgOps.qkg1Invariant _),
     "qkg2_mentions" -> (KgOps.qkg2Mentions _),
     "qkg3_triples" -> (KgOps.qkg3Triples _),
@@ -276,7 +280,37 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE has_u = 1 AND has_l = 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q24_incremental_sync" ->
+        "q25_clear_props" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id, c_mktsegment AS segment,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE 'true' END AS exposed
+        |FROM customer WHERE c_nationkey = 1 ORDER BY id""".stripMargin,
+    "q26_analysis_job" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_flagged,
+        |  CAST(0 AS BIGINT) AS exposed_left
+        |FROM customer WHERE c_nationkey = 1 AND c_acctbal > 5000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_drift_states" ->
+      """WITH cp AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |         string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  WHERE c_nationkey = 1 GROUP BY 1),
+        |a AS (SELECT id, prios FROM cp WHERE CAST(id AS BIGINT) % 2 = 0),
+        |b AS (SELECT id, prios FROM cp WHERE CAST(id AS BIGINT) % 3 = 0)
+        |SELECT direction, id, prios FROM (
+        |  SELECT 'added' AS direction, id, prios FROM b WHERE id NOT IN (SELECT id FROM a)
+        |  UNION ALL
+        |  SELECT 'removed', id, prios FROM a WHERE id NOT IN (SELECT id FROM b)) t
+        |ORDER BY direction, id""".stripMargin,
+    "q28_selected_rels" ->
+      """WITH o AS (SELECT o_orderkey FROM orders
+        |  JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 1)
+        |SELECT run, rel_label, n_edges FROM (
+        |  SELECT 'all' AS run, 'PLACED_BY' AS rel_label, (SELECT COUNT(*) FROM o) AS n_edges
+        |  UNION ALL SELECT 'all', 'RESOURCE', (SELECT COUNT(*) FROM o)
+        |  UNION ALL SELECT 'subset', 'PLACED_BY', (SELECT COUNT(*) FROM o)) t
+        |ORDER BY run, rel_label""".stripMargin,
+"q24_incremental_sync" ->
       """WITH c AS (SELECT COUNT(*) AS n FROM documents),
         |ids AS (SELECT doc_id AS i FROM documents)
         |SELECT 'https://host' || CAST(i % 50 AS VARCHAR) || '.example/p/' || CAST(i AS VARCHAR) AS id,

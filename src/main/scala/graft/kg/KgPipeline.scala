@@ -46,39 +46,54 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     t.latestVersion.exists(v => t.updateTagOf(v) == updateTag)
   }
 
-  // Lineage rows are buffered per stage and flushed as ONE append right
-  // after that stage's commit. Flushing any later (e.g. once at the end
-  // of the run) opens a crash window where a stage is committed but its
-  // lineage is not — resume then sees stageDone and never re-emits the
-  // rows, leaving the lineage table permanently incomplete. Plans are
-  // lazy: each buffered part scans its stage's committed table only at
-  // flush time.
-  private val lineageBuf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  /** One per-partition lineage record (ModuleSyncMetadata + statsd
+    * counters analog).
+    */
+  private final case class LineageRow(stage: String, partitionId: Int,
+                                      updateTag: Long, rowsIn: Long,
+                                      rowsOut: Long)
 
-  private def lineage(stage: String, updateTag: Long, df: DataFrame,
-                      rowsIn: Long = -1L): DataFrame = {
-    lineageBuf += df.groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows_out"))
-      .select(lit(stage).as("stage"), col("partition_id"),
-        lit(updateTag).as("update_tag"), lit(rowsIn).as("rows_in"),
-        col("rows_out"))
-    df
+  /** Append lineage rows, driver-side, as one JSONL file — written
+    * immediately AFTER the stage commit, so the only loss window is the
+    * tiny post-commit gap (the same exposure as the reference's
+    * per-statement metadata write). The rows are per-FILE counts read
+    * from parquet footers: a Spark count job per stage costs more in
+    * scheduling than the data, and those fixed per-stage jobs are
+    * exactly the serial fraction that caps scaling efficiency between
+    * the two bench parallelism levels.
+    */
+  private def writeLineage(rows: Seq[LineageRow]): Unit = {
+    if (rows.isEmpty) return
+    val dir = java.nio.file.Paths.get(s"$workRoot/lineage")
+    java.nio.file.Files.createDirectories(dir)
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      sb.append(s"""{"stage":"${r.stage}","partition_id":${r.partitionId},""")
+        .append(s""""update_tag":${r.updateTag},"rows_in":${r.rowsIn},"rows_out":${r.rowsOut}}""")
+        .append('\n'): Unit
+    }
+    val f = dir.resolve(s"part-${rows.head.stage}-${rows.head.updateTag}-${System.nanoTime()}.json")
+    java.nio.file.Files.writeString(f, sb.toString): Unit
   }
 
-  private def flushLineage(): Unit = if (lineageBuf.nonEmpty) {
-    lineageBuf.reduce(_ unionByName _)
-      .write.mode("append").parquet(s"$workRoot/lineage")
-    lineageBuf.clear()
-  }
+  private def footerLineage(stage: String, t: SnapshotTable,
+                            updateTag: Long): Seq[LineageRow] =
+    t.fileRowCounts(t.latestVersion.get).zipWithIndex.map { case (n, i) =>
+      LineageRow(stage, i, updateTag, -1L, n)
+    }
 
-  def lineageRows(): DataFrame = spark.read.parquet(s"$workRoot/lineage")
+  def lineageRows(): DataFrame = spark.read
+    .schema("stage STRING, partition_id INT, update_tag LONG, rows_in LONG, rows_out LONG")
+    .json(s"$workRoot/lineage")
 
-  /** Run (or resume) one stage: compute, commit, lineage. Wall time per
-    * stage goes to stderr (the statsd-timer analog,
+  /** Run (or resume) one stage: compute, commit, lineage (footer-based
+    * rows for the committed output plus any extras). Wall time per stage
+    * goes to stderr (the statsd-timer analog,
     * cartography/util.py:176-196).
     */
   private def stage(name: String, updateTag: Long,
-                    extraLineage: DataFrame => Unit = _ => ())
+                    extraLineage: (DataFrame, SnapshotTable) => Seq[LineageRow] =
+                      (_, _) => Nil)
                    (compute: => DataFrame): DataFrame = {
     val t = stageTable(name)
     if (stageDone(name, updateTag)) t.read()
@@ -87,9 +102,7 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
       val out = compute
       t.commit(out, updateTag)
       val committed = t.read()
-      lineage(name, updateTag, committed)
-      extraLineage(committed) // rides in the same flush — one write job per stage
-      flushLineage()
+      writeLineage(footerLineage(name, t, updateTag) ++ extraLineage(committed, t))
       System.err.println(f"[kg-timing] stage=$name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       committed
     }
@@ -121,6 +134,120 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     runWith(pagesIn, dict.collect().toSeq, Some(dict), updateTag, mergeGraph)
   }
 
+  /** links view over the committed facts table (kind 0 rows). */
+  private def linksView(facts: DataFrame): DataFrame =
+    facts.filter(col("kind") === 0)
+      .select(col("url"), col("start"), col("end"), col("a").as("entity_id"))
+
+  /** Per-partition link counts for lineage — the one lineage that needs
+    * a scan (links = the kind-0 SUBSET of the committed facts table, so
+    * footers can't answer it). One small groupBy job.
+    */
+  private def linksLineage(factsCommitted: DataFrame, updateTag: Long): Seq[LineageRow] =
+    factsCommitted.filter(col("kind") === 0)
+      .groupBy(spark_partition_id().as("p")).agg(count(lit(1)).as("n"))
+      .collect().toSeq
+      .map(r => LineageRow("links", r.getInt(0), updateTag, -1L, r.getLong(1)))
+
+  /** Fused single-pass extraction on English pages only (lang filter is
+    * part of the pipeline contract, FIXTURES.md §1): one AC scan emits
+    * links AND raw triples, committed as one table, consumed as two
+    * filtered views.
+    */
+  private def factsCompute(textsDf: DataFrame, dict: Seq[AliasRow]): DataFrame = {
+    val en = textsDf.filter(col("lang") === "en").as[PageText]
+    Extract.facts(spark, en, dict, Corpus.predicates).toDF()
+  }
+
+  /** Blocking + CC live in entity space (≪ corpus size). Below the
+    * local bound the candidate generation runs on the driver (same
+    * semantics, pinned by tests); above it the distributed Dataset/LSH
+    * path takes over — on the table-backed Dataset when one was
+    * provided, so the dictionary never round-trips the driver.
+    */
+  private def canonicalCompute(dict: Seq[AliasRow],
+                               dictDs: Option[Dataset[AliasRow]]): DataFrame = {
+    val dupEdges =
+      if (dict.sizeIs <= KgPipeline.LocalBlockingBound)
+        Blocking.duplicateEntityEdgesLocal(dict).map(p => (p.a, p.b))
+          .toDF("u", "v")
+      else
+        Blocking.duplicateEntityEdges(spark, dictDs.getOrElse(dict.toDS()))
+          .toDF("u", "v")
+    val allEntities = dictDs match {
+      case Some(ds) => ds.select(col("entity_id").as("id")).distinct()
+      case None => dict.map(_.entity_id).distinct.toDF("id")
+    }
+    ConnectedComponents.run(spark, dupEdges, allEntities)
+  }
+
+  /** Canonicalize subject and object of raw pattern triples (entity
+    * space is small relative to the corpus -> broadcast both joins; no
+    * corpus-wide shuffle).
+    */
+  private def triplesCompute(factsDf: DataFrame, canonicalDf: DataFrame): DataFrame = {
+    val raw = factsDf.filter(col("kind") === 1)
+      .select(col("url"), col("a").as("subj"), col("pred"), col("obj"))
+    val canonS = broadcast(canonicalDf
+      .select(col("id").as("subj"), col("canonical_id").as("csubj")))
+    val canonO = broadcast(canonicalDf
+      .select(col("id").as("obj"), col("canonical_id").as("cobj")))
+    raw.join(canonS, Seq("subj")).join(canonO, Seq("obj"))
+      .select(col("url"), col("csubj").as("subj"), col("pred"),
+        col("cobj").as("obj"))
+      .dropDuplicates()
+  }
+
+  /** Config-selected partial sync — the build_sync(selected_modules)
+    * analog (cartography/sync.py:210-243): run ONLY the named stages, in
+    * the given order, against this work dir. A later stage reads its
+    * inputs from the committed outputs of earlier ones — possibly
+    * produced by a previous partial run with the same tag — and fails
+    * fast when a dependency has not been committed. Stage names are
+    * validated against [[KgPipeline.StageNames]] with the reference's
+    * error shape.
+    */
+  def runStages(pagesIn: Dataset[Page], dict: Seq[AliasRow], updateTag: Long,
+                selectedModules: String): Unit = {
+    val selected = graft.jobs.Sync.parseAndValidateSelectedModules(
+      selectedModules, KgPipeline.StageNames)
+    def need(dep: String, forStage: String): DataFrame = {
+      require(stageDone(dep, updateTag),
+        s"stage '$forStage' requires '$dep' to be committed for tag " +
+          s"$updateTag — include it in selected_modules or run it first")
+      stageTable(dep).read()
+    }
+    selected.foreach {
+      case "extract" =>
+        stage("extract", updateTag,
+          (_, t) => footerLineage("pages", t, updateTag)) {
+          Extract.pageText(pagesIn.toDF().as[Page]).toDF()
+        }: Unit
+      case "facts" =>
+        val texts = need("extract", "facts")
+        stage("facts", updateTag,
+          (committed, _) => linksLineage(committed, updateTag)) {
+          factsCompute(texts, dict)
+        }: Unit
+      case "canonical" =>
+        stage("canonical", updateTag)(canonicalCompute(dict, None)): Unit
+      case "triples" =>
+        val facts = need("facts", "triples")
+        val canon = need("canonical", "triples")
+        stage("triples", updateTag)(triplesCompute(facts, canon)): Unit
+      case "merge" =>
+        if (!stageDone("merge", updateTag)) {
+          val texts = need("extract", "merge")
+          val facts = need("facts", "merge")
+          val canon = need("canonical", "merge")
+          val triples = need("triples", "merge")
+          mergeStage(texts, linksView(facts), canon, triples, updateTag)
+          stageTable("merge").commit(
+            Seq((updateTag, "done")).toDF("tag", "state"), updateTag)
+        }
+    }
+  }
+
   private def runWith(pagesIn: Dataset[Page], dict: Seq[AliasRow],
                       dictDs: Option[Dataset[AliasRow]], updateTag: Long,
                       mergeGraph: Boolean): Result = {
@@ -135,59 +262,22 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     // committed extract output (1 row per page) rather than by
     // re-scanning the raw input, and flushes with the extract row.
     val textsDf = stage("extract", updateTag,
-      committed => lineage("pages", updateTag, committed)) {
+      (_, t) => footerLineage("pages", t, updateTag)) {
       Extract.pageText(pagesDf.as[Page]).toDF()
     }
 
-    // mention/link detection on English pages only (lang filter is part
-    // of the pipeline contract, FIXTURES.md §1)
-    val en = textsDf.filter(col("lang") === "en").as[PageText]
-
-    // Fused single-pass extraction: one AC scan emits links AND raw
-    // triples (Extract.facts) — committed as one table, consumed as two
-    // filtered views. Lineage keeps the per-kind row counts.
-    def linksView(facts: DataFrame): DataFrame =
-      facts.filter(col("kind") === 0)
-        .select(col("url"), col("start"), col("end"), col("a").as("entity_id"))
     val factsDf = stage("facts", updateTag,
-      committed => lineage("links", updateTag, linksView(committed))) {
-      Extract.facts(spark, en, dict, Corpus.predicates).toDF()
+      (committed, _) => linksLineage(committed, updateTag)) {
+      factsCompute(textsDf, dict)
     }
     val linksDf = linksView(factsDf)
 
     val canonicalDf = stage("canonical", updateTag) {
-      // Blocking + CC live in entity space (≪ corpus size). Below the
-      // local bound the candidate generation runs on the driver (same
-      // semantics, pinned by tests); above it the distributed
-      // Dataset/LSH path takes over — on the table-backed Dataset when
-      // one was provided, so the dictionary never round-trips the driver.
-      val dupEdges =
-        if (dict.sizeIs <= KgPipeline.LocalBlockingBound)
-          Blocking.duplicateEntityEdgesLocal(dict).map(p => (p.a, p.b))
-            .toDF("u", "v")
-        else
-          Blocking.duplicateEntityEdges(spark, dictDs.getOrElse(dict.toDS()))
-            .toDF("u", "v")
-      val allEntities = dictDs match {
-        case Some(ds) => ds.select(col("entity_id").as("id")).distinct()
-        case None => dict.map(_.entity_id).distinct.toDF("id")
-      }
-      ConnectedComponents.run(spark, dupEdges, allEntities)
+      canonicalCompute(dict, dictDs)
     }
 
     val triplesDf = stage("triples", updateTag) {
-      val raw = factsDf.filter(col("kind") === 1)
-        .select(col("url"), col("a").as("subj"), col("pred"), col("obj"))
-      // canonicalize subject and object (entity space is small relative
-      // to the corpus -> broadcast both joins; no corpus-wide shuffle)
-      val canonS = broadcast(canonicalDf
-        .select(col("id").as("subj"), col("canonical_id").as("csubj")))
-      val canonO = broadcast(canonicalDf
-        .select(col("id").as("obj"), col("canonical_id").as("cobj")))
-      raw.join(canonS, Seq("subj")).join(canonO, Seq("obj"))
-        .select(col("url"), col("csubj").as("subj"), col("pred"),
-          col("cobj").as("obj"))
-        .dropDuplicates()
+      triplesCompute(factsDf, canonicalDf)
     }
 
     if (mergeGraph && !stageDone("merge", updateTag)) {
@@ -197,7 +287,6 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
       System.err.println(f"[kg-timing] stage=merge sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
-    flushLineage()
     Result(pagesDf, textsDf, linksDf, canonicalDf, triplesDf)
   }
 
@@ -234,13 +323,14 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
       pageRows.unionByName(entityRows), updateTag, nodes))
 
     // MENTIONS edges with per-pair mention counts: aggregate BEFORE the
-    // edge upsert (partial aggregation defuses the Zipf head entity)
+    // edge upsert (partial aggregation defuses the Zipf head entity).
+    // countDistinct(span) inside ONE groupBy replaces the previous
+    // dropDuplicates-then-count pair — same result, one shuffle fewer.
     val canonB = broadcast(canonicalDf
       .select(col("id").as("entity_id"), col("canonical_id")))
     val mentionEdges = linksDf.join(canonB, Seq("entity_id"))
-      .dropDuplicates("url", "start", "end", "canonical_id")
       .groupBy(col("url"), col("canonical_id"))
-      .agg(count(lit(1)).as("n_mentions"))
+      .agg(countDistinct(struct(col("start"), col("end"))).as("n_mentions"))
       .select(lit("Page").as("src_label"), col("url").as("src_id"),
         lit("MENTIONS").as("rel_label"),
         lit("Entity").as("dst_label"), col("canonical_id").as("dst_id"),
@@ -256,13 +346,21 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
         map(lit("n_sources"), col("n_sources").cast("string")).as("props"),
         lit(updateTag).as("firstseen"), lit(updateTag).as("lastupdated"))
 
+    // both inputs are aggregation outputs, hence already key-unique —
+    // skip the batch-dedup shuffle
     subTimed("merge.edges")(GraphMerge.upsertEdgeBatch(spark,
       mentionEdges.unionByName(tripleEdges), updateTag, edges,
-      collectStats = false))
+      collectStats = false, dedupBatch = false))
   }
 }
 
 object KgPipeline {
+  /** Registry of stage names, in canonical dependency order — the
+    * TOP_LEVEL_MODULES analog (cartography/sync.py:47-61).
+    */
+  val StageNames: Seq[String] =
+    Seq("extract", "facts", "canonical", "triples", "merge")
+
   /** Upper bound on driver-materialized dictionary rows: the AC automaton
     * and alias→entity map are broadcast to every executor, so they must
     * fit in one heap no matter how the rows arrive. ~5M aliases ≈ low

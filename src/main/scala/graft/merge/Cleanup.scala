@@ -35,6 +35,43 @@ object Cleanup {
   /** The `<> update_tag` freshness predicate — preserved exactly. */
   private def stale(tag: Long) = col("lastupdated") =!= lit(tag)
 
+  /** Property-clearing scan — the `REMOVE n.prop1, n.prop2` analog
+    * (reference: data/jobs/analysis/aws_ec2_asset_exposure.json stmts 1-4,
+    * which clear stale exposure flags before re-tagging). Removes the
+    * given keys from the props map of every `label` node that matches
+    * `predicate` AND holds at least one of the keys. Returns the number
+    * of nodes cleared.
+    *
+    * Scale: bucket-precise like every other mutation — only the buckets
+    * containing affected rows are rewritten; a no-op clear commits
+    * nothing. The reference's iterative `WITH n LIMIT $LIMIT_SIZE` loop
+    * (graph/job.py:152-161) exists to bound Neo4j transaction memory;
+    * set-oriented Spark needs no iteration.
+    */
+  def clearProperties(spark: SparkSession, nodes: SnapshotTable,
+                      label: String, props: Seq[String], updateTag: Long,
+                      predicate: org.apache.spark.sql.Column = lit(true)): Long = {
+    require(props.nonEmpty, "clearProperties requires at least one property name")
+    val part = nodes.readPartition(label).getOrElse(return 0L)
+    val holdsAny = props.map(p => element_at(col("props"), p).isNotNull)
+      .reduce(_ || _)
+    val affected = part.filter(predicate && holdsAny).cache()
+    val n = affected.count()
+    if (n > 0) {
+      val touched = nodes.physicalValuesOf(affected)
+      val dropKeys = array(props.map(lit): _*)
+      val rewritten = nodes.readPhysical(touched)
+        .getOrElse(sys.error("affected buckets vanished mid-clear"))
+        .withColumn("props",
+          when(predicate && holdsAny,
+            map_filter(col("props"), (k, _) => !array_contains(dropKeys, k)))
+            .otherwise(col("props")))
+      nodes.commitPhysical(rewritten, updateTag, touched)
+    }
+    affected.unpersist()
+    n
+  }
+
   def run(spark: SparkSession, schema: NodeSchema,
           kwargs: Map[String, String], updateTag: Long,
           nodes: SnapshotTable, edges: SnapshotTable): CleanupStats = {

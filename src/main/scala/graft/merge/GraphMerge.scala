@@ -147,21 +147,32 @@ object GraphMerge {
     * express the label.
     */
   def upsertEdgeBatch(spark: SparkSession, batch: DataFrame, updateTag: Long,
-                      edges: SnapshotTable, collectStats: Boolean = true): Long = {
+                      edges: SnapshotTable, collectStats: Boolean = true,
+                      dedupBatch: Boolean = true): Long = {
     val keys = Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id")
-    val fresh = batch.dropDuplicates(keys).persist()
+    // dedupBatch=false skips a corpus-sized shuffle when the caller's
+    // batch is already key-unique (e.g. an aggregation output)
+    val fresh = (if (dedupBatch) batch.dropDuplicates(keys) else batch).persist()
     try {
+      // first commit: the batch IS the table — no upsert join, and no
+      // touched-partition pre-pass (commit() lays out whatever exists)
+      if (!edges.exists) {
+        if (fresh.isEmpty) return 0L
+        val n = if (collectStats) fresh.count() else -1L
+        edges.commit(fresh, updateTag)
+        return n
+      }
       // bucket-precise: only the physical partitions the batch hashes
       // into are read and rewritten; every other bucket's files are
       // carried forward by reference in the new manifest
       val touched = edges.physicalValuesOf(fresh)
       if (touched.isEmpty) return 0L
-      val existing = (if (edges.exists) edges.readPhysical(touched) else None)
-        .getOrElse(GraphTables.emptyEdges(spark))
-      val merged = upsert(existing, fresh, keys, updateTag)
+      val merged = edges.readPhysical(touched) match {
+        case Some(existing) => upsert(existing, fresh, keys, updateTag)
+        case None => fresh
+      }
       val n = if (collectStats) fresh.count() else -1L
-      if (edges.exists) edges.commitPhysical(merged, updateTag, touched)
-      else edges.commit(merged, updateTag)
+      edges.commitPhysical(merged, updateTag, touched)
       n
     } finally fresh.unpersist()
   }
@@ -176,38 +187,72 @@ object GraphMerge {
                       nodes: SnapshotTable): Long = {
     val fresh = batch.dropDuplicates("label", "id").persist()
     try {
+      if (!nodes.exists) { // first commit: the batch IS the table
+        if (fresh.isEmpty) return 0L
+        nodes.commit(fresh, updateTag)
+        return -1L
+      }
       val touched = nodes.physicalValuesOf(fresh)
       if (touched.isEmpty) return 0L
-      val existing = (if (nodes.exists) nodes.readPhysical(touched) else None)
-        .getOrElse(GraphTables.emptyNodes(spark))
-      val merged = upsert(existing, fresh, Seq("label", "id"), updateTag)
-      if (nodes.exists) nodes.commitPhysical(merged, updateTag, touched)
-      else nodes.commit(merged, updateTag)
+      val merged = nodes.readPhysical(touched) match {
+        case Some(existing) => upsert(existing, fresh, Seq("label", "id"), updateTag)
+        case None => fresh
+      }
+      nodes.commitPhysical(merged, updateTag, touched)
       -1L
     } finally fresh.unpersist()
   }
 
-  /** Full load: nodes + all relationship attachments, committed to the
-    * snapshot tables. Returns stats for lineage.
+  /** Restrict a schema's declared relationships to a selected subset —
+    * the filter_selected_relationships semantics
+    * (cartography/graph/querybuilder.py:319-358):
+    *  - None selects everything (no filtering);
+    *  - Some(set) must name only rels declared on the schema (sub-resource
+    *    rel label or an otherRels label) — anything else is an error;
+    *  - the sub-resource rel is attached ONLY if explicitly selected;
+    *  - Some(empty) selects no relationships at all.
+    */
+  def filterSelectedRels(schema: NodeSchema, selected: Option[Set[String]])
+      : (Option[SubResourceRel], Seq[RelSchema]) = selected match {
+    case None => (schema.subResource, schema.otherRels)
+    case Some(sel) =>
+      val declared = schema.relLabels.toSet
+      val unknown = sel -- declared
+      require(unknown.isEmpty,
+        s"selected_relationships ${unknown.mkString(", ")} are not defined on " +
+          s"node schema ${schema.label}. Declared relationships: " +
+          s"${declared.mkString(", ")}.")
+      (schema.subResource.filter(sr => sel(sr.relLabel)),
+        schema.otherRels.filter(r => sel(r.relLabel)))
+  }
+
+  /** Full load: nodes + relationship attachments, committed to the
+    * snapshot tables. `selectedRels` loads only a subset of the schema's
+    * declared relationships (see [[filterSelectedRels]]). Returns stats
+    * for lineage.
     */
   def load(spark: SparkSession, batch: DataFrame, schema: NodeSchema,
            kwargs: Map[String, String], updateTag: Long,
            nodes: SnapshotTable, edges: SnapshotTable,
-           collectStats: Boolean = true): LoadStats = {
+           collectStats: Boolean = true,
+           selectedRels: Option[Set[String]] = None): LoadStats = {
+    val (selSubRes, selOtherRels) = filterSelectedRels(schema, selectedRels)
     if (batch.isEmpty) return LoadStats(0, 0) // no-op on empty input (tx.py:253)
 
     val fresh = toNodeRows(batch, schema, kwargs, updateTag).persist()
-    // bucket-precise merge: read + rewrite only the buckets the batch
-    // hashes into; untouched buckets carry forward by file reference
-    val touched = nodes.physicalValuesOf(fresh)
-    val existingPart = (if (nodes.exists) nodes.readPhysical(touched) else None)
-      .getOrElse(GraphTables.emptyNodes(spark))
-    val mergedPart = upsert(existingPart, fresh, Seq("label", "id"), updateTag)
     val nUpserted = if (collectStats) fresh.count() else -1L
-    if (nodes.exists)
+    if (!nodes.exists) {
+      nodes.commit(fresh, updateTag) // first commit: the batch IS the table
+    } else {
+      // bucket-precise merge: read + rewrite only the buckets the batch
+      // hashes into; untouched buckets carry forward by file reference
+      val touched = nodes.physicalValuesOf(fresh)
+      val mergedPart = nodes.readPhysical(touched) match {
+        case Some(existing) => upsert(existing, fresh, Seq("label", "id"), updateTag)
+        case None => fresh
+      }
       nodes.commitPhysical(mergedPart, updateTag, touched)
-    else
-      nodes.commit(mergedPart, updateTag)
+    }
     fresh.unpersist()
 
     // ---- relationships ----------------------------------------------------
@@ -262,7 +307,7 @@ object GraphMerge {
         .dropDuplicates("src_label", "src_id", "rel_label", "dst_label", "dst_id")
     }
 
-    val subEdges: Seq[DataFrame] = schema.subResource.toSeq.map { sr =>
+    val subEdges: Seq[DataFrame] = selSubRes.toSeq.map { sr =>
       val container = nodeState
         .filter(col("label") === sr.targetLabel &&
           col("id") === lit(kwargs.getOrElse(sr.ref.name,
@@ -273,7 +318,7 @@ object GraphMerge {
           Seq(TargetMatcher(sr.targetKey, sr.ref, MatchMode.Exact))),
         broadcast(container))
     }
-    val otherEdges: Seq[DataFrame] = schema.otherRels.map { rel =>
+    val otherEdges: Seq[DataFrame] = selOtherRels.map { rel =>
       edgeRowsFor(rel, nodeState.filter(col("label") === rel.targetLabel))
     }
     val allEdges = (subEdges ++ otherEdges).reduceOption(_ unionByName _)
@@ -283,17 +328,20 @@ object GraphMerge {
       case Some(e0) =>
         val e = e0.persist()
         try {
-          val touchedE = edges.physicalValuesOf(e)
-          if (touchedE.isEmpty) 0L // every matcher missed (silent skip)
-          else {
-            val existingTouched =
-              (if (edges.exists) edges.readPhysical(touchedE) else None)
-                .getOrElse(GraphTables.emptyEdges(spark))
-            val mergedE = upsert(existingTouched, e,
-              Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id"), updateTag)
+          if (e.isEmpty) 0L // every matcher missed (silent skip)
+          else if (!edges.exists) {
             val n = if (collectStats) e.count() else -1L
-            if (edges.exists) edges.commitPhysical(mergedE, updateTag, touchedE)
-            else edges.commit(mergedE, updateTag)
+            edges.commit(e, updateTag) // first commit: the batch IS the table
+            n
+          } else {
+            val touchedE = edges.physicalValuesOf(e)
+            val mergedE = edges.readPhysical(touchedE) match {
+              case Some(existing) => upsert(existing, e,
+                Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id"), updateTag)
+              case None => e
+            }
+            val n = if (collectStats) e.count() else -1L
+            edges.commitPhysical(mergedE, updateTag, touchedE)
             n
           }
         } finally e.unpersist()

@@ -143,4 +143,130 @@ object GraphOps {
     added.unionByName(removed).select(col("id"), col("direction"))
       .orderBy(col("direction"), col("id"))
   }
+
+  /** q25: property-clearing scan — the REMOVE n.flag analog
+    * (data/jobs/analysis/aws_ec2_asset_exposure.json stmts 1-4). Loads
+    * nation 1's customers with an `exposed` flag on every node, clears
+    * the flag from the BUILDING segment, and returns the surviving flag
+    * per node; the oracle recomputes the expected flag arithmetically.
+    */
+  def q25ClearProps(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = tempRoot()
+    val nodes = GraphTables.nodes(spark, root)
+    val edges = GraphTables.edges(spark, root)
+    val schema = NodeSchema("Customer", RowRef("cid"),
+      properties = Map("segment" -> RowRef("c_mktsegment"),
+        "exposed" -> KwargRef("exposed")))
+    GraphMerge.load(spark, customersOf(spark, sfDir, 1), schema,
+      Map("exposed" -> "true"), 100L, nodes, edges)
+    Cleanup.clearProperties(spark, nodes, "Customer", Seq("exposed"), 200L,
+      predicate = element_at(col("props"), "segment") === "BUILDING")
+    nodes.read().filter(col("label") === "Customer")
+      .select(col("id"),
+        element_at(col("props"), "segment").as("segment"),
+        element_at(col("props"), "exposed").as("exposed"))
+      .orderBy(col("id"))
+  }
+
+  /** q26: data-driven analysis job (jobs-as-data + parameter validation,
+    * cartography/graph/job.py:23-53,137-150 + intel/analysis.py:12-42):
+    * the job definition below is DATA (json), not code — statement 1
+    * clears stale exposure flags (the REMOVE analog), statement 2
+    * re-derives the flagged set from a validated $THRESHOLD parameter,
+    * statement 3 reports it.
+    */
+  def q26AnalysisJob(spark: SparkSession, sfDir: String): DataFrame = {
+    val jobJson =
+      """{ "name": "customer exposure analysis",
+        |  "statements": [
+        |   {"query": "SELECT id, map_filter(props, (k, v) -> k != 'exposed') AS props FROM nodes",
+        |    "updates": "nodes", "iterative": true, "iterationsize": 1000},
+        |   {"query": "SELECT id, element_at(props, 'segment') AS segment FROM nodes WHERE CAST(element_at(props, 'acctbal') AS DOUBLE) > $THRESHOLD",
+        |    "updates": "flagged"},
+        |   {"query": "SELECT segment, COUNT(*) AS n_flagged, (SELECT COUNT(*) FROM nodes WHERE map_contains_key(props, 'exposed')) AS exposed_left FROM flagged GROUP BY segment ORDER BY segment"}
+        |  ]}""".stripMargin
+    val job = graft.jobs.GraphJob.fromJson(jobJson)
+    val cust = graft.core.Graft.table(spark, sfDir, "customer")
+      .filter(col("c_nationkey") === 1)
+    val baseProps = map(
+      lit("segment"), col("c_mktsegment"),
+      lit("acctbal"), col("c_acctbal").cast("string"))
+    val nodes0 = cust.select(
+      col("c_custkey").cast("string").as("id"),
+      when(col("c_custkey") % 3 === 0,
+        map_concat(baseProps, map(lit("exposed"), lit("stale"))))
+        .otherwise(baseProps).as("props"))
+    val (_, out) = job.run(spark, Map("nodes" -> nodes0),
+      Map("THRESHOLD" -> "5000.0"))
+    out.get
+  }
+
+  /** q27: canonicalized drift-state artifacts + validated both-direction
+    * diff (driftdetect/get_states.py:130-161, detect_deviations.py:
+    * 66-112). Two states of the same validation query over different
+    * sync snapshots; array props exercise the sort+pipe-join
+    * canonicalization; diff rows come back as a DataFrame.
+    */
+  def q27DriftStates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.drift.DriftStates
+    val cust = customersOf(spark, sfDir, 1)
+    val ord = Graft.table(spark, sfDir, "orders")
+      .select(col("o_custkey").cast("string").as("cid"),
+        col("o_orderpriority"))
+    val withPrios = cust.join(ord, Seq("cid"))
+      .groupBy(col("cid").as("id"))
+      .agg(collect_set(col("o_orderpriority")).as("prios"))
+    val q = "customer order priorities, nation 1"
+    val s1 = DriftStates.fromDataFrame("cust_prios", q,
+      withPrios.filter(col("id").cast("long") % 2 === 0))
+    val s2 = DriftStates.fromDataFrame("cust_prios", q,
+      withPrios.filter(col("id").cast("long") % 3 === 0))
+    // round-trip through the saved JSON artifacts, as the reference does
+    val dir = tempRoot()
+    DriftStates.save(s1, s"$dir/state1.json")
+    DriftStates.save(s2, s"$dir/state2.json")
+    val (added, removed) = DriftStates.performDriftDetection(
+      DriftStates.load(s"$dir/state1.json"), DriftStates.load(s"$dir/state2.json"))
+    (added.map(r => ("added", r(0), r(1))) ++
+      removed.map(r => ("removed", r(0), r(1))))
+      .toDF("direction", "id", "prios")
+      .orderBy("direction", "id")
+  }
+
+  /** q28: selected_relationships — load the same batch twice, once with
+    * every declared rel and once with only PLACED_BY selected
+    * (querybuilder.py:319-358); report per-run edge counts.
+    */
+  def q28SelectedRels(spark: SparkSession, sfDir: String): DataFrame = {
+    val orderSchema = NodeSchema("Order", RowRef("oid"),
+      subResource = Some(SubResourceRel(targetLabel = "Nation",
+        ref = KwargRef("nation_id"))),
+      otherRels = Seq(RelSchema("PLACED_BY", "Customer",
+        LinkDirection.Outward, Seq(TargetMatcher("id", RowRef("ocust"))))))
+    val custSchema = NodeSchema("Customer", RowRef("cid"))
+    def ordersBatch = Graft.table(spark, sfDir, "orders")
+      .join(Graft.table(spark, sfDir, "customer")
+        .filter(col("c_nationkey") === 1)
+        .select(col("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").cast("string").as("oid"),
+        col("o_custkey").cast("string").as("ocust"))
+    def run(tag: String, selected: Option[Set[String]]): DataFrame = {
+      val root = tempRoot()
+      val nodes = GraphTables.nodes(spark, root)
+      val edges = GraphTables.edges(spark, root)
+      loadNation(spark, sfDir, 1, nodes, edges)
+      GraphMerge.load(spark, customersOf(spark, sfDir, 1), custSchema,
+        Map.empty, 100L, nodes, edges)
+      GraphMerge.load(spark, ordersBatch, orderSchema,
+        Map("nation_id" -> "1"), 100L, nodes, edges,
+        collectStats = false, selectedRels = selected)
+      edges.read().filter(col("src_label") === "Order" || col("dst_label") === "Order")
+        .groupBy(col("rel_label")).agg(count(lit(1)).as("n_edges"))
+        .select(lit(tag).as("run"), col("rel_label"), col("n_edges"))
+    }
+    run("all", None)
+      .unionByName(run("subset", Some(Set("PLACED_BY"))))
+      .orderBy("run", "rel_label")
+  }
 }

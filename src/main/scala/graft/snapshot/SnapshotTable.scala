@@ -205,15 +205,17 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     sb.toString
   }
 
-  /** Write every `values` physical partition of `df` in ONE Spark job via
-    * partitionBy — a commit touching k partitions would otherwise run k
-    * write jobs, each recomputing or rescanning the plan. Returns
-    * physical value → data dir for the manifest; values that produced
-    * no rows are absent (an empty partition and a missing one read the
-    * same).
+  /** Write physical partitions of `df` in ONE Spark job via partitionBy
+    * — a commit touching k partitions would otherwise run k write jobs,
+    * each recomputing or rescanning the plan. `values = Some(touched)`
+    * restricts the write to those physical partitions (scoped commits);
+    * None writes everything present (full commits — no distinct-values
+    * pre-pass job). Returns physical value → data dir for the manifest;
+    * values that produced no rows are absent (an empty partition and a
+    * missing one read the same).
     */
   private def writeDataPartitioned(df: DataFrame, v: Long,
-                                   values: Seq[String]): Map[String, String] = {
+                                   values: Option[Seq[String]]): Map[String, String] = {
     val base = s"data/v$v"
     val (out, byCol) = bucket match {
       case Some(_) =>
@@ -223,8 +225,19 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
         val c = partitionCol.get
         (df.withColumn(c, col(c).cast("string")), c)
     }
-    out.filter(col(byCol).isin(values: _*))
-      .write.mode("overwrite").partitionBy(byCol).parquet(s"$root/$base")
+    // Bucketed tables cluster by physical value before the write:
+    // without it every task holds rows of every bucket and partitionBy
+    // opens tasks×buckets writers (thousands of tiny files per commit);
+    // with it each bucket's rows land in one task → ~one file per bucket.
+    val clustered = bucket match {
+      case Some(_) => out.repartition(col(byCol))
+      case None => out
+    }
+    val scoped = values match {
+      case Some(vs) => clustered.filter(col(byCol).isin(vs: _*))
+      case None => clustered
+    }
+    scoped.write.mode("overwrite").partitionBy(byCol).parquet(s"$root/$base")
     val dir = Paths.get(root, "data", s"v$v")
     if (!Files.isDirectory(dir)) return Map.empty
     Files.list(dir).iterator().asScala
@@ -235,22 +248,15 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   }
 
   /** Full-table commit: every physical partition present in `df` is
-    * written; partitions absent from `df` are dropped.
+    * written; partitions absent from `df` are dropped. ONE write job, no
+    * pre-pass: partitionBy lays out whatever values exist and the
+    * manifest is built from the directories actually written.
     */
   def commit(df: DataFrame, updateTag: Long): Long = {
     val v = latestVersion.getOrElse(0L) + 1
     val parts: Map[String, String] = partitionCol match {
-      case Some(_) =>
-        // One partitionBy job writes every partition; a distinct-values
-        // pre-pass + one write per value would run the upstream plan
-        // k+1 times.
-        df.persist()
-        try {
-          val values = physicalValuesOf(df)
-          writeDataPartitioned(df, v, values)
-        } finally df.unpersist()
-      case None =>
-        Map("all" -> writeData(df, v, "all"))
+      case Some(_) => writeDataPartitioned(df, v, values = None)
+      case None => Map("all" -> writeData(df, v, "all"))
     }
     writeManifest(v, updateTag, parts)
     v
@@ -267,10 +273,36 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     require(partitionCol.isDefined, "commitPhysical requires a partition column")
     val v = latestVersion.getOrElse(0L) + 1
     val carried = latestVersion.map(partitionsOf).getOrElse(Map.empty) -- touched
-    val fresh = writeDataPartitioned(df, v, touched)
+    val fresh = writeDataPartitioned(df, v, Some(touched))
     writeManifest(v, updateTag, carried ++ fresh)
     v
   }
+
+  /** Per-file committed row counts of a version, straight from the
+    * parquet footers — NO Spark job. Powers lineage rows and benchmark
+    * page counts; a count() job on tiny committed tables costs more in
+    * scheduling than the data.
+    */
+  def fileRowCounts(v: Long): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    partitionsOf(v).toSeq.sortBy(_._1).flatMap { case (_, rel) =>
+      val dir = Paths.get(root, rel)
+      if (!Files.isDirectory(dir)) Seq.empty
+      else Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+    }
+  }
+
+  /** Total committed rows of the latest version (footer-based, no job). */
+  def rowCount(): Long = fileRowCounts(latestVersion.getOrElse(
+    sys.error(s"snapshot table $root has no committed version"))).sum
 
   /** Commit scoped to LOGICAL partitions: every bucket of a touched
     * logical value is rewritten from `df` (or dropped if `df` has no rows
