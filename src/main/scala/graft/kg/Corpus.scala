@@ -90,68 +90,86 @@ object Corpus {
     * block the extractor drops, so the ground-truth text is untouched.
     */
   def noiseWords(i: Long, words: Int): String = {
-    val sb = new java.lang.StringBuilder(words * 9 + 8)
-    appendNoiseWords(sb, i, words)
-    sb.toString
-  }
-
-  private def appendNoiseWords(sb: java.lang.StringBuilder, i: Long, words: Int): Unit = {
-    if (words <= 0) return
-    var s = i * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
-    var w = 0
-    while (w < words) {
-      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-      sb.append(java.lang.Long.toHexString(s & 0xffffffffL))
-      w += 1
-      if (w < words) sb.append(if (w % 12 == 0) ". " else " ")
-    }
-  }
-
-  private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '&') sb.append("&amp;")
-      else if (c == '<') sb.append("&lt;")
-      else if (c == '>') sb.append("&gt;")
-      else if (c > 126) sb.append("&#").append(c.toInt).append(';')
-      else sb.append(c)
-      i += 1
-    }
+    // reuse the byte renderer's noise generator via a minimal page, then
+    // cut the aside body back out — single implementation, no twins
+    val html = renderHtml(i, "", words)
+    val a = html.indexOf("<li>", html.indexOf("<aside")) + 4
+    val b = html.indexOf("</li></ul></aside>")
+    if (words <= 0) "" else html.substring(a, b)
   }
 
   /** Wrap ground-truth text into the noisy HTML page. `noise` > 0 adds
     * that many boilerplate filler words (bench corpora only — the real
     * Common-Crawl regime where markup/boilerplate dwarfs content and
-    * Stage-1 extraction dominates the pipeline cost). Built in ONE
-    * StringBuilder: page generation shares the Stage-1 hot loop with
-    * extraction in the benchmark, so intermediate 40 KB string copies
-    * were a measurable fraction of pipeline wall time.
+    * Stage-1 extraction dominates the pipeline cost).
     */
-  def renderHtml(i: Long, text: String, noise: Int = 0): String = {
-    val sb = new java.lang.StringBuilder(text.length + noise * 9 + 512)
-    sb.append("<html><head><title>Doc ").append(i)
-      .append("</title><script type=\"text/javascript\">var p=").append(i)
-      .append(";if(p<0){document.write(\"<p>ghost</p>\");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl ")
-      .append(i).append(" --><nav><ul><li><a href=\"/home\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav>")
-    if (noise > 0) {
-      sb.append("<aside class=\"recommended\"><ul><li>")
-      appendNoiseWords(sb, i, noise)
-      sb.append("</li></ul></aside>")
+  def renderHtml(i: Long, text: String, noise: Int = 0): String =
+    new String(renderHtmlBytes(i, text, noise),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Render straight to bytes: the template + escaped text + hex noise
+    * are pure ASCII by construction (escape() entity-encodes everything
+    * above 126), so building the byte[] directly skips the String
+    * round-trip and its UTF-8 re-encode — two full-page copies per page,
+    * which at benchmark parallelism is measurable memory-bandwidth
+    * pressure.
+    */
+  def renderHtmlBytes(i: Long, text: String, noise: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(text.length + noise * 10 + 1024)
+    def ascii(s: String): Unit = {
+      var k = 0
+      while (k < s.length) { out.write(s.charAt(k).toInt); k += 1 }
     }
-    sb.append("<div id=\"main\"><article>")
+    def longDigits(v: Long): Unit = ascii(java.lang.Long.toString(v))
+    def escaped(s: String): Unit = {
+      var k = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (c == '&') ascii("&amp;")
+        else if (c == '<') ascii("&lt;")
+        else if (c == '>') ascii("&gt;")
+        else if (c > 126) { ascii("&#"); longDigits(c.toInt.toLong); out.write(';') }
+        else out.write(c.toInt)
+        k += 1
+      }
+    }
+    def hex(v: Long): Unit = {
+      if (v == 0) { out.write('0'); return }
+      var shift = (63 - java.lang.Long.numberOfLeadingZeros(v)) / 4 * 4
+      while (shift >= 0) {
+        val d = ((v >>> shift) & 0xf).toInt
+        out.write(if (d < 10) '0' + d else 'a' + d - 10)
+        shift -= 4
+      }
+    }
+    ascii("<html><head><title>Doc "); longDigits(i)
+    ascii("</title><script type=\"text/javascript\">var p="); longDigits(i)
+    ascii(";if(p<0){document.write(\"<p>ghost</p>\");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl ")
+    longDigits(i)
+    ascii(" --><nav><ul><li><a href=\"/home\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav>")
+    if (noise > 0) {
+      ascii("<aside class=\"recommended\"><ul><li>")
+      var s = i * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+      var w = 0
+      while (w < noise) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        hex(s & 0xffffffffL)
+        w += 1
+        if (w < noise) ascii(if (w % 12 == 0) ". " else " ")
+      }
+      ascii("</li></ul></aside>")
+    }
+    ascii("<div id=\"main\"><article>")
     var from = 0
     while (from <= text.length) {
       val cut = text.indexOf("\n\n", from)
       val end = if (cut < 0) text.length else cut
-      sb.append("<p>")
-      appendEscaped(sb, text.substring(from, end))
-      sb.append("</p>")
+      ascii("<p>"); escaped(text.substring(from, end)); ascii("</p>")
       if (cut < 0) from = text.length + 1 else from = cut + 2
     }
-    sb.append("</article></div><footer><p>&copy; host").append(i % 50)
-      .append(" &middot; all rights reserved</p></footer></body></html>")
-    sb.toString
+    ascii("</article></div><footer><p>&copy; host"); longDigits(i % 50)
+    ascii(" &middot; all rights reserved</p></footer></body></html>")
+    out.toByteArray
   }
 
   /** The pages table: one page per document row × `replicas` (replica r
@@ -178,9 +196,7 @@ object Corpus {
       (0 until r).map { rep =>
         val i = docId + rep.toLong * 10000L
         val text = groundTruthText(i, src)
-        Page(urlOf(i), tsOf(i),
-          renderHtml(i, text, nz).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          text, lang)
+        Page(urlOf(i), tsOf(i), renderHtmlBytes(i, text, nz), text, lang)
       }
     }
   }
