@@ -352,6 +352,12 @@ object SparkEntry {
          |  SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.n)
          |SELECT n AS doc_id, MIN(l) AS canonical FROM lbl
          |GROUP BY n ORDER BY doc_id""".stripMargin,
+    "qdd4_minhash_lsh" ->
+      s"""$dedupCorpusCte, $dedupPairsCte
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "qdd5_simhash" ->
+      s"""$dedupCorpusCte, $dedupPairsCte
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     "qtx1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -396,6 +402,13 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "qtx4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qtx5_rabin" ->
+      """SELECT doc_id, CAST(list_reduce(
+        |  list_prepend(CAST(0 AS HUGEINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |  (h, c) -> (h * 257 + c) % 2305843009213693951
+        |) AS BIGINT) AS rabin_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "qann1_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

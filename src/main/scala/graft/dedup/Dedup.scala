@@ -61,10 +61,30 @@ object Dedup {
 
   /** Exact all-pairs Jaccard ≥ 1/2 via inverted-index self-join; integer
     * threshold arithmetic, no floating point.
+    *
+    * `maxDf` caps the inverted index: a shingle appearing in more than
+    * maxDf documents is dropped from the postings BEFORE the self-join —
+    * without the cap one ubiquitous shingle contributes O(df²) candidate
+    * rows and explodes the join at scale. The drop is LOGGED, never
+    * silent, and only ever loses pairs whose overlap hides entirely in
+    * ubiquitous shingles (intersection counts shrink; sizes stay exact,
+    * so no false positives are introduced). The oracle corpus stays far
+    * under the default cap.
     */
-  def allPairsJaccard(spark: SparkSession, corpus: DataFrame): DataFrame = {
-    val sh = shingleRows(corpus).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+  def allPairsJaccard(spark: SparkSession, corpus: DataFrame,
+                      maxDf: Int = 1000): DataFrame = {
+    val sh0 = shingleRows(corpus).cache()
+    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle")).cache()
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(
+        s"[dedup] df-cap: dropped $nHot shingles with df > $maxDf from the " +
+          "inverted index (pairs overlapping only in those are not emitted)")
+    val sh = if (nHot == 0) sh0
+             else sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -80,7 +100,12 @@ object Dedup {
   }
 
   private val NumHashes = 64
-  private val Bands = 16
+  // 32 bands of r=2 rows: candidate probability at the Jaccard-0.5
+  // decision threshold is 1-(1-0.5^2)^32 ≈ 0.9999 (vs ≈0.96 for 16×4),
+  // so LSH-verified output matches the exact all-pairs baseline on the
+  // fixture corpora and the driver oracle can assert equality. More
+  // bands = more candidates; exact verification keeps precision at 1.0.
+  private val Bands = 32
 
   /** MinHash signature of a shingle set. */
   def minhashSig(shingles: Iterable[String]): Array[Int] = {
@@ -167,9 +192,25 @@ object Dedup {
     * recall/candidate-volume tradeoff, tunable per corpus.
     */
   def simhashPairs(spark: SparkSession, corpus: DataFrame,
-                   maxHamming: Int = 20): DataFrame = {
-    import spark.implicits._
+                   maxHamming: Int = 20): DataFrame =
+    simhashCandidates(spark, shingleRows(corpus), maxHamming)
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash candidates + exact-Jaccard verification: the same verified
+    * near-dup contract as the MinHash path, with SimHash as the cheaper
+    * candidate generator (one 64-bit signature per doc instead of 64
+    * minima). Oracle-checkable because verification reduces the output
+    * to the exact all-pairs baseline whenever candidate recall is 1.
+    */
+  def simhashVerifiedPairs(spark: SparkSession, corpus: DataFrame,
+                           maxHamming: Int = 20): DataFrame = {
     val sh = shingleRows(corpus)
+    verifyPairs(spark, simhashCandidates(spark, sh, maxHamming), sh)
+  }
+
+  private def simhashCandidates(spark: SparkSession, sh: DataFrame,
+                                maxHamming: Int): DataFrame = {
+    import spark.implicits._
     val sigs = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("shingles"))
       .as[(Long, Seq[String])]
@@ -186,7 +227,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Near-dup clusters: connected components over the verified pair

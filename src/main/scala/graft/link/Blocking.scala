@@ -54,12 +54,15 @@ object Blocking {
   }
 
   /** LSH bucket-size cap: a band bucket holding more members than this
-    * is skipped. An oversized bucket means the band signature carries no
-    * discriminating information (here: every "entity k" alias min-hashes
-    * to the shared head token), and its O(n²) candidate pairs are noise
-    * that exact-Jaccard verification would reject anyway — at a quadratic
-    * price. The exact-alias and rare-token paths keep recall
-    * deterministic independent of this cap.
+    * emits CHAIN pairs (each member paired with its sort-neighbor,
+    * O(m) pairs) instead of all pairs (O(m²)). An oversized bucket means
+    * the band signature carries no discriminating information (here:
+    * every "entity k" alias min-hashes to the shared head token) — but
+    * dropping it outright would make recall data-dependent: a true
+    * duplicate pair whose aliases share no exact form and no rare token
+    * would become unreachable. Chaining keeps every bucket member
+    * connected at linear cost; sort order puts near-identical aliases
+    * adjacent, and exact-Jaccard verification prunes the rest.
     */
   val MaxBucket = 100
 
@@ -80,11 +83,30 @@ object Blocking {
       }: _*)).as("bk"))
       .select(col("alias"), col("entity_id"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val small = banded.groupBy(col("band"), col("bh"))
+    val counts = banded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= MaxBucket)
-      .select(col("band"), col("bh"))
-    pairUp(banded.join(small, Seq("band", "bh"), "left_semi"), Seq("band", "bh"))
+    val small = counts.filter(col("_n") <= MaxBucket).select(col("band"), col("bh"))
+    val smallPairs =
+      pairUp(banded.join(small, Seq("band", "bh"), "left_semi"), Seq("band", "bh"))
+    // oversized buckets: adjacent pairs along the (alias, entity) sort
+    // order — linear in bucket size, keeps the bucket connected
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+      .orderBy(col("alias"), col("entity_id"))
+    val chained = banded.join(counts.filter(col("_n") > MaxBucket)
+        .select(col("band"), col("bh")), Seq("band", "bh"), "left_semi")
+      .withColumn("_pa", lag(col("alias"), 1).over(w))
+      .withColumn("_pe", lag(col("entity_id"), 1).over(w))
+      .filter(col("_pe").isNotNull)
+    val chainPairs = chained.select(
+        col("_pa").as("alias_a"), col("_pe").as("ent_a"),
+        col("alias").as("alias_b"), col("entity_id").as("ent_b"))
+      .unionByName(chained.select(
+        col("alias").as("alias_a"), col("entity_id").as("ent_a"),
+        col("_pa").as("alias_b"), col("_pe").as("ent_b")))
+      .filter(col("ent_a") < col("ent_b"))
+      .dropDuplicates("ent_a", "ent_b", "alias_a", "alias_b")
+    smallPairs.unionByName(chainPairs)
   }
 
   /** Candidate pairs sharing a rare token (df ≤ maxDf). */
@@ -158,8 +180,17 @@ object Blocking {
     val lsh = (0 until bands).iterator.flatMap { b =>
       sigs.groupBy { case (_, _, sig) => sig.slice(b * r, (b + 1) * r).toSeq }
         .valuesIterator
-        .filter(_.sizeIs <= MaxBucket) // same cap as the Dataset path
-        .flatMap(g => for (x <- g; y <- g) yield ((x._1, x._2), (y._1, y._2)))
+        .flatMap { g =>
+          if (g.sizeIs <= MaxBucket)
+            for (x <- g; y <- g) yield ((x._1, x._2), (y._1, y._2))
+          else {
+            // chain pairs along the (alias, entity) sort order — must
+            // stay identical to the Dataset path's window-lag pairs
+            val sorted = g.map(t => (t._1, t._2)).sortBy(identity)
+            sorted.iterator.zip(sorted.iterator.drop(1))
+              .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toSeq
+          }
+        }
     }
     // rare tokens: document frequency over distinct (alias, entity) rows
     val tokRows = rows.flatMap { case (a, e) => tokens(a).distinct.map(t => (t, a, e)) }

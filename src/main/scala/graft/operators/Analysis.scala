@@ -71,14 +71,19 @@ object Analysis {
     * LIKE keeps the predicate inside whole-stage codegen with identical
     * semantics for `*`/`?` globs.
     */
-  def globToLike(glob: String): String =
-    glob.flatMap {
-      case '*' => "%"
-      case '?' => "_"
-      case '%' => "\\%"
-      case '_' => "\\_"
-      case c => c.toString
+  def globToLike(glob: String): String = {
+    // Literal %/_ would need an ESCAPE clause, and Spark and DuckDB
+    // disagree on the default escape character (DuckDB LIKE has none) —
+    // glob alphabets with literal SQL wildcards are rejected rather than
+    // silently diverging between engine and oracle.
+    require(!glob.exists(c => c == '%' || c == '_'),
+      s"glob '$glob' contains a literal % or _ — not supported")
+    glob.map {
+      case '*' => '%'
+      case '?' => '_'
+      case c => c
     }
+  }
 
   private val policyGlobs: Seq[(String, String, String)] = Seq(
     ("pol_a", "allow", "*widget*"), ("pol_a", "deny", "small*"),

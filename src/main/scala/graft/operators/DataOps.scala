@@ -28,15 +28,22 @@ object DataOps {
   }
 
   /** MinHash-LSH near-dup detection (probabilistic candidates + exact
-    * verify). Driver records rows-only; ScalaTest asserts recall vs the
-    * exact all-pairs baseline.
+    * Jaccard verify). Oracle-backed: with 32×2 banding, candidate recall
+    * on the fixture corpus is 1, so the verified output equals the exact
+    * all-pairs baseline and DuckDB can recompute it relationally.
+    * ScalaTest separately asserts recall ≥ 0.9 as the probabilistic
+    * contract.
     */
   def qdd4MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLshPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
 
-  /** SimHash near-dup detection (banded Hamming buckets + verify). */
+  /** SimHash near-dup detection: banded Hamming buckets as the candidate
+    * generator + exact Jaccard verify — oracle-backed the same way as
+    * qdd4. The raw Hamming-threshold variant (simhashPairs) remains
+    * spec-pinned.
+    */
   def qdd5Simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
+    Dedup.simhashVerifiedPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
 
   // ---- text analysis ------------------------------------------------------
 
@@ -52,8 +59,10 @@ object DataOps {
   def qtx4Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.fingerprintMd5(TextStats.docs(spark, sfDir))
 
-  /** Rabin rolling-hash fingerprints — rows-only (not SQL-expressible);
-    * determinism asserted in ScalaTest.
+  /** Rabin rolling polynomial fingerprints — oracle-backed: the hash is
+    * (h·257 + c) mod 2⁶¹−1 over UTF-16 code units, which DuckDB
+    * recomputes exactly with a HUGEINT list_reduce (the corpus is BMP
+    * text, where code units and codepoints coincide).
     */
   def qtx5Rabin(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.rabinFingerprints(spark, TextStats.docs(spark, sfDir))

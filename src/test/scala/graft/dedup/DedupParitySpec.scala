@@ -1,0 +1,54 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Oracle-parity and bounded-miss contracts for the dedup operators:
+  * the probabilistic candidate generators (MinHash-LSH 32×2, SimHash
+  * banded Hamming) followed by exact-Jaccard verification must emit
+  * exactly the all-pairs baseline on the fixture corpus (this is what
+  * lets the driver hash-compare qdd4/qdd5 against the same DuckDB SQL
+  * as qdd2), and the df-capped inverted index must drop ubiquitous
+  * shingles loudly without ever inventing pairs.
+  */
+class DedupParitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH-verified and SimHash-verified pairs equal the exact all-pairs baseline") {
+    val corpus = Dedup.corpusWithCopies(spark, sf1)
+    val exact = pairSet(Dedup.allPairsJaccard(spark, corpus))
+    assert(exact.nonEmpty)
+    val lsh = pairSet(Dedup.minhashLshPairs(spark, corpus))
+    assert(lsh === exact, s"LSH missing=${(exact -- lsh).take(3)} extra=${(lsh -- exact).take(3)}")
+    val sim = pairSet(Dedup.simhashVerifiedPairs(spark, corpus))
+    assert(sim === exact, s"SimHash missing=${(exact -- sim).take(3)} extra=${(sim -- exact).take(3)}")
+  }
+
+  test("df-cap prunes ubiquitous shingles: never invents pairs, loses only boilerplate-overlap pairs") {
+    // 30 docs sharing heavy boilerplate + unique tails; docs 100/101 are
+    // exact copies of each other with a mostly-unique body.
+    val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+    val uniqueBody = (0 until 40).map(i => s"u$i").mkString(" ")
+    val docs =
+      (0L until 30L).map(i => (i, s"$boiler tail$i x$i y$i")) ++
+        Seq((100L, s"b0 b1 b2 $uniqueBody"), (101L, s"b0 b1 b2 $uniqueBody"))
+    val corpus = docs.toDF("doc_id", "text")
+
+    // uncapped: boilerplate-heavy docs all pair up
+    val uncapped = pairSet(Dedup.allPairsJaccard(spark, corpus, maxDf = 100000))
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.exists { case (a, b) => a < 30 && b < 30 },
+      "boilerplate similarity passes the threshold uncapped")
+
+    // capped: boilerplate shingles (df ~ 30) leave the index; the copy
+    // pair survives on its distinctive body, cross pairs disappear
+    val capped = pairSet(Dedup.allPairsJaccard(spark, corpus, maxDf = 10))
+    assert(capped.contains((100L, 101L)), "distinctive-overlap pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a < 30 && b < 30 },
+      "boilerplate-only pairs are the documented bounded miss")
+    assert(capped.subsetOf(uncapped), "the cap can only remove pairs, never invent them")
+  }
+}

@@ -16,10 +16,13 @@ class AnalysisSpec extends SparkSpecBase {
     assert(got === Map(1 -> 2L, 2 -> 2L, 3 -> 0L))
   }
 
-  test("globToLike translates * and ? and escapes LIKE metacharacters") {
+  test("globToLike translates * and ?, and rejects literal LIKE metacharacters") {
     assert(Analysis.globToLike("*widget*") === "%widget%")
     assert(Analysis.globToLike("?o*") === "_o%")
-    assert(Analysis.globToLike("a%b_c") === "a\\%b\\_c")
+    // literal %/_ would need an ESCAPE clause whose default differs
+    // between Spark and DuckDB — rejected instead of silently diverging
+    val err = intercept[IllegalArgumentException](Analysis.globToLike("a%b_c"))
+    assert(err.getMessage.contains("literal"))
   }
 
   test("wildcard policy: deny precedence blocks an otherwise-allowed name") {

@@ -41,7 +41,7 @@ class DataOpsSpec extends SparkSpecBase {
       s"missed ${missedNear.size} of ${plantedNear.size} planted near copies")
   }
 
-  test("LSH ANN: recall@5 >= 0.5 vs brute force, and bucket probing shrinks candidates") {
+  test("LSH ANN: recall@5 >= 0.7 vs brute force, and bucket probing shrinks candidates") {
     val emb = Knn.embeddings(spark, sf1)
     val qids = (0L until 20L)
     val bf = Knn.bruteForceTopK(spark, emb, qids, 5)
