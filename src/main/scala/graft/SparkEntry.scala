@@ -54,6 +54,7 @@ object SparkEntry {
     "qkg6_graph_edges" -> (KgOps.qkg6GraphEdges _),
     "qkg7_comention" -> (KgOps.qkg7Comention _),
     "qkg8_salted_degree" -> (KgOps.qkg8SaltedDegree _),
+    "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
     "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
@@ -271,6 +272,12 @@ object SparkEntry {
          | COUNT(DISTINCT i) AS n_sources,
          | CAST(100 AS BIGINT) AS firstseen, CAST(100 AS BIGINT) AS lastupdated
          |FROM cz GROUP BY 1, 2, 3 ORDER BY src_id, rel_label, dst_id""".stripMargin,
+    "q29_streaming_sync" ->
+      s"""${KgOps.tripleCte}
+         |SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src_id,
+         | ${KgOps.predCase} AS rel_label,
+         | 'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst_id
+         |FROM cz ORDER BY src_id, rel_label, dst_id""".stripMargin,
     "q23_array_any" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM (
         | SELECT o_custkey,

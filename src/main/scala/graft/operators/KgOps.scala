@@ -141,6 +141,39 @@ object KgOps {
       .limit(30)
   }
 
+  /** Streaming incremental sync, end-to-end: the corpus is written out
+    * as several parquet files, streamed back with AvailableNow +
+    * maxFilesPerTrigger=1 (so the run takes MULTIPLE micro-batches), and
+    * each batch is incrementally merged into a fresh graph via
+    * StreamingSync.kgSink (foreachBatch → bucket-precise upserts). The
+    * final canonical triple-edge set must equal the batch pipeline's —
+    * the oracle recomputes it from doc_id arithmetic, so extraction,
+    * linking, canonicalization AND the cross-batch merge are all on the
+    * hook. Per-batch tags/props are excluded (they depend on which file
+    * lands in which micro-batch).
+    */
+  def q29StreamingSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("kgstream").toString
+    Corpus.pages(spark, sfDir).toDF()
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/pages")
+    val pages = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/pages")
+      .as[graft.kg.Page]
+    val q = graft.streaming.StreamingSync
+      .kgSink(pages, Corpus.aliasRows, s"$tmp/graph", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val preds = Corpus.predicates.map(_._1)
+    graft.merge.GraphTables.edges(spark, s"$tmp/graph").read()
+      .filter(col("rel_label").isin(preds: _*))
+      .select(col("src_id"), col("rel_label"), col("dst_id"))
+      .orderBy("src_id", "rel_label", "dst_id")
+  }
+
   /** Oracle SQL fragments shared by the KG queries. */
   val predCase: String =
     "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"

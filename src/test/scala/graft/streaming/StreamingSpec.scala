@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpecBase
+import graft.kg.{AliasRow, Page}
+import graft.merge.GraphTables
+
+/** Structured-Streaming specs: incremental KG sync via foreachBatch
+  * (firstseen preserved across micro-batches), watermarked windowed
+  * counts (append-mode emission), cross-batch first-seen dedup state.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def page(url: String, when: String, body: String,
+                   lang: String = "en"): Page = {
+    val html = s"<html><body><p>$body</p></body></html>"
+    Page(url, ts(when), html.getBytes("UTF-8"), body, lang)
+  }
+
+  private val dict = Seq(
+    AliasRow("Entity 1", "e0001"), AliasRow("Entity 2", "e0002"),
+    AliasRow("Entity 3", "e0003"))
+
+  test("kgSink merges micro-batches incrementally, preserving firstseen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("kgstreamspec").toString
+    val in = MemoryStream[Page]
+    val q = StreamingSync.kgSink(in.toDS(), dict, s"$tmp/graph", s"$tmp/cp")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        page("u1", "2026-01-01 10:00:00", "Entity 1 works for Entity 2."),
+        page("u2", "2026-01-01 10:05:00", "All about Entity 3 today."))
+      q.processAllAvailable()
+      in.addData(
+        page("u3", "2026-01-01 11:00:00", "Entity 1 is located in Entity 3."))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val nodes = GraphTables.nodes(spark, s"$tmp/graph").read().cache()
+    assert(nodes.filter(col("label") === "Page").select("id").as[String]
+      .collect().sorted.toSeq == Seq("u1", "u2", "u3"))
+    assert(nodes.filter(col("label") === "Entity").select("id").as[String]
+      .collect().sorted.toSeq == Seq("e0001", "e0002", "e0003"))
+    // e0001 was first seen in batch 0 and re-mentioned in batch 1:
+    // firstseen stays 0, lastupdated advances to 1
+    val e1 = nodes.filter(col("label") === "Entity" && col("id") === "e0001")
+      .select("firstseen", "lastupdated").head()
+    assert(e1.getLong(0) == 0L && e1.getLong(1) == 1L)
+
+    val edges = GraphTables.edges(spark, s"$tmp/graph").read()
+      .filter(col("rel_label") =!= "MENTIONS")
+      .select("src_id", "rel_label", "dst_id").as[(String, String, String)]
+      .collect().sorted.toSeq
+    assert(edges == Seq(("e0001", "located_in", "e0003"),
+      ("e0001", "works_for", "e0002")))
+    nodes.unpersist(): Unit
+  }
+
+  test("windowedPageCounts emits a window once its watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = StreamingSync.windowedPageCounts(in.toDS().toDF(), "0 seconds", "1 hour")
+      .writeStream.format("memory").queryName("wcounts")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        page("w1", "2026-01-01 10:00:00", "a"),
+        page("w2", "2026-01-01 10:30:00", "b"),
+        page("w3", "2026-01-01 11:15:00", "c"))
+      q.processAllAvailable()
+      in.addData(page("w4", "2026-01-01 13:00:00", "d"))
+      q.processAllAvailable()
+      in.addData(page("w5", "2026-01-01 15:00:00", "e"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wcounts")
+      .select(col("window_start").cast("string"), col("lang"), col("n_pages"))
+      .as[(String, String, Long)].collect().sorted.toSeq
+    // watermark after batch1 = 11:15 -> closes [10:00,11:00) (2 pages);
+    // after batch2 = 13:00 -> closes [11:00,12:00) (1 page); after
+    // batch3 the trailing no-data micro-batch advances the watermark to
+    // 15:00 and closes [13:00,14:00); the 15:00 window is still open
+    // when the query stops
+    assert(rows == Seq(
+      ("2026-01-01 10:00:00", "en", 2L),
+      ("2026-01-01 11:00:00", "en", 1L),
+      ("2026-01-01 13:00:00", "en", 1L)))
+  }
+
+  test("firstSeenOnly emits one page per fingerprint across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = StreamingSync.firstSeenOnly(in.toDS())
+      .writeStream.format("memory").queryName("firstseen")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        page("u1", "2026-01-01 10:00:00", "hello world"),
+        page("u2", "2026-01-01 10:01:00", "hello world"), // dup in batch
+        page("u3", "2026-01-01 10:02:00", "something unique"))
+      q.processAllAvailable()
+      in.addData(
+        page("u4", "2026-01-01 11:00:00", "hello world"), // dup across batches
+        page("u5", "2026-01-01 11:01:00", "fresh content"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val urls = spark.table("firstseen").select("url").as[String]
+      .collect().sorted.toSeq
+    assert(urls == Seq("u1", "u3", "u5"))
+  }
+}
