@@ -68,6 +68,7 @@ object SparkEntry {
     "qann1_topk" -> (DataOps.qann1TopK _),
     "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
     "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
+    "qann4_ivf_topk" -> (DataOps.qann4IvfTopK _),
     "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
   )
 
@@ -433,6 +434,28 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "qann4_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 20 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) AS rn
+        |  FROM e CROSS JOIN cent c),
+        |asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE vec_id < 20 AND rn <= 6),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a USING (cid)
+        |  WHERE a.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, cand.vec_id) AS rank
+        |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+        |            JOIN e n ON n.vec_id = cand.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 
   /** Shared oracle CTE: rebuild the dedup test corpus (originals +

@@ -99,6 +99,48 @@ object Knn {
       }.toDF("vec_id", "table", "bucket")
   }
 
+  /** IVF-Flat ANN with deterministically sampled centroids
+    * (`vec_id % centStep == 0` — no iterative k-means, so the index is
+    * reproducible in plain SQL and the driver oracle can recompute the
+    * entire structure). Build: one broadcast pass assigns every vector
+    * to its nearest centroid (its cell). Query: probe the `nprobe`
+    * nearest cells and rank only their members exactly.
+    *
+    * At scale this is the classic IVF shape: the centroid table is tiny
+    * (broadcast), assignment is one embarrassingly-parallel pass, the
+    * corpus can then be clustered/partitioned by `cid` so a query
+    * touches only `nprobe/C` of the data — no all-pairs join anywhere.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+              k: Int, centStep: Int = 20, nprobe: Int = 6): DataFrame = {
+    val cent = emb.filter(col("vec_id") % centStep === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // nearest-centroid ranking for every (vector, centroid) pair; ties
+    // broken by cid so assignment is deterministic
+    val wAsgn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid"))
+    val ranked = emb.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine(col("cv"), col("embedding")))
+      .withColumn("rn", row_number().over(wAsgn))
+    val asgn = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked
+      .filter(col("vec_id").isin(queryIds: _*) && col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val candIds = asgn.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val qv = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = candIds.join(emb, "vec_id").join(broadcast(qv), "query_id")
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k via LSH buckets: candidates share the query's bucket in
     * any table.
     */

@@ -86,6 +86,16 @@ object DataOps {
   def qann3LshTopK(spark: SparkSession, sfDir: String): DataFrame =
     Knn.lshTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
 
+  /** IVF-Flat ANN with sampled centroids — fully oracle-backed: the
+    * centroid sample, cell assignment, probe set, and final ranking are
+    * all deterministic and recomputed value-for-value by the DuckDB
+    * oracle.
+    */
+  def qann4IvfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.ivfTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"))
+
   // ---- multimodal ---------------------------------------------------------
 
   /** Binary media metadata over the page corpus html payloads (stubbed

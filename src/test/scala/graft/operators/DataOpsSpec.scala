@@ -61,6 +61,34 @@ class DataOpsSpec extends SparkSpecBase {
     assert(buckets.map(_.getLong(2)).max < emb.count())
   }
 
+  test("IVF ANN: beats random probing 1.5x at <=40% probed; value correctness is the oracle's job") {
+    // The fixture embeddings are isotropic (mean pairwise cos ~ 0, no
+    // planted clusters), the worst case for any space-partitioning
+    // index — recall at fraction f probed is ~f for a random probe.
+    // The spec therefore asserts the *advantage over random probing*
+    // (nearest-centroid cells still correlate with neighbor proximity)
+    // plus a bound on the probed fraction; exact value correctness of
+    // the whole IVF structure is pinned by the qann4 DuckDB oracle.
+    val emb = Knn.embeddings(spark, sf1)
+    val qids = (0L until 20L)
+    val n = emb.count()
+    val bf = Knn.bruteForceTopK(spark, emb, qids, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Knn.ivfTopK(spark, emb, qids, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    val cells = Knn.ivfTopK(spark, emb, qids, n.toInt) // all candidates surface
+      .groupBy("query_id").count().collect()
+    val probedFrac = cells.map(_.getLong(1)).sum.toDouble / (cells.length * n)
+    info(f"IVF recall@5=$recall%.3f at probed fraction $probedFrac%.3f")
+    assert(probedFrac <= 0.4,
+      f"probes rank $probedFrac%.2f of the corpus — not a fraction")
+    assert(recall >= 1.5 * probedFrac,
+      f"recall $recall%.3f <= 1.5x probed fraction $probedFrac%.3f — no better than random probing")
+  }
+
   test("rabin fingerprints are deterministic and separate distinct texts") {
     assert(TextStats.rabin("hello world") === TextStats.rabin("hello world"))
     assert(TextStats.rabin("hello world") !== TextStats.rabin("hello worle"))
