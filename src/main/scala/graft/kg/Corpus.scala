@@ -185,7 +185,12 @@ object Corpus {
     // core. One tiny shuffle of the source rows buys full parallelism
     // downstream — and the committed pages stage inherits the file count,
     // so every later stage reads a well-partitioned table.
-    val par = spark.sparkContext.defaultParallelism * 2
+    // The floor of 64 keeps task granularity IDENTICAL across the bench's
+    // two parallelism legs (2 vs 8 cores would otherwise get 4 vs 16
+    // tasks — different last-wave tail loss poisons the scaling ratio)
+    // and small enough that one straggling task (hypervisor steal) costs
+    // a fraction of a wave, not a whole one.
+    val par = math.max(spark.sparkContext.defaultParallelism * 2, 64)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
       .repartition(par, col("doc_id"))

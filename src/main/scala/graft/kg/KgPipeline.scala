@@ -311,16 +311,22 @@ final class KgPipeline(spark: SparkSession, workRoot: String) {
     // load() rounds would double the join/write jobs for no reason —
     // neither schema declares relationships; those go through the edge
     // batch below).
+    // dedup=false: texts is one row per url and canonical ids are
+    // distinct()'d — the MERGE id-collapse shuffle would re-shuffle the
+    // corpus-sized Page side for nothing
     val pageRows = GraphMerge.toNodeRows(
       textsDf.select(col("url").as("id"), col("lang")),
       NodeSchema("Page", RowRef("id"), properties = Map("lang" -> RowRef("lang"))),
-      Map.empty, updateTag)
+      Map.empty, updateTag, dedup = false)
     val entityRows = GraphMerge.toNodeRows(
       canonicalDf.select(col("canonical_id").as("id")).distinct(),
       NodeSchema("Entity", RowRef("id")),
-      Map.empty, updateTag)
+      Map.empty, updateTag, dedup = false)
+    // both inputs are key-unique (texts is one row per url; canonical ids
+    // are distinct()'d) and the two labels can't collide — skip the
+    // batch-dedup shuffle of the corpus-sized Page-node side
     subTimed("merge.nodes")(GraphMerge.upsertNodeBatch(spark,
-      pageRows.unionByName(entityRows), updateTag, nodes))
+      pageRows.unionByName(entityRows), updateTag, nodes, dedupBatch = false))
 
     // MENTIONS edges with per-pair mention counts: aggregate BEFORE the
     // edge upsert (partial aggregation defuses the Zipf head entity).

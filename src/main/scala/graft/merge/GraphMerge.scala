@@ -92,14 +92,18 @@ object GraphMerge {
         sys.error(s"missing kwarg '$n'"))).cast("string")
     }
 
-  /** Project a batch into canonical node rows for `schema`. */
+  /** Project a batch into canonical node rows for `schema`.
+    * `dedup=false` skips the MERGE id-collapse shuffle for batches the
+    * caller knows are id-unique (one-row-per-key committed tables).
+    */
   def toNodeRows(batch: DataFrame, schema: NodeSchema,
-                 kwargs: Map[String, String], updateTag: Long): DataFrame = {
+                 kwargs: Map[String, String], updateTag: Long,
+                 dedup: Boolean = true): DataFrame = {
     val propCols: Seq[Column] = schema.properties.toSeq.sortBy(_._1).flatMap {
       case (name, ref) => Seq(lit(name), resolve(ref, kwargs))
     }
     val propsMap = if (propCols.isEmpty) map() else map(propCols: _*)
-    batch
+    val projected = batch
       .select(
         lit(schema.label).as("label"),
         resolve(schema.idRef, kwargs).as("id"),
@@ -112,9 +116,9 @@ object GraphMerge {
         lit(updateTag).as("firstseen"),
         lit(updateTag).as("lastupdated"))
       .filter(col("id").isNotNull)
-      // MERGE collapses duplicate ids within a batch; max_by props keeps
-      // the projection deterministic (last-writer-wins like repeated SET).
-      .dropDuplicates("id")
+    // MERGE collapses duplicate ids within a batch; max_by props keeps
+    // the projection deterministic (last-writer-wins like repeated SET).
+    if (dedup) projected.dropDuplicates("id") else projected
   }
 
   /** Key-wise upsert of `fresh` rows into the existing table state,
@@ -184,8 +188,12 @@ object GraphMerge {
     * types does k× the jobs for no extra information).
     */
   def upsertNodeBatch(spark: SparkSession, batch: DataFrame, updateTag: Long,
-                      nodes: SnapshotTable): Long = {
-    val fresh = batch.dropDuplicates("label", "id").persist()
+                      nodes: SnapshotTable, dedupBatch: Boolean = true): Long = {
+    // dedupBatch=false skips a corpus-sized shuffle when the caller's
+    // batch is already (label, id)-unique (e.g. projections of committed
+    // one-row-per-key tables) — same contract as upsertEdgeBatch
+    val fresh = (if (dedupBatch) batch.dropDuplicates("label", "id")
+                 else batch).persist()
     try {
       if (!nodes.exists) { // first commit: the batch IS the table
         if (fresh.isEmpty) return 0L
