@@ -21,14 +21,15 @@ object Knn {
       .select(col("vec_id").cast("long"), col("embedding"), col("label"))
 
   /** Columnar cosine similarity of two array<float> columns, computed in
-    * double.
+    * double via the fused codegen dot product ([[graft.functions.FloatVecDot]]
+    * — the HOF spelling `aggregate(zip_with(...))` evaluates lambdas
+    * interpretively, three array passes per pair; this is one allocation-
+    * free pass inside whole-stage codegen with the same accumulation
+    * order, so values are bit-identical).
     */
   def cosine(a: Column, b: Column): Column = {
-    def d(x: Column) = transform(x, v => v.cast("double"))
-    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(d(b), x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
+    import graft.functions.VecOps.fvecDot
+    fvecDot(a, b) / (sqrt(fvecDot(a, a)) * sqrt(fvecDot(b, b)))
   }
 
   /** Exact top-k neighbors for `queries` vec_ids: broadcast the queries
@@ -37,10 +38,19 @@ object Knn {
     */
   def bruteForceTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
                      k: Int): DataFrame = {
-    val q = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val joined = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    import graft.functions.VecOps.fvecDot
+    // Self-norms are computed ONCE per row before the |Q|×n join instead
+    // of once per pair — cuts 2/3 of the quadratic flops; `cos` stays
+    // bit-identical (same dot, same sqrt(norm)·sqrt(norm) denominator
+    // order as cosine(qv, embedding)).
+    val embN = emb.withColumn("_nrm",
+      sqrt(fvecDot(col("embedding"), col("embedding"))))
+    val q = embN.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("_nrm").as("_qnrm"))
+    val joined = embN.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        fvecDot(col("qv"), col("embedding")) / (col("_qnrm") * col("_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -54,10 +64,17 @@ object Knn {
     * baseline for embedding-space dedup).
     */
   def pairsAbove(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
-    val l = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val r = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    import graft.functions.VecOps.fvecDot
+    // precomputed per-row norms (see bruteForceTopK) — the n²/2 pair scan
+    // then does exactly one fused dot per pair
+    val embN = emb.withColumn("_nrm",
+      sqrt(fvecDot(col("embedding"), col("embedding"))))
+    val l = embN.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("_nrm").as("_na"))
+    val r = embN.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("_nrm").as("_nb"))
     l.join(r, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", fvecDot(col("ea"), col("eb")) / (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))

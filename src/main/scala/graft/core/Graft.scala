@@ -20,6 +20,10 @@ object Graft {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // native catalyst functions (fvec_dot) via the public extensions
+      // API — spark-submit deployments set
+      // spark.sql.extensions=graft.functions.GraftExtensions instead
+      .withExtensions(graft.functions.VecOps.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
