@@ -176,8 +176,12 @@ object Corpus {
     * shifts the id space by r×10000 to keep urls unique; used only to
     * scale the benchmark corpus). Narrow map — no shuffle.
     */
+  /** `repOffset` shifts the replica index (page ids become
+    * docId + (rep+repOffset)*10000): a later "day" of NEW urls over the
+    * same entity space — the incremental-sync delta batch.
+    */
   def pages(spark: SparkSession, sfDir: String, replicas: Int = 1,
-            noise: Int = 0): Dataset[Page] = {
+            noise: Int = 0, repOffset: Int = 0): Dataset[Page] = {
     import spark.implicits._
     // The source table arrives as a single small file (one input split);
     // spread it across the executors BEFORE the heavy narrow work
@@ -197,8 +201,10 @@ object Corpus {
       .as[(Long, String, String)]
     val r = replicas
     val nz = noise
+    val off = repOffset
     docs.flatMap { case (docId, src, lang) =>
-      (0 until r).map { rep =>
+      (0 until r).map { rep0 =>
+        val rep = rep0 + off
         val i = docId + rep.toLong * 10000L
         val text = groundTruthText(i, src)
         Page(urlOf(i), tsOf(i), renderHtmlBytes(i, text, nz), text, lang)

@@ -31,14 +31,18 @@ import graft.snapshot.SnapshotTable
   * aggregate per (url, entity) BEFORE any wider join, which is the
   * map-side-combine-style defusal of head-entity skew.
   */
-final class KgPipeline(spark: SparkSession, workRoot: String) {
+final class KgPipeline(spark: SparkSession, workRoot: String,
+                       graphBuckets: Int = GraphTables.DefaultBuckets) {
   import spark.implicits._
 
   private def stageTable(name: String): SnapshotTable =
     SnapshotTable(spark, s"$workRoot/stage_$name", None)
 
-  val nodes: SnapshotTable = GraphTables.nodes(spark, s"$workRoot/graph")
-  val edges: SnapshotTable = GraphTables.edges(spark, s"$workRoot/graph")
+  // graphBuckets is deployment-sized (SnapshotTable scaladoc): 8 at test
+  // scale, hundreds+ at corpus scale so an incremental merge's touched
+  // fraction stays proportional to the batch
+  val nodes: SnapshotTable = GraphTables.nodes(spark, s"$workRoot/graph", graphBuckets)
+  val edges: SnapshotTable = GraphTables.edges(spark, s"$workRoot/graph", graphBuckets)
 
   /** True if `name` already committed for this updateTag (resume). */
   def stageDone(name: String, updateTag: Long): Boolean = {
