@@ -304,6 +304,61 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   def rowCount(): Long = fileRowCounts(latestVersion.getOrElse(
     sys.error(s"snapshot table $root has no committed version"))).sum
 
+  // ---- maintenance --------------------------------------------------------
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteTree)
+    Files.deleteIfExists(p): Unit
+  }
+
+  /** Iceberg `expire_snapshots` analog: retain the newest `keepLast`
+    * versions, delete older manifests, then delete every data directory
+    * no retained manifest references. Because commits carry untouched
+    * partitions forward by file reference, a retained version may point
+    * into an EXPIRED version's `data/vK` — those directories are kept;
+    * only truly unreferenced ones are removed. Without this, a 100 TB
+    * table under daily incremental syncs grows by every bucket ever
+    * rewritten; with it, storage is bounded by `keepLast` × table size
+    * while time travel over the retained window (and resume, which reads
+    * only the latest version per tag) keeps working.
+    *
+    * Returns (expired version ids, deleted data dirs relative to root).
+    */
+  def expireVersions(keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val vs = versions
+    val expired = vs.dropRight(keepLast)
+    if (expired.isEmpty) return (Nil, Nil)
+    val referenced: Set[String] =
+      vs.takeRight(keepLast).flatMap(v => partitionsOf(v).values).toSet
+    val dataRoot = Paths.get(root, "data")
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (Files.isDirectory(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq.foreach { vdir =>
+        val vname = vdir.getFileName.toString
+        Files.list(vdir).iterator().asScala.toSeq.foreach { child =>
+          val rel = s"data/$vname/${child.getFileName}"
+          if (Files.isDirectory(child) && !referenced(rel)) {
+            deleteTree(child)
+            deleted += rel: Unit
+          }
+        }
+        // an expired version dir whose referenced children are all gone
+        // leaves only job-marker files (_SUCCESS) — drop it entirely
+        val isExpired =
+          vname.stripPrefix("v").toLongOption.exists(expired.contains)
+        val remaining = Files.list(vdir).iterator().asScala.toSeq
+        if (isExpired && remaining.forall(p => !Files.isDirectory(p))) {
+          remaining.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(vdir): Unit
+        }
+      }
+    }
+    expired.foreach(v => Files.deleteIfExists(manifestPath(v)): Unit)
+    (expired, deleted.toSeq.sorted)
+  }
+
   /** Commit scoped to LOGICAL partitions: every bucket of a touched
     * logical value is rewritten from `df` (or dropped if `df` has no rows
     * for it); other logical values are carried forward by reference.
