@@ -456,6 +456,16 @@ object SparkEntry {
         |            JOIN e n ON n.vec_id = cand.vec_id)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // multimodal stub decode: payload = the document's UTF-8 bytes, so
+    // every derived metadata value (length, md5, fake dims) is exact SQL
+    "qmm1_media_meta" ->
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_hash,
+        | CAST(160 + octet_length(encode(text)) % 480 AS INT) AS fake_width,
+        | CAST(90 + (octet_length(encode(text)) // 7) % 270 AS INT) AS fake_height,
+        | CAST(1 + octet_length(encode(text)) % 24 AS INT) AS fake_frames
+        |FROM documents ORDER BY url""".stripMargin,
   )
 
   /** Shared oracle CTE: rebuild the dedup test corpus (originals +

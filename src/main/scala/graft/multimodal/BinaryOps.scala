@@ -35,12 +35,14 @@ object BinaryOps {
   /** Per-partition batch decode of (url, payload) rows → typed metadata.
     * MessageDigest is allocated once per partition (the per-partition
     * resource pattern — at scale this is where a codec context lives).
+    * MD5 (not SHA-1) so the whole metadata row — content hash included —
+    * is recomputable by the DuckDB oracle, which only ships md5/sha256.
     */
   def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("url"), col("payload")).as[(String, Array[Byte])]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("SHA-1")
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (url, bytes) =>
           md.reset()
           val hash = md.digest(bytes).map("%02x".format(_)).mkString

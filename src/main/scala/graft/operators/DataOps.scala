@@ -98,13 +98,19 @@ object DataOps {
 
   // ---- multimodal ---------------------------------------------------------
 
-  /** Binary media metadata over the page corpus html payloads (stubbed
-    * decode, real plumbing) — rows-only.
+  /** Binary media metadata over opaque payload columns (stubbed decode,
+    * real plumbing). The stand-in payloads are the documents table's
+    * UTF-8 bytes — exactly as opaque to the decoder as image bytes, and
+    * (unlike the rendered-HTML variant this replaces) byte-reproducible
+    * in SQL, so the ENTIRE metadata row — length, MD5 content hash and
+    * the stub's derived width/height/frames — is value-checked by a
+    * DuckDB oracle. The html-payload path stays exercised in
+    * DataOpsSpec's frame-sampling test.
     */
   def qmm1MediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val media = Corpus.pages(spark, sfDir)
-      .select(col("url"), col("html").as("payload"))
+    val media = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(lit("doc://"), col("doc_id").cast("string")).as("url"),
+        encode(col("text"), "UTF-8").as("payload"))
     BinaryOps.extractMeta(spark, media).toDF()
       .orderBy("url")
   }

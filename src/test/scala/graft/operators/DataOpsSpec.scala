@@ -106,7 +106,7 @@ class DataOpsSpec extends SparkSpecBase {
     assert(meta.count() === 500L)
     val r = meta.head()
     assert(r.getAs[Long]("n_bytes") > 0)
-    assert(r.getAs[String]("content_hash").length === 40)
+    assert(r.getAs[String]("content_hash").length === 32)
     val again = DataOps.qmm1MediaMeta(spark, sf1)
     assert(meta.exceptAll(again).count() === 0L)
     // frame sampling explodes deterministically
