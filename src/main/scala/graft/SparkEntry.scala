@@ -69,6 +69,7 @@ object SparkEntry {
     "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
     "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
     "qann4_ivf_topk" -> (DataOps.qann4IvfTopK _),
+    "qann5_embed_clusters" -> (DataOps.qann5EmbedClusters _),
     "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
   )
 
@@ -456,6 +457,19 @@ object SparkEntry {
         |            JOIN e n ON n.vec_id = cand.vec_id)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "qann5_embed_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+        |          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.42),
+        |edges AS (SELECT pa AS u, pb AS w FROM pairs
+        |          UNION SELECT pb, pa FROM pairs),
+        |lbl(n, l) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT eg.w, lbl.l FROM lbl JOIN edges eg ON eg.u = lbl.n)
+        |SELECT n AS vec_id, MIN(l) AS canonical FROM lbl
+        |GROUP BY n ORDER BY vec_id""".stripMargin,
     // multimodal stub decode: payload = the document's UTF-8 bytes, so
     // every derived metadata value (length, md5, fake dims) is exact SQL
     "qmm1_media_meta" ->

@@ -96,6 +96,24 @@ object DataOps {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"),
         col("neighbor_id"))
 
+  /** Embedding-space near-dup CLUSTERS: cosine-threshold pairs (qann2's
+    * exact baseline) closed into connected components — the embedding
+    * analog of qdd3's shingle-based dedup clusters, giving the dedup
+    * suite the same pair→cluster symmetry in both text and vector space.
+    * At 100 TB the pair generator swaps to the LSH/IVF candidate paths;
+    * the CC loop is the same large-star/small-star iteration either way.
+    * Fully oracle-backed (pairs via list_cosine_similarity + recursive-
+    * CTE min-label propagation in DuckDB).
+    */
+  def qann5EmbedClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Knn.embeddings(spark, sfDir)
+    val pairs = Knn.pairsAbove(spark, emb, 0.42)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.clusters(spark, emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("canonical"))
+      .orderBy("vec_id")
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   /** Binary media metadata over opaque payload columns (stubbed decode,
