@@ -61,9 +61,12 @@ object Knn {
   }
 
   /** Pairs with cosine ≥ threshold (brute-force; the exact near-dup
-    * baseline for embedding-space dedup).
+    * baseline for embedding-space dedup). `sorted=false` skips the
+    * terminal presentation sort — a full shuffle-sort of the n²/2 pair
+    * set that downstream joins would destroy anyway.
     */
-  def pairsAbove(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+  def pairsAbove(spark: SparkSession, emb: DataFrame, threshold: Double,
+                 sorted: Boolean = true): DataFrame = {
     import graft.functions.VecOps.fvecDot
     // precomputed per-row norms (see bruteForceTopK) — the n²/2 pair scan
     // then does exactly one fused dot per pair
@@ -73,11 +76,11 @@ object Knn {
       col("_nrm").as("_na"))
     val r = embN.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       col("_nrm").as("_nb"))
-    l.join(r, col("vec_a") < col("vec_b"))
+    val pairs = l.join(r, col("vec_a") < col("vec_b"))
       .withColumn("cos", fvecDot(col("ea"), col("eb")) / (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    if (sorted) pairs.orderBy(col("vec_a"), col("vec_b")) else pairs
   }
 
   /** Deterministic pseudo-random hyperplane component for

@@ -12,28 +12,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
-  /** Build a local session for tests/benchmarks. Production would go
-    * through spark-submit with the same confs minus master.
-    */
-  def session(master: String = "local[32]", shufflePartitions: Int = 32,
-              appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(master)
+  private def configured(b: org.apache.spark.sql.SparkSession.Builder,
+                         appName: String): SparkSession = {
+    val spark = b
       .appName(appName)
       // native catalyst functions (fvec_dot) via the public extensions
       // API — spark-submit deployments set
       // spark.sql.extensions=graft.functions.GraftExtensions instead
       .withExtensions(graft.functions.VecOps.register)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Build a local session for tests/benchmarks. Production goes through
+    * [[submitSession]], which takes master and sizing from the submit
+    * conf instead of code.
+    */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32,
+              appName: String = "graft"): SparkSession =
+    configured(SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false"), appName)
+
+  /** Session for spark-submit deployments: NO `.master()` call — a
+    * hard-coded master overrides `--master yarn/k8s` and would silently
+    * run the 100 TB job single-node on the driver. Cluster sizing
+    * (`spark.master`, `spark.sql.shuffle.partitions`, executor counts)
+    * belongs to the submit conf.
+    */
+  def submitSession(appName: String): SparkSession =
+    configured(SparkSession.builder(), appName)
 
   /** Read one of the driver-generated TPC-H-ish tables. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -230,18 +230,23 @@ object Dedup {
   }
 
   /** Near-dup clusters: connected components over the verified pair
-    * graph; canonical doc = min doc_id in cluster.
+    * graph; canonical doc = min doc_id in cluster. `sorted=false` skips
+    * the presentation sort for callers that feed the result onward (a
+    * terminal orderBy is a full shuffle-sort with no semantic effect).
     */
-  def clusters(spark: SparkSession, corpus: DataFrame, pairs: DataFrame): DataFrame = {
+  def clusters(spark: SparkSession, corpus: DataFrame, pairs: DataFrame,
+               sorted: Boolean = true): DataFrame = {
     val edges = pairs.select(col("doc_a").cast("string").as("u"),
       col("doc_b").cast("string").as("v"))
-    // zero-pad for lexicographic = numeric ordering
-    val pad = (c: org.apache.spark.sql.Column) => lpad(c, 7, "0")
+    // zero-pad for lexicographic = numeric ordering; width 20 covers any
+    // non-negative Long (lpad TRUNCATES over-width input — a narrower pad
+    // would silently merge ids that share a prefix)
+    val pad = (c: org.apache.spark.sql.Column) => lpad(c, 20, "0")
     val allNodes = corpus.select(pad(col("doc_id").cast("string")).as("id"))
     val cc = ConnectedComponents.run(spark,
       edges.select(pad(col("u")).as("u"), pad(col("v")).as("v")), allNodes)
-    cc.select(col("id").cast("long").as("doc_id"),
+    val out = cc.select(col("id").cast("long").as("doc_id"),
       col("canonical_id").cast("long").as("canonical"))
-      .orderBy("doc_id")
+    if (sorted) out.orderBy("doc_id") else out
   }
 }

@@ -68,6 +68,20 @@ object DriftStates {
         .map(_.elements().asScala.map(_.asText()).toSeq).toSeq)
   }
 
+  /** Compact JSON of a both-direction diff — Jackson-escaped (result
+    * cells are arbitrary query values; hand-rolled concatenation would
+    * emit invalid JSON on quotes/backslashes).
+    */
+  def diffJson(added: Seq[Seq[String]], removed: Seq[Seq[String]]): String = {
+    val root = mapper.createObjectNode()
+    Seq("new_results" -> added, "missing_results" -> removed).foreach {
+      case (name, rows) =>
+        val a = root.putArray(name)
+        rows.foreach { row => val r = a.addArray(); row.foreach(r.add) }
+    }
+    mapper.writeValueAsString(root)
+  }
+
   def save(s: DriftState, path: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson(s))
 

@@ -130,13 +130,15 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
     * CC candidate generation stays on the Dataset above the local bound.
     */
   def run(pagesIn: Dataset[Page], dict: Dataset[AliasRow], updateTag: Long,
-          mergeGraph: Boolean): Result = {
-    val n = dict.count()
-    require(n <= KgPipeline.MaxBroadcastAliases,
-      s"alias dictionary has $n rows; the AC broadcast is capped at " +
-        s"${KgPipeline.MaxBroadcastAliases} — shard the dictionary across runs")
-    runWith(pagesIn, dict.collect().toSeq, Some(dict), updateTag, mergeGraph)
-  }
+          mergeGraph: Boolean): Result =
+    runWith(pagesIn, KgPipeline.boundedCollect(dict), Some(dict), updateTag,
+      mergeGraph)
+
+  /** Stage-subset run from a table-backed dictionary (the CLI path). */
+  def runStages(pagesIn: Dataset[Page], dict: Dataset[AliasRow],
+                updateTag: Long, selectedModules: String): Unit =
+    runStages(pagesIn, KgPipeline.boundedCollect(dict), updateTag,
+      selectedModules)
 
   /** links view over the committed facts table (kind 0 rows). */
   private def linksView(facts: DataFrame): DataFrame =
@@ -384,4 +386,19 @@ object KgPipeline {
     * syncs skip ~10 tiny Spark jobs.
     */
   val LocalBlockingBound: Int = 200000
+
+  /** Materialize a table-backed dictionary on the driver with the
+    * broadcast bound enforced IN the scan: `limit(cap+1)` collects at
+    * most cap+1 rows (one job, bounded driver memory — a count-then-
+    * collect pair would scan twice and an unguarded collect of an
+    * over-cap dictionary would OOM the driver before any check ran),
+    * and anything over the cap fails fast.
+    */
+  def boundedCollect(dict: Dataset[AliasRow]): Seq[AliasRow] = {
+    val rows = dict.limit(MaxBroadcastAliases.toInt + 1).collect()
+    require(rows.length <= MaxBroadcastAliases,
+      s"alias dictionary is too large; the AC broadcast is capped at " +
+        s"$MaxBroadcastAliases rows — shard the dictionary across runs")
+    rows.toSeq
+  }
 }

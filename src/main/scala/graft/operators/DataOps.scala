@@ -107,9 +107,12 @@ object DataOps {
     */
   def qann5EmbedClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Knn.embeddings(spark, sfDir)
-    val pairs = Knn.pairsAbove(spark, emb, 0.42)
+    // unsorted intermediates: the only sort this query needs is the final
+    // presentation orderBy — pair and cluster sorts would be shuffled away
+    val pairs = Knn.pairsAbove(spark, emb, 0.42, sorted = false)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    Dedup.clusters(spark, emb.select(col("vec_id").as("doc_id")), pairs)
+    Dedup.clusters(spark, emb.select(col("vec_id").as("doc_id")), pairs,
+        sorted = false)
       .select(col("doc_id").as("vec_id"), col("canonical"))
       .orderBy("vec_id")
   }

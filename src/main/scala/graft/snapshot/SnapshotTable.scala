@@ -60,13 +60,22 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   private def manifestDir: Path = Paths.get(root, "_manifest")
   private def manifestPath(v: Long): Path = manifestDir.resolve(s"v$v.json")
 
+  /** Eager directory listing that CLOSES the underlying stream —
+    * `Files.list` holds a file descriptor until GC otherwise, and the
+    * maintenance paths visit O(buckets × versions) directories.
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def versions: Seq[Long] = {
     if (!Files.isDirectory(manifestDir)) return Seq.empty
-    Files.list(manifestDir).iterator().asScala
+    listDir(manifestDir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   def latestVersion: Option[Long] = versions.lastOption
@@ -240,7 +249,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     scoped.write.mode("overwrite").partitionBy(byCol).parquet(s"$root/$base")
     val dir = Paths.get(root, "data", s"v$v")
     if (!Files.isDirectory(dir)) return Map.empty
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .map(_.getFileName.toString)
       .filter(_.startsWith(s"$byCol="))
       .map(d => unescapePart(d.stripPrefix(s"$byCol=")) -> s"$base/$d")
@@ -288,9 +297,9 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     partitionsOf(v).toSeq.sortBy(_._1).flatMap { case (_, rel) =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) Seq.empty
-      else Files.list(dir).iterator().asScala
+      else listDir(dir)
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+        .sortBy(_.getFileName.toString)
         .map { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(p.toUri), conf)
@@ -307,8 +316,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   // ---- maintenance --------------------------------------------------------
 
   private def deleteTree(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteTree)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteTree)
     Files.deleteIfExists(p): Unit
   }
 
@@ -323,6 +331,12 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     * while time travel over the retained window (and resume, which reads
     * only the latest version per tag) keeps working.
     *
+    * Crash safety follows Iceberg's metadata-first contract: expired
+    * MANIFESTS are deleted before any data — a crash mid-expiry leaves
+    * only orphaned data directories (harmless: never listed, never read),
+    * and the data sweep judges liveness against the RETAINED manifests,
+    * so a re-run collects orphans from any earlier interrupted expiry.
+    *
     * Returns (expired version ids, deleted data dirs relative to root).
     */
   def expireVersions(keepLast: Int): (Seq[Long], Seq[String]) = {
@@ -330,32 +344,35 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     val vs = versions
     val expired = vs.dropRight(keepLast)
     if (expired.isEmpty) return (Nil, Nil)
+    val retained = vs.takeRight(keepLast).toSet
     val referenced: Set[String] =
-      vs.takeRight(keepLast).flatMap(v => partitionsOf(v).values).toSet
+      retained.toSeq.flatMap(v => partitionsOf(v).values).toSet
+    expired.foreach(v => Files.deleteIfExists(manifestPath(v)): Unit)
     val dataRoot = Paths.get(root, "data")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Files.isDirectory(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toSeq.foreach { vdir =>
+      listDir(dataRoot).foreach { vdir =>
         val vname = vdir.getFileName.toString
-        Files.list(vdir).iterator().asScala.toSeq.foreach { child =>
+        listDir(vdir).foreach { child =>
           val rel = s"data/$vname/${child.getFileName}"
           if (Files.isDirectory(child) && !referenced(rel)) {
             deleteTree(child)
             deleted += rel: Unit
           }
         }
-        // an expired version dir whose referenced children are all gone
-        // leaves only job-marker files (_SUCCESS) — drop it entirely
-        val isExpired =
-          vname.stripPrefix("v").toLongOption.exists(expired.contains)
-        val remaining = Files.list(vdir).iterator().asScala.toSeq
-        if (isExpired && remaining.forall(p => !Files.isDirectory(p))) {
+        // a version dir that no retained manifest owns and whose
+        // referenced children are all gone holds only job-marker files
+        // (_SUCCESS) — drop it entirely (also collects orphans left by a
+        // previously interrupted expiry)
+        val isLive =
+          vname.stripPrefix("v").toLongOption.exists(retained.contains)
+        val remaining = listDir(vdir)
+        if (!isLive && remaining.forall(p => !Files.isDirectory(p))) {
           remaining.foreach(Files.deleteIfExists(_))
           Files.deleteIfExists(vdir): Unit
         }
       }
     }
-    expired.foreach(v => Files.deleteIfExists(manifestPath(v)): Unit)
     (expired, deleted.toSeq.sorted)
   }
 

@@ -53,10 +53,18 @@ object GraftCli {
   private def req(flags: Map[String, String], key: String): String =
     flags.getOrElse(key, sys.error(s"missing required --$key\n$usage"))
 
-  private def session(flags: Map[String, String], app: String): SparkSession = {
-    val cores = flags.getOrElse("cores", "16").toInt
-    Graft.session(s"local[$cores]", cores, app)
-  }
+  /** Explicit `--cores N` forces a local[N] session; otherwise a master
+    * configured by spark-submit (`--master yarn/k8s` sets `spark.master`)
+    * is respected — hard-coding `.master()` would override it and
+    * silently run a cluster job single-node on the driver. With neither,
+    * default to local[16] (this sandbox's sweet spot).
+    */
+  private def session(flags: Map[String, String], app: String): SparkSession =
+    flags.get("cores") match {
+      case Some(c) => Graft.session(s"local[$c]", c.toInt, app)
+      case None if sys.props.contains("spark.master") => Graft.submitSession(app)
+      case None => Graft.session("local[16]", 16, app)
+    }
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case "sync" +: rest => sync(parseFlags(rest))
@@ -77,15 +85,8 @@ object GraftCli {
     val pages = spark.read.parquet(req(flags, "input")).as[Page]
     val dict = spark.read.parquet(req(flags, "dict")).as[AliasRow]
     flags.get("selected-modules") match {
-      case Some(sel) =>
-        // stage-subset runs take the driver-resident dictionary path;
-        // enforce the same broadcast bound as the table-native entrypoint
-        val n = dict.count()
-        require(n <= KgPipeline.MaxBroadcastAliases,
-          s"alias dictionary has $n rows; cap is ${KgPipeline.MaxBroadcastAliases}")
-        pipe.runStages(pages, dict.collect().toSeq, tag, sel)
-      case None =>
-        pipe.run(pages, dict, tag, mergeGraph = true): Unit
+      case Some(sel) => pipe.runStages(pages, dict, tag, sel)
+      case None => pipe.run(pages, dict, tag, mergeGraph = true): Unit
     }
   }
 
@@ -129,8 +130,6 @@ object GraftCli {
     val start = DriftStates.load(req(flags, "start"))
     val end = DriftStates.load(req(flags, "end"))
     val (added, removed) = DriftStates.performDriftDetection(start, end)
-    def render(rows: Seq[Seq[String]]): String =
-      rows.map(_.mkString("[\"", "\",\"", "\"]")).mkString("[", ",", "]")
-    println(s"""{"new_results":${render(added)},"missing_results":${render(removed)}}""")
+    println(DriftStates.diffJson(added, removed))
   }
 }
