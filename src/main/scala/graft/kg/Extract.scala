@@ -54,14 +54,20 @@ object Extract {
   def mentions(spark: SparkSession, texts: Dataset[PageText],
                aliases: Seq[String]): Dataset[MentionRow] = {
     import spark.implicits._
-    val pats = spark.sparkContext.broadcast(
-      aliases.map(asciiLower).distinct.sorted.toArray)
+    // The automaton is built ONCE on the driver and broadcast BUILT —
+    // broadcast values are cached deserialized per executor, so every
+    // task shares one automaton instance. Rebuilding per partition (the
+    // previous shape) repeats a multi-second, multi-GB construction in
+    // every one of ~10^6 tasks at corpus scale and holds one copy per
+    // concurrently running task.
+    val acB = spark.sparkContext.broadcast(
+      new AhoCorasick(aliases.map(asciiLower).distinct.sorted.toArray))
     texts.mapPartitions { it =>
-      val ac = new AhoCorasick(pats.value)
+      val ac = acB.value
       it.flatMap { pt =>
         val lower = asciiLower(pt.text)
         ac.findMentions(lower).map { case (s, e, idx) =>
-          MentionRow(pt.url, s, e, pats.value(idx))
+          MentionRow(pt.url, s, e, ac.patterns(idx))
         }
       }
     }
@@ -112,8 +118,9 @@ object Extract {
             dict: Seq[AliasRow],
             predicatePhrases: Seq[(String, String)]): Dataset[FactRow] = {
     import spark.implicits._
-    val pats = spark.sparkContext.broadcast(
-      dict.map(r => asciiLower(r.alias)).distinct.sorted.toArray)
+    // built-once broadcast automaton — see mentions() for why
+    val acB = spark.sparkContext.broadcast(new AhoCorasick(
+      dict.map(r => asciiLower(r.alias)).distinct.sorted.toArray))
     val byAlias: Map[String, Seq[String]] =
       dict.groupBy(r => asciiLower(r.alias)).view
         .mapValues(_.map(_.entity_id).distinct.sorted).toMap
@@ -122,12 +129,12 @@ object Extract {
       predicatePhrases.map { case (id, phrase) => asciiLower(phrase) -> id }.toMap)
     val sentRe = java.util.regex.Pattern.compile(sentenceSplit)
     texts.mapPartitions { it =>
-      val ac = new AhoCorasick(pats.value)
+      val ac = acB.value
       it.flatMap { pt =>
         val lower = asciiLower(pt.text)
         val ms = ac.findMentions(lower) // sorted by start
         val linkRows = ms.iterator.flatMap { case (s, e, idx) =>
-          bAlias.value.getOrElse(pats.value(idx), Nil)
+          bAlias.value.getOrElse(ac.patterns(idx), Nil)
             .map(ent => FactRow(0, pt.url, s, e, ent, null, null))
         }
         // sentence segments as [start, end) over the same string
@@ -147,8 +154,8 @@ object Extract {
               bPred.value.get(between) match {
                 case Some(predId) =>
                   for {
-                    subj <- bAlias.value.getOrElse(pats.value(i1), Nil).iterator
-                    obj <- bAlias.value.getOrElse(pats.value(i2), Nil)
+                    subj <- bAlias.value.getOrElse(ac.patterns(i1), Nil).iterator
+                    obj <- bAlias.value.getOrElse(ac.patterns(i2), Nil)
                   } yield FactRow(1, pt.url, 0, 0, subj, predId, obj)
                 case None => Iterator.empty
               }
@@ -163,8 +170,9 @@ object Extract {
               dict: Seq[AliasRow],
               predicatePhrases: Seq[(String, String)]): Dataset[TripleRow] = {
     import spark.implicits._
-    val pats = spark.sparkContext.broadcast(
-      dict.map(r => asciiLower(r.alias)).distinct.sorted.toArray)
+    // built-once broadcast automaton — see mentions() for why
+    val acB = spark.sparkContext.broadcast(new AhoCorasick(
+      dict.map(r => asciiLower(r.alias)).distinct.sorted.toArray))
     val byAlias: Map[String, Seq[String]] =
       dict.groupBy(r => asciiLower(r.alias)).view
         .mapValues(_.map(_.entity_id).distinct.sorted).toMap
@@ -172,7 +180,7 @@ object Extract {
     val bPred = spark.sparkContext.broadcast(
       predicatePhrases.map { case (id, phrase) => asciiLower(phrase) -> id }.toMap)
     texts.mapPartitions { it =>
-      val ac = new AhoCorasick(pats.value)
+      val ac = acB.value
       it.flatMap { pt =>
         val sentences = pt.text.split(sentenceSplit)
         sentences.iterator.flatMap { sent =>
@@ -186,8 +194,8 @@ object Extract {
             bPred.value.get(between) match {
               case Some(predId) =>
                 for {
-                  subj <- bAlias.value.getOrElse(pats.value(i1), Nil).iterator
-                  obj <- bAlias.value.getOrElse(pats.value(i2), Nil)
+                  subj <- bAlias.value.getOrElse(ac.patterns(i1), Nil).iterator
+                  obj <- bAlias.value.getOrElse(ac.patterns(i2), Nil)
                 } yield TripleRow(pt.url, subj, predId, obj)
               case None => Iterator.empty
             }

@@ -66,8 +66,8 @@ object Blocking {
     */
   val MaxBucket = 100
 
-  /** Candidate pairs from LSH banding: same band-hash in any band,
-    * bucket size ≤ [[MaxBucket]].
+  /** Candidate pairs from LSH banding: same band-hash in any band; the
+    * [[MaxBucket]] chain cap lives in [[pairUp]].
     */
   def lshCandidates(spark: SparkSession, dict: Dataset[AliasRow],
                     numHashes: Int = 16, bands: Int = 8): DataFrame = {
@@ -83,30 +83,7 @@ object Blocking {
       }: _*)).as("bk"))
       .select(col("alias"), col("entity_id"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val counts = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("_n"))
-    val small = counts.filter(col("_n") <= MaxBucket).select(col("band"), col("bh"))
-    val smallPairs =
-      pairUp(banded.join(small, Seq("band", "bh"), "left_semi"), Seq("band", "bh"))
-    // oversized buckets: adjacent pairs along the (alias, entity) sort
-    // order — linear in bucket size, keeps the bucket connected
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh"))
-      .orderBy(col("alias"), col("entity_id"))
-    val chained = banded.join(counts.filter(col("_n") > MaxBucket)
-        .select(col("band"), col("bh")), Seq("band", "bh"), "left_semi")
-      .withColumn("_pa", lag(col("alias"), 1).over(w))
-      .withColumn("_pe", lag(col("entity_id"), 1).over(w))
-      .filter(col("_pe").isNotNull)
-    val chainPairs = chained.select(
-        col("_pa").as("alias_a"), col("_pe").as("ent_a"),
-        col("alias").as("alias_b"), col("entity_id").as("ent_b"))
-      .unionByName(chained.select(
-        col("alias").as("alias_a"), col("entity_id").as("ent_a"),
-        col("_pa").as("alias_b"), col("_pe").as("ent_b")))
-      .filter(col("ent_a") < col("ent_b"))
-      .dropDuplicates("ent_a", "ent_b", "alias_a", "alias_b")
-    smallPairs.unionByName(chainPairs)
+    pairUp(banded, Seq("band", "bh"))
   }
 
   /** Candidate pairs sharing a rare token (df ≤ maxDf). */
@@ -130,15 +107,44 @@ object Blocking {
     pairUp(norm, Seq("key"))
   }
 
-  /** Self-join on `keys`, emitting ordered distinct entity pairs with the
-    * two alias strings for verification.
+  /** Self-join on `keys`, emitting ordered distinct entity pairs with
+    * the two alias strings for verification. Groups over [[MaxBucket]]
+    * emit sort-adjacent CHAIN pairs instead of all pairs — the cap
+    * applies to EVERY candidate generator, not just LSH: a single
+    * surface form shared by 10^5 entities (or one ubiquitous rare-ish
+    * token) would otherwise put O(m²) pairs on one reducer. Chaining is
+    * linear, keeps the group connected for CC, and exact verification
+    * prunes the rest.
     */
   private def pairUp(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val l = df.select((keys.map(col) :+ col("alias").as("alias_a") :+ col("entity_id").as("ent_a")): _*)
-    val r = df.select((keys.map(col) :+ col("alias").as("alias_b") :+ col("entity_id").as("ent_b")): _*)
-    l.join(r, keys)
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    val inSmall = df.join(
+      counts.filter(col("_n") <= MaxBucket).select(keys.map(col): _*),
+      keys, "left_semi")
+    val l = inSmall.select((keys.map(col) :+ col("alias").as("alias_a") :+ col("entity_id").as("ent_a")): _*)
+    val r = inSmall.select((keys.map(col) :+ col("alias").as("alias_b") :+ col("entity_id").as("ent_b")): _*)
+    val smallPairs = l.join(r, keys)
       .filter(col("ent_a") < col("ent_b"))
       .select(col("alias_a"), col("ent_a"), col("alias_b"), col("ent_b"))
+    // oversized groups: adjacent pairs along the (alias, entity) sort
+    // order — linear in group size, keeps the group connected
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("alias"), col("entity_id"))
+    val chained = df.join(
+        counts.filter(col("_n") > MaxBucket).select(keys.map(col): _*),
+        keys, "left_semi")
+      .withColumn("_pa", lag(col("alias"), 1).over(w))
+      .withColumn("_pe", lag(col("entity_id"), 1).over(w))
+      .filter(col("_pe").isNotNull)
+    val chainPairs = chained.select(
+        col("_pa").as("alias_a"), col("_pe").as("ent_a"),
+        col("alias").as("alias_b"), col("entity_id").as("ent_b"))
+      .unionByName(chained.select(
+        col("alias").as("alias_a"), col("entity_id").as("ent_a"),
+        col("_pa").as("alias_b"), col("_pe").as("ent_b")))
+      .filter(col("ent_a") < col("ent_b"))
+    smallPairs.unionByName(chainPairs)
       .dropDuplicates("ent_a", "ent_b", "alias_a", "alias_b")
   }
 
@@ -148,9 +154,14 @@ object Blocking {
   def duplicateEntityEdges(spark: SparkSession, dict: Dataset[AliasRow],
                            tau: Double = 0.55): Dataset[EntityPair] = {
     import spark.implicits._
-    val cands = exactPairs(spark, dict)
-      .unionByName(lshCandidates(spark, dict))
-      .unionByName(rareTokenCandidates(spark, dict))
+    // distinct FIRST: duplicate (alias, entity_id) rows in a table-backed
+    // dictionary would inflate bucket/token counts and flip groups across
+    // the MaxBucket threshold — diverging from the local path, which
+    // dedups its rows up front
+    val d = dict.dropDuplicates("alias", "entity_id").as[AliasRow]
+    val cands = exactPairs(spark, d)
+      .unionByName(lshCandidates(spark, d))
+      .unionByName(rareTokenCandidates(spark, d))
     cands.as[(String, String, String, String)]
       .filter { case (aliasA, _, aliasB, _) => jaccard(aliasA, aliasB) >= tau }
       .map { case (_, a, _, b) => EntityPair(a, b) }
@@ -164,13 +175,28 @@ object Blocking {
     * [[duplicateEntityEdges]] (pinned by a test); the Dataset version
     * remains the scale path for dictionaries too big for one heap.
     */
+  /** All pairs for a group ≤ [[MaxBucket]]; sort-adjacent chain pairs
+    * above — must stay identical to [[pairUp]]'s group handling so the
+    * local and distributed paths agree pair-for-pair.
+    */
+  private def groupPairs(g: Seq[(String, String)])
+      : Iterator[((String, String), (String, String))] =
+    if (g.sizeIs <= MaxBucket) (for (x <- g; y <- g) yield (x, y)).iterator
+    else {
+      val sorted = g.sortBy(identity)
+      sorted.iterator.zip(sorted.iterator.drop(1))
+        .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+    }
+
   def duplicateEntityEdgesLocal(dict: Seq[AliasRow], tau: Double = 0.55,
                                 numHashes: Int = 16, bands: Int = 8,
                                 maxDf: Int = 4): Seq[EntityPair] = {
     val rows = dict.map(r => (r.alias, r.entity_id)).distinct
-    // exact: group by normalized surface form
+    // exact: group by normalized surface form (chain-capped like every
+    // other generator — one surface form shared by 10^5 entities must
+    // not emit 10^10 pairs)
     val exact = rows.groupBy { case (a, _) => Extract.asciiLower(a) }
-      .valuesIterator.flatMap(g => for (x <- g; y <- g) yield (x, y))
+      .valuesIterator.flatMap(g => groupPairs(g))
     // LSH: band-hash buckets (same murmur3 seeds as lshCandidates; the
     // Spark side hashes the band's signature ints with Spark's hash(),
     // but bucket EQUALITY is all that matters for candidacy, so any
@@ -180,25 +206,15 @@ object Blocking {
     val lsh = (0 until bands).iterator.flatMap { b =>
       sigs.groupBy { case (_, _, sig) => sig.slice(b * r, (b + 1) * r).toSeq }
         .valuesIterator
-        .flatMap { g =>
-          if (g.sizeIs <= MaxBucket)
-            for (x <- g; y <- g) yield ((x._1, x._2), (y._1, y._2))
-          else {
-            // chain pairs along the (alias, entity) sort order — must
-            // stay identical to the Dataset path's window-lag pairs
-            val sorted = g.map(t => (t._1, t._2)).sortBy(identity)
-            sorted.iterator.zip(sorted.iterator.drop(1))
-              .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toSeq
-          }
-        }
+        .flatMap(g => groupPairs(g.map(t => (t._1, t._2))))
     }
     // rare tokens: document frequency over distinct (alias, entity) rows
     val tokRows = rows.flatMap { case (a, e) => tokens(a).distinct.map(t => (t, a, e)) }
     val dfs = tokRows.groupBy(_._1).view.mapValues(g => g.map(r0 => (r0._2, r0._3)).distinct.size)
     val rare = tokRows.filter { case (t, _, _) => val d = dfs(t); d >= 2 && d <= maxDf }
       .groupBy(_._1).valuesIterator
-      .flatMap(g => for (x <- g; y <- g) yield ((x._2, x._3), (y._2, y._3)))
-    (exact ++ lsh.map { case (x, y) => (x, y) } ++ rare)
+      .flatMap(g => groupPairs(g.map(t => (t._2, t._3))))
+    (exact ++ lsh ++ rare)
       .filter { case ((_, ea), (_, eb)) => ea < eb }
       .filter { case ((aa, _), (ab, _)) => jaccard(aa, ab) >= tau }
       .map { case ((_, ea), (_, eb)) => EntityPair(ea, eb) }

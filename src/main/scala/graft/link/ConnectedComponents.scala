@@ -78,11 +78,18 @@ object ConnectedComponents {
     */
   def runDistributed(spark: SparkSession, edges: DataFrame,
                      allNodes: DataFrame, maxIter: Int = 50): DataFrame = {
-    var e = edges.select(col("u"), col("v"))
+    // Reliable checkpoint when a checkpoint dir is configured (cluster
+    // deployments: survive executor loss mid-loop — localCheckpoint
+    // blocks die with their executor and their lineage is already cut);
+    // localCheckpoint otherwise (local runs, no HDFS round-trip).
+    def cut(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+
+    var e = cut(edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
@@ -110,18 +117,23 @@ object ConnectedComponents {
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
       val minsS = oriented.groupBy("u").agg(min(col("v")).as("m"))
-      val small = oriented.join(minsS, "u")
+      val small = cut(oriented.join(minsS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       val cur = checksum(small)
       converged = cur == prev
       prev = cur
       e = small
       iter += 1
     }
+    // A silent non-converged exit would run the star extraction on a
+    // non-star edge set and SPLIT real components — wrong canonical ids
+    // with no diagnostic. Fail loudly instead (log n rounds suffice for
+    // any graph; hitting maxIter means the input or loop is broken).
+    require(converged,
+      s"connected components did not converge within $maxIter rounds")
 
     // Post-convergence the edge set is a star per component; orient child
     // -> root and attach singletons to themselves.

@@ -109,21 +109,29 @@ object Cleanup {
     if (edges.exists) {
       val relSet = schema.relLabels.toSet
       val edgeState = edges.read()
-      val staleIds = broadcast(staleNodes.withColumnRenamed("id", "_sid"))
+      // Every membership test below is TWO equi-semi-joins (src side,
+      // dst side) unioned — an OR-of-equalities join condition cannot be
+      // planned as a hash join and degrades to a nested loop over
+      // |edges| × |ids|. No explicit broadcast: staleNodes is usually
+      // small (AQE broadcasts it), but with no sub-resource scope
+      // tenantIds is the WHOLE label — forcing it into a broadcast would
+      // OOM at corpus scale, while a shuffled semi-join just works.
+      def touching(base: DataFrame, ids: DataFrame, renamed: String): DataFrame = {
+        val r = ids.withColumnRenamed("id", renamed)
+        base.filter(col("src_label") === schema.label)
+          .join(r, col("src_id") === col(renamed), "left_semi")
+          .unionByName(
+            base.filter(col("dst_label") === schema.label)
+              .join(r, col("dst_id") === col(renamed), "left_semi"))
+      }
       // detach: any edge touching a deleted node of this label
-      val touchesDeleted =
-        (col("src_label") === schema.label && col("src_id") === col("_sid")) ||
-        (col("dst_label") === schema.label && col("dst_id") === col("_sid"))
+      val detached = touching(edgeState, staleNodes, "_sid")
       // stale rels of this schema's rel labels, scoped to this node label
       // AND to the tenant being synced
-      val tids = broadcast(tenantIds.withColumnRenamed("id", "_tid"))
-      val inTenant =
-        (col("src_label") === schema.label && col("src_id") === col("_tid")) ||
-        (col("dst_label") === schema.label && col("dst_id") === col("_tid"))
-      val staleRelEdges = edgeState
-        .filter(col("rel_label").isin(relSet.toSeq: _*) && stale(updateTag))
-        .join(tids, inTenant, "left_semi")
-      val doomed = edgeState.join(staleIds, touchesDeleted, "left_semi")
+      val staleRelEdges = touching(
+        edgeState.filter(col("rel_label").isin(relSet.toSeq: _*) && stale(updateTag)),
+        tenantIds, "_tid")
+      val doomed = detached
         .unionByName(staleRelEdges)
         .dropDuplicates("src_label", "src_id", "rel_label", "dst_label", "dst_id")
         .cache()

@@ -1,6 +1,7 @@
 package graft.merge
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model._
@@ -92,6 +93,26 @@ object GraphMerge {
         sys.error(s"missing kwarg '$n'"))).cast("string")
     }
 
+  /** Deterministic key-wise dedup: among a key's duplicate rows, the one
+    * with the greatest canonical JSON rendering of its non-key columns
+    * wins. `dropDuplicates` keeps an ARBITRARY row — which row survives
+    * then depends on partitioning and task order, so a batch carrying
+    * two prop variants for one id would commit different values run to
+    * run (the reference's UNWIND batches have a defined order; a
+    * DataFrame does not, so the winner must be a pure function of the
+    * row values). Costs the same single shuffle.
+    */
+  private def dedupByKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).toSeq
+    if (others.isEmpty) df.dropDuplicates(keys)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(to_json(struct(others.map(col): _*)).desc)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
   /** Project a batch into canonical node rows for `schema`.
     * `dedup=false` skips the MERGE id-collapse shuffle for batches the
     * caller knows are id-unique (one-row-per-key committed tables).
@@ -102,7 +123,11 @@ object GraphMerge {
     val propCols: Seq[Column] = schema.properties.toSeq.sortBy(_._1).flatMap {
       case (name, ref) => Seq(lit(name), resolve(ref, kwargs))
     }
-    val propsMap = if (propCols.isEmpty) map() else map(propCols: _*)
+    // empty map() is map<void,void> — cast so map_keys/map_concat in the
+    // upsert's prop-merge resolve against the stored map<string,string>
+    val propsMap =
+      if (propCols.isEmpty) map().cast("map<string,string>")
+      else map(propCols: _*)
     val projected = batch
       .select(
         lit(schema.label).as("label"),
@@ -116,9 +141,9 @@ object GraphMerge {
         lit(updateTag).as("firstseen"),
         lit(updateTag).as("lastupdated"))
       .filter(col("id").isNotNull)
-    // MERGE collapses duplicate ids within a batch; max_by props keeps
-    // the projection deterministic (last-writer-wins like repeated SET).
-    if (dedup) projected.dropDuplicates("id") else projected
+    // MERGE collapses duplicate ids within a batch, deterministically
+    // (greatest-JSON winner; see dedupByKeys).
+    if (dedup) dedupByKeys(projected, Seq("id")) else projected
   }
 
   /** Key-wise upsert of `fresh` rows into the existing table state,
@@ -138,6 +163,19 @@ object GraphMerge {
           coalesce(col("old_firstseen"), lit(updateTag)).as("firstseen")
         case "lastupdated" =>
           when(isFresh, lit(updateTag)).otherwise(col("old_lastupdated")).as("lastupdated")
+        case "props" =>
+          // MERGE ... SET sets only the batch's DECLARED properties
+          // (querybuilder.py:384-393): on a matched row, fresh keys win
+          // but keys set by OTHER schemas/modules on the same node
+          // survive — replacing the whole map would silently delete a
+          // sibling module's enrichment on every re-sync.
+          when(isFresh && col("old_props").isNotNull,
+            map_concat(
+              map_filter(col("old_props"),
+                (k, _) => !array_contains(map_keys(col("props")), k)),
+              col("props")))
+            .otherwise(when(isFresh, col("props")).otherwise(col("old_props")))
+            .as("props")
         case c => when(isFresh, col(c)).otherwise(col(s"old_$c")).as(c)
       }
     merged.select(outCols: _*)
@@ -156,7 +194,7 @@ object GraphMerge {
     val keys = Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id")
     // dedupBatch=false skips a corpus-sized shuffle when the caller's
     // batch is already key-unique (e.g. an aggregation output)
-    val fresh = (if (dedupBatch) batch.dropDuplicates(keys) else batch).persist()
+    val fresh = (if (dedupBatch) dedupByKeys(batch, keys) else batch).persist()
     try {
       // first commit: the batch IS the table — no upsert join, and no
       // touched-partition pre-pass (commit() lays out whatever exists)
@@ -192,7 +230,7 @@ object GraphMerge {
     // dedupBatch=false skips a corpus-sized shuffle when the caller's
     // batch is already (label, id)-unique (e.g. projections of committed
     // one-row-per-key tables) — same contract as upsertEdgeBatch
-    val fresh = (if (dedupBatch) batch.dropDuplicates("label", "id")
+    val fresh = (if (dedupBatch) dedupByKeys(batch, Seq("label", "id"))
                  else batch).persist()
     try {
       if (!nodes.exists) { // first commit: the batch IS the table
@@ -266,7 +304,10 @@ object GraphMerge {
     // ---- relationships ----------------------------------------------------
     // Target lookups read the *post-commit* node state so self-references
     // and sub-resource containers loaded earlier in the same run resolve.
-    val nodeState = nodes.read()
+    // readPartition prunes to the target label's buckets only — read()
+    // would list and scan every label of a 100 TB table once per rel.
+    def labelState(label: String): DataFrame =
+      nodes.readPartition(label).getOrElse(GraphTables.emptyNodes(spark))
 
     val batchWithId = batch.withColumn("_src_id",
       resolve(schema.idRef, kwargs))
@@ -306,20 +347,19 @@ object GraphMerge {
         case LinkDirection.Inward =>
           (lit(rel.targetLabel), col("_tgt_id"), lit(schema.label), col("_src_id"))
       }
-      joined.select(
+      dedupByKeys(joined.select(
         srcLabel.as("src_label"), srcId.cast("string").as("src_id"),
         lit(rel.relLabel).as("rel_label"),
         dstLabel.as("dst_label"), dstId.cast("string").as("dst_id"),
         propsMap.as("props"),
-        lit(updateTag).as("firstseen"), lit(updateTag).as("lastupdated"))
-        .dropDuplicates("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+        lit(updateTag).as("firstseen"), lit(updateTag).as("lastupdated")),
+        Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id"))
     }
 
     val subEdges: Seq[DataFrame] = selSubRes.toSeq.map { sr =>
-      val container = nodeState
-        .filter(col("label") === sr.targetLabel &&
-          col("id") === lit(kwargs.getOrElse(sr.ref.name,
-            sys.error(s"missing kwarg '${sr.ref.name}'"))))
+      val container = labelState(sr.targetLabel)
+        .filter(col("id") === lit(kwargs.getOrElse(sr.ref.name,
+          sys.error(s"missing kwarg '${sr.ref.name}'"))))
       // The container is a single node — broadcast the lookup.
       edgeRowsFor(
         RelSchema(sr.relLabel, sr.targetLabel, sr.direction,
@@ -327,7 +367,7 @@ object GraphMerge {
         broadcast(container))
     }
     val otherEdges: Seq[DataFrame] = selOtherRels.map { rel =>
-      edgeRowsFor(rel, nodeState.filter(col("label") === rel.targetLabel))
+      edgeRowsFor(rel, labelState(rel.targetLabel))
     }
     val allEdges = (subEdges ++ otherEdges).reduceOption(_ unionByName _)
 

@@ -111,33 +111,38 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     }
   }
 
-  // ---- manifest (de)serialization: minimal hand-rolled JSON; labels and
-  // paths are controlled charsets (no escaping needed beyond quotes).
+  // ---- manifest (de)serialization: Jackson, not hand-rolled strings —
+  // partition values are data-derived (dynamic rel labels), and an
+  // unescaped quote/backslash in one would silently corrupt the manifest
+  // and lose partitions on the next read.
   private def writeManifest(v: Long, updateTag: Long,
                             parts: Map[String, String]): Unit = {
     Files.createDirectories(manifestDir)
-    val pjson = parts.toSeq.sortBy(_._1)
-      .map { case (k, p) => s""""$k":"$p"""" }.mkString("{", ",", "}")
-    val json =
-      s"""{"version":$v,"updateTag":$updateTag,"partitions":$pjson}"""
+    val root = SnapshotTable.mapper.createObjectNode()
+    root.put("version", v)
+    root.put("updateTag", updateTag)
+    val p = root.putObject("partitions")
+    parts.toSeq.sortBy(_._1).foreach { case (k, d) => p.put(k, d): Unit }
     val tmp = manifestDir.resolve(s".v$v.json.tmp")
-    Files.writeString(tmp, json)
+    Files.writeString(tmp, SnapshotTable.mapper.writeValueAsString(root))
     Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private val partRe = """"([^"]*)":"([^"]*)"""".r
-  private val tagRe = """"updateTag":(-?\d+)""".r
-
   /** physical partition value -> data dir (relative to root) for a version. */
   def partitionsOf(v: Long): Map[String, String] = {
-    val json = Files.readString(manifestPath(v))
-    val body = json.substring(json.indexOf("\"partitions\":") + 13)
-    partRe.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+    val root = SnapshotTable.mapper.readTree(Files.readString(manifestPath(v)))
+    val it = root.get("partitions").fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> e.getValue.asText()
+    }
+    b.result()
   }
 
   def updateTagOf(v: Long): Long =
-    tagRe.findFirstMatchIn(Files.readString(manifestPath(v)))
-      .map(_.group(1).toLong).getOrElse(0L)
+    SnapshotTable.mapper.readTree(Files.readString(manifestPath(v)))
+      .get("updateTag").asLong()
 
   // ---- reads -------------------------------------------------------------
 
@@ -401,6 +406,8 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
 }
 
 object SnapshotTable {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def apply(spark: SparkSession, root: String,
             partitionCol: Option[String] = None,
             bucket: Option[BucketSpec] = None): SnapshotTable =
