@@ -218,7 +218,13 @@ object Bench {
       spark = core.Graft.session(s"local[$cpus]", cpus, "graft-bench")
       qtimes = headline.map { name =>
         val fn = SparkEntry.queries(name)
-        val (_, sec) = timed(fn(spark, sfDir).count())
+        // noop sink, not count(): under count() the optimizer prunes
+        // every projection and the final sort, so expression-bound
+        // queries (qtx*) would time a zero-column footer scan instead of
+        // the operator. The noop write executes the full plan, all
+        // columns, discarding rows at the sink.
+        val (_, sec) = timed(
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         name -> sec
       }
       spark.stop()

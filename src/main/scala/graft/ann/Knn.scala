@@ -103,18 +103,45 @@ object Knn {
                         tables: Int = 16): DataFrame = {
     import spark.implicits._
     emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        (0 until tables).map { t =>
-          var sketch = 0L
-          var p = 0
-          while (p < bits) {
-            var dot = 0.0
-            var i = 0
-            while (i < v.length) { dot += v(i) * planeComp(t, p, i); i += 1 }
-            if (dot >= 0) sketch |= (1L << p)
-            p += 1
+      .mapPartitions { it =>
+        // The plane matrix is deterministic and tiny (tables×bits×dim
+        // doubles) — materialize it once per partition per dim, so the
+        // inner loop is pure multiply-add. Recomputing planeComp per
+        // element (a tuple-allocating murmur hash) costs ~4096 hashes
+        // per VECTOR — at 10^9 vectors that dominates the sketch pass.
+        val planeCache = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+        def planes(dim: Int): Array[Double] = planeCache.getOrElseUpdate(dim, {
+          val a = new Array[Double](tables * bits * dim)
+          var t = 0
+          while (t < tables) {
+            var p = 0
+            while (p < bits) {
+              var i = 0
+              while (i < dim) {
+                a((t * bits + p) * dim + i) = planeComp(t, p, i)
+                i += 1
+              }
+              p += 1
+            }
+            t += 1
           }
-          (id, t, sketch)
+          a
+        })
+        it.flatMap { case (id, v) =>
+          val pl = planes(v.length)
+          (0 until tables).map { t =>
+            var sketch = 0L
+            var p = 0
+            while (p < bits) {
+              val off = (t * bits + p) * v.length
+              var dot = 0.0
+              var i = 0
+              while (i < v.length) { dot += v(i) * pl(off + i); i += 1 }
+              if (dot >= 0) sketch |= (1L << p)
+              p += 1
+            }
+            (id, t, sketch)
+          }
         }
       }.toDF("vec_id", "table", "bucket")
   }
@@ -143,8 +170,14 @@ object Knn {
       .withColumn("cs", cosine(col("cv"), col("embedding")))
       .withColumn("rn", row_number().over(wAsgn))
     val asgn = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-    val probes = ranked
-      .filter(col("vec_id").isin(queryIds: _*) && col("rn") <= nprobe)
+    // probes rank only the |Q|×C query subset — reusing `ranked` here
+    // would re-execute the full n×C assignment pass a second time (the
+    // dominant index-build cost; the two filters prevent exchange reuse)
+    val probes = emb.filter(col("vec_id").isin(queryIds: _*))
+      .crossJoin(broadcast(cent))
+      .withColumn("cs", cosine(col("cv"), col("embedding")))
+      .withColumn("rn", row_number().over(wAsgn))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
     val candIds = asgn.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))

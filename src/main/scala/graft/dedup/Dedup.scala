@@ -66,10 +66,12 @@ object Dedup {
     * maxDf documents is dropped from the postings BEFORE the self-join —
     * without the cap one ubiquitous shingle contributes O(df²) candidate
     * rows and explodes the join at scale. The drop is LOGGED, never
-    * silent, and only ever loses pairs whose overlap hides entirely in
-    * ubiquitous shingles (intersection counts shrink; sizes stay exact,
-    * so no false positives are introduced). The oracle corpus stays far
-    * under the default cap.
+    * silent. Recall contract: sizes stay exact and intersection counts
+    * only shrink, so no false positives — but a borderline pair that
+    * needs a hot shingle's contribution to cross the threshold IS
+    * missed, not just pairs overlapping exclusively in hot shingles.
+    * The oracle corpora stay far under the default cap, so engine and
+    * DuckDB agree wherever the driver checks values.
     */
   def allPairsJaccard(spark: SparkSession, corpus: DataFrame,
                       maxDf: Int = 1000): DataFrame = {

@@ -33,6 +33,13 @@ object DriftStates {
       f.dataType match {
         case _: org.apache.spark.sql.types.ArrayType =>
           array_join(sort_array(col(f.name).cast("array<string>")), "|")
+        case _: org.apache.spark.sql.types.MapType =>
+          // a map's render order depends on how it was built (insert vs
+          // merge path) — canonicalize to sorted k=v pairs or two
+          // captures of identical state would diff spuriously
+          array_join(sort_array(transform(map_entries(col(f.name)),
+            e => concat(e.getField("key").cast("string"), lit("="),
+              e.getField("value").cast("string")))), "|")
         case _ => col(f.name).cast("string")
       }
     }

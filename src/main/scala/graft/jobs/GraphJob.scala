@@ -61,8 +61,12 @@ final case class GraphJob(name: String, statements: Seq[JobStatement]) {
       st.updates match {
         case Some(view) =>
           // materialize before replacing the view: the plan references the
-          // view it is about to redefine
-          val frozen = out.localCheckpoint()
+          // view it is about to redefine. Reliable checkpoint when a dir
+          // is configured (localCheckpoint blocks die with a lost
+          // executor and their lineage is already cut).
+          val frozen =
+            if (spark.sparkContext.getCheckpointDir.isDefined) out.checkpoint()
+            else out.localCheckpoint()
           frozen.createOrReplaceTempView(view)
           state += view -> frozen
         case None => lastRead = Some(out)

@@ -14,7 +14,9 @@ object Sync {
     */
   def parseAndValidateSelectedModules(selected: String,
                                       registry: Seq[String]): Seq[String] = {
-    val names = selected.split(',').map(_.trim).toSeq
+    // -1 keeps trailing empty segments: "extract," must be rejected like
+    // ",extract" (a trailing comma usually means a truncated selection)
+    val names = selected.split(",", -1).map(_.trim).toSeq
     names.foreach { m =>
       if (!registry.contains(m))
         throw new IllegalArgumentException(

@@ -59,8 +59,8 @@ object TextStats {
     def hits(ms: Seq[String]) = ms.map { m =>
       (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length
     }.reduce(_ + _)
-    val scored = markers.foldLeft(d.select(col("doc_id"), col("lang"))
-      .join(d.select(col("doc_id"), col("text")), "doc_id")) {
+    val scored = markers.foldLeft(
+      d.select(col("doc_id"), col("lang"), col("text"))) {
       case (df, (code, ms)) => df.withColumn(s"s_$code", hits(ms).cast("bigint"))
     }
     // argmax with fixed priority order on ties (foldRight: earlier
