@@ -435,6 +435,38 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // The LSH structure is integer-LCG-derived (Knn.planeComp), so DuckDB
+    // rebuilds planes, sign sketches and buckets exactly; dot products and
+    // cosines accumulate left-to-right in double in both engines
+    // (list_dot_product / list_cosine_similarity ≡ fvec_dot — verified
+    // empirically, 2000 trials bit-identical).
+    "qann3_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |            len(embedding) AS d FROM embeddings),
+        |pl AS (
+        |  SELECT t, p,
+        |    list_transform(range(0, (SELECT MAX(d) FROM e)),
+        |      i -> CAST((((t*1000003 + p*10007 + i*101 + 12345) * 48271 % 2147483647)
+        |                 * 48271 % 2147483647) AS DOUBLE)
+        |           / 2147483647.0 * 2.0 - 1.0) AS plane
+        |  FROM range(0, 16) tt(t) CROSS JOIN range(0, 4) pp(p)),
+        |b AS (
+        |  SELECT e.vec_id, pl.t,
+        |    SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+        |             THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM e CROSS JOIN pl GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS query_id, t, bucket FROM b WHERE vec_id < 20),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, b.vec_id FROM b JOIN q USING (t, bucket)
+        |  WHERE b.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, cand.vec_id) AS rank
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+        |            JOIN e ne ON ne.vec_id = cand.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "qann4_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 20 = 0),

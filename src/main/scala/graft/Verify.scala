@@ -5,14 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: regex over query names — builder-local spot
+    // checks of a few queries without the full 50-query sweep. The
+    // driver passes 2 args, so its runs are always the full set.
+    val nameFilter = args.lift(2).map(_.r)
     // 16, not 32: this VM's 32 vCPUs are overcommitted and saturating
     // them triggers hypervisor throttling convoys (see BASELINE.md
     // measurement notes) — 16 is the measured wall-clock sweet spot.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = core.Graft.session(s"local[$cpus]", cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

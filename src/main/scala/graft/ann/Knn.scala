@@ -3,7 +3,6 @@ package graft.ann
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import scala.util.hashing.MurmurHash3
 
 /** Similarity search over an embedding column (array<float>):
   * brute-force cosine top-k as the exact baseline, and random-hyperplane
@@ -84,11 +83,21 @@ object Knn {
   }
 
   /** Deterministic pseudo-random hyperplane component for
-    * (table, plane, dim).
+    * (table, plane, dim) in [-1, 1): two Lehmer-LCG steps (multiplier
+    * 48271 mod 2³¹−1) over a structured seed. Chosen over a murmur hash
+    * deliberately: every operation (int64 multiply/mod — no wraparound,
+    * products stay ≤ 2³¹·48271 — then one exact int→double conversion,
+    * one IEEE division, one multiply, one subtract) is expressible in
+    * ANSI SQL with bit-identical results, so the ENTIRE LSH structure —
+    * planes, sign sketches, buckets, candidates — is recomputable by the
+    * DuckDB oracle (see SparkEntry.oracleSql "qann3_lsh_topk") and the
+    * bucketed-ANN path gets a full value check instead of rows-only.
     */
-  private def planeComp(table: Int, plane: Int, dim: Int): Double = {
-    val h = MurmurHash3.productHash((table, plane, dim))
-    (h.toDouble / Int.MaxValue.toDouble)
+  private[ann] def planeComp(table: Int, plane: Int, dim: Int): Double = {
+    val s = table.toLong * 1000003L + plane.toLong * 10007L + dim.toLong * 101L + 12345L
+    val x1 = (s * 48271L) % 2147483647L
+    val x2 = (x1 * 48271L) % 2147483647L
+    x2.toDouble / 2147483647.0 * 2.0 - 1.0
   }
 
   /** Multi-table random-hyperplane LSH: `tables` independent `bits`-bit
@@ -146,12 +155,77 @@ object Knn {
       }.toDF("vec_id", "table", "bucket")
   }
 
+  /** Ceiling on driver-materialized IVF centroids: like the pipeline's
+    * Aho–Corasick dictionary, the centroid table must fit in one
+    * executor heap regardless of corpus size (real IVF indexes keep
+    * centroid counts ≤ ~2²⁰ even for 10⁹-vector corpora). 2²⁰ 64-dim
+    * float centroids ≈ 270 MB — the practical broadcast ceiling.
+    */
+  val MaxCentroids: Int = 1 << 20
+
+  /** Nearest-centroid cell assignment as ONE embarrassingly-parallel
+    * map pass over the corpus — zero Exchange between the scan and the
+    * assignment (the previous shape ranked the n×C cross join with a
+    * `row_number` window, shuffling all n×C scored rows just to take
+    * each vector's argmax). Centroids are collected once on the driver
+    * (size-checked against [[MaxCentroids]]) and broadcast; per row the
+    * loop scans them in ascending-cid order keeping the best similarity
+    * with a STRICT `>`, which reproduces the window's
+    * `orderBy(cs.desc, cid)` tie-break exactly. The per-pair cosine is
+    * the same fused left-to-right double dot + sqrt(n_c)·sqrt(n_v)
+    * denominator as [[cosine]], so assignments are bit-identical to the
+    * SQL spelling and the DuckDB oracle.
+    */
+  def assignCells(spark: SparkSession, emb: DataFrame,
+                  cent: DataFrame): DataFrame = {
+    import spark.implicits._
+    val centRows = cent.select(col("cid").cast("long"), col("cv"))
+      .as[(Long, Array[Float])]
+      .limit(MaxCentroids + 1).collect()
+    require(centRows.length <= MaxCentroids,
+      s"IVF centroid table exceeds the $MaxCentroids broadcast cap — " +
+        "coarsen the centroid sample")
+    val sorted = centRows.sortBy(_._1).map { case (cid, cv) =>
+      var n = 0.0
+      var i = 0
+      while (i < cv.length) { n += cv(i).toDouble * cv(i).toDouble; i += 1 }
+      (cid, cv, math.sqrt(n))
+    }
+    val centB = spark.sparkContext.broadcast(sorted)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = centB.value
+        it.map { case (id, v) =>
+          var nv = 0.0
+          var i = 0
+          while (i < v.length) { nv += v(i).toDouble * v(i).toDouble; i += 1 }
+          val vNorm = math.sqrt(nv)
+          var bestCid = -1L
+          var bestCs = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val (cid, cv, cNorm) = cents(c)
+            val n = math.min(cv.length, v.length)
+            var dot = 0.0
+            var j = 0
+            while (j < n) { dot += cv(j).toDouble * v(j).toDouble; j += 1 }
+            val cs = dot / (cNorm * vNorm)
+            if (cs > bestCs) { bestCs = cs; bestCid = cid }
+            c += 1
+          }
+          (id, bestCid)
+        }
+      }.toDF("vec_id", "cid")
+  }
+
   /** IVF-Flat ANN with deterministically sampled centroids
     * (`vec_id % centStep == 0` — no iterative k-means, so the index is
     * reproducible in plain SQL and the driver oracle can recompute the
-    * entire structure). Build: one broadcast pass assigns every vector
-    * to its nearest centroid (its cell). Query: probe the `nprobe`
-    * nearest cells and rank only their members exactly.
+    * entire structure). Build: one broadcast map pass assigns every
+    * vector to its nearest centroid (its cell) with no shuffle
+    * ([[assignCells]]). Query: probe the `nprobe` nearest cells and rank
+    * only their members exactly.
     *
     * At scale this is the classic IVF shape: the centroid table is tiny
     * (broadcast), assignment is one embarrassingly-parallel pass, the
@@ -162,17 +236,11 @@ object Knn {
               k: Int, centStep: Int = 20, nprobe: Int = 6): DataFrame = {
     val cent = emb.filter(col("vec_id") % centStep === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // nearest-centroid ranking for every (vector, centroid) pair; ties
-    // broken by cid so assignment is deterministic
+    val asgn = assignCells(spark, emb, cent)
+    // probes rank only the |Q|×C query subset via a window (|Q| is tiny);
+    // ties broken by cid so the probe set is deterministic
     val wAsgn = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cid"))
-    val ranked = emb.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine(col("cv"), col("embedding")))
-      .withColumn("rn", row_number().over(wAsgn))
-    val asgn = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-    // probes rank only the |Q|×C query subset — reusing `ranked` here
-    // would re-execute the full n×C assignment pass a second time (the
-    // dominant index-build cost; the two filters prevent exchange reuse)
     val probes = emb.filter(col("vec_id").isin(queryIds: _*))
       .crossJoin(broadcast(cent))
       .withColumn("cs", cosine(col("cv"), col("embedding")))

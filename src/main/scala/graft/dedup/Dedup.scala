@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.util.hashing.MurmurHash3
 import graft.link.ConnectedComponents
@@ -101,6 +102,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Band-bucket size cap for the LSH candidate self-joins — the same
+    * lesson [[graft.link.Blocking.MaxBucket]] encodes for entity
+    * blocking, applied to the document side: a bucket with more members
+    * than this emits sort-adjacent CHAIN pairs (O(m)) instead of all
+    * pairs (O(m²)). At 100 TB a mass-duplicated boilerplate page (10⁶
+    * copies sharing every band) would otherwise put O(10¹²) candidate
+    * rows on a single band key. Chaining keeps every bucket member
+    * CONNECTED — near-dup *clusters* (the dedup deliverable, [[clusters]]
+    * via CC transitivity) are unchanged; only pair-level enumeration
+    * inside an oversized bucket is thinned, and exact-Jaccard
+    * verification still gates every emitted pair. The fixture corpora
+    * stay far under the cap, so the qdd4/qdd5 driver oracles (which
+    * assert equality with the exact all-pairs baseline) are unaffected.
+    */
+  val MaxBandBucket = 1000
+
+  /** Self-join `df` on `keys` emitting ordered member pairs with the
+    * [[MaxBandBucket]] chain cap. `payload` columns ride along as
+    * `<p>_a`/`<p>_b` (first payload column must be the numeric doc id —
+    * it defines both the pair order and the chain sort). Oversized
+    * buckets sort by id and pair each member with its predecessor:
+    * linear in bucket size, keeps the bucket one connected component.
+    */
+  private def cappedBucketPairs(df: DataFrame, keys: Seq[String],
+                                payload: Seq[String]): DataFrame = {
+    val idA = s"${payload.head}_a"
+    val idB = s"${payload.head}_b"
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    val small = df.join(
+      counts.filter(col("_n") <= MaxBandBucket).select(keys.map(col): _*),
+      keys, "left_semi")
+    val l = small.select(keys.map(col) ++ payload.map(p => col(p).as(s"${p}_a")): _*)
+    val r = small.select(keys.map(col) ++ payload.map(p => col(p).as(s"${p}_b")): _*)
+    val smallPairs = l.join(r, keys)
+      .filter(col(idA) < col(idB))
+      .select(payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
+    // oversized buckets: predecessor pairs along the id sort order — the
+    // ascending sort makes prev < current, so ordering is preserved
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(payload.head))
+    val chained = payload.foldLeft(
+        df.join(counts.filter(col("_n") > MaxBandBucket).select(keys.map(col): _*),
+          keys, "left_semi")) {
+        (acc, p) => acc.withColumn(s"_prev_$p", lag(col(p), 1).over(w))
+      }
+      .filter(col(s"_prev_${payload.head}").isNotNull)
+    val chainPairs = chained.select(payload.flatMap(p =>
+      Seq(col(s"_prev_$p").as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
+    smallPairs.unionByName(chainPairs)
+  }
+
   private val NumHashes = 64
   // 32 bands of r=2 rows: candidate probability at the Jaccard-0.5
   // decision threshold is 1-(1-0.5^2)^32 ≈ 0.9999 (vs ≈0.96 for 16×4),
@@ -139,14 +190,12 @@ object Dedup {
       (0 until Bands).map { bIdx =>
         val bandHash = MurmurHash3.arrayHash(
           sig.slice(bIdx * r, (bIdx + 1) * r), 0x85ebca6b)
-        (id, shingles.size, bIdx, bandHash)
+        (id, bIdx, bandHash)
       }
-    }.toDF("doc_id", "sz", "band", "bh")
-    val l = banded.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("band"), col("bh"))
-    val rr = banded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("band"), col("bh"))
-    val cand = l.join(rr, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    }.toDF("doc_id", "band", "bh")
+    val cand = cappedBucketPairs(banded, Seq("band", "bh"), Seq("doc_id"))
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+      .distinct()
     verifyPairs(spark, cand, sh)
   }
 
@@ -223,12 +272,14 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sim"), b * 4).bitwiseAND(lit(0xfL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("band"), col("key"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("band"), col("key"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
+    // the Hamming gate applies to chain pairs too — a chain pair that
+    // fails it is simply not a candidate (recall is probabilistic here;
+    // the verified path re-checks everything against exact Jaccard)
+    cappedBucketPairs(banded, Seq("band", "key"), Seq("doc_id", "sim"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
-      .select("doc_a", "doc_b").distinct()
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+      .distinct()
   }
 
   /** Near-dup clusters: connected components over the verified pair

@@ -80,11 +80,17 @@ object DataOps {
   def qann2PairsAbove(spark: SparkSession, sfDir: String): DataFrame =
     Knn.pairsAbove(spark, Knn.embeddings(spark, sfDir), 0.42)
 
-  /** LSH-bucketed ANN — rows-only; recall vs brute force asserted in
+  /** LSH-bucketed ANN — fully oracle-backed since the hyperplanes moved
+    * to an integer-LCG construction expressible in ANSI SQL
+    * ([[graft.ann.Knn.planeComp]]): DuckDB recomputes the planes, sign
+    * sketches, bucket joins and final cosine ranking value-for-value.
+    * The probabilistic recall contract vs brute force stays asserted in
     * ScalaTest.
     */
   def qann3LshTopK(spark: SparkSession, sfDir: String): DataFrame =
     Knn.lshTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"))
 
   /** IVF-Flat ANN with sampled centroids — fully oracle-backed: the
     * centroid sample, cell assignment, probe set, and final ranking are

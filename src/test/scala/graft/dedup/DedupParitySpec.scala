@@ -51,4 +51,30 @@ class DedupParitySpec extends SparkSpecBase {
       "boilerplate-only pairs are the documented bounded miss")
     assert(capped.subsetOf(uncapped), "the cap can only remove pairs, never invent them")
   }
+
+  test("band-bucket chain cap: a mass-duplicated group yields linear pairs but one connected cluster") {
+    // Adversarial 100 TB shape: one boilerplate page duplicated far past
+    // MaxBandBucket. Every band bucket holds the whole group; uncapped
+    // LSH would emit O(m²) ≈ 3.1M candidate pairs — the chain cap must
+    // emit exactly the m−1 sort-adjacent pairs per band (distinct across
+    // bands), and CC must still close the group into ONE cluster.
+    val m = Dedup.MaxBandBucket + 1500
+    val text = (0 until 8).map(i => s"w$i").mkString(" ")
+    val corpus = (0L until m.toLong).map(i => (i, text)).toDF("doc_id", "text")
+
+    val lsh = Dedup.minhashLshPairs(spark, corpus)
+    val lshPairs = pairSet(lsh)
+    assert(lshPairs.size === m - 1,
+      s"expected ${m - 1} chain pairs, got ${lshPairs.size}")
+    assert(lshPairs.forall { case (a, b) => b == a + 1 },
+      "chain pairs are sort-adjacent")
+
+    val sim = Dedup.simhashVerifiedPairs(spark, corpus)
+    assert(pairSet(sim).size === m - 1)
+
+    val clusters = Dedup.clusters(spark, corpus, lsh).collect()
+    assert(clusters.length === m)
+    assert(clusters.forall(_.getLong(1) == 0L),
+      "chain pairs keep the whole group one connected component")
+  }
 }
