@@ -46,6 +46,7 @@ object SparkEntry {
     "q26_analysis_job" -> (GraphOps.q26AnalysisJob _),
     "q27_drift_states" -> (GraphOps.q27DriftStates _),
     "q28_selected_rels" -> (GraphOps.q28SelectedRels _),
+    "q30_multi_tenant" -> (GraphOps.q30MultiTenant _),
     "qkg1_extract_invariant" -> (KgOps.qkg1Invariant _),
     "qkg2_mentions" -> (KgOps.qkg2Mentions _),
     "qkg3_triples" -> (KgOps.qkg3Triples _),
@@ -319,6 +320,25 @@ object SparkEntry {
         |  UNION ALL SELECT 'all', 'RESOURCE', (SELECT COUNT(*) FROM o)
         |  UNION ALL SELECT 'subset', 'PLACED_BY', (SELECT COUNT(*) FROM o)) t
         |ORDER BY run, rel_label""".stripMargin,
+    // q30 expected state: round 1 synced both tenants at tag 100 and ran
+    // the gated post job (post_run_tag=100 on both Nation containers);
+    // round 2 refreshed tenant 1's even customers at tag 200 and cleaned
+    // its stale odds, while tenant 2's simulated fetch failure left its
+    // customers untouched and SKIPPED the post job (marker stays 100).
+    "q30_multi_tenant" ->
+      """SELECT * FROM (
+        | SELECT 'Nation' AS label, CAST(n_nationkey AS VARCHAR) AS id,
+        |  '-' AS tenant, CAST(100 AS BIGINT) AS firstseen,
+        |  CAST(100 AS BIGINT) AS lastupdated, '100' AS post_tag
+        | FROM nation WHERE n_nationkey IN (1, 2)
+        | UNION ALL
+        | SELECT 'Customer', CAST(c_custkey AS VARCHAR),
+        |  CAST(c_nationkey AS VARCHAR), CAST(100 AS BIGINT),
+        |  CAST(CASE WHEN c_nationkey = 1 THEN 200 ELSE 100 END AS BIGINT),
+        |  '-'
+        | FROM customer
+        | WHERE c_nationkey = 2 OR (c_nationkey = 1 AND c_custkey % 2 = 0)) t
+        |ORDER BY label, id""".stripMargin,
 "q24_incremental_sync" ->
       """WITH c AS (SELECT COUNT(*) AS n FROM documents),
         |ids AS (SELECT doc_id AS i FROM documents)

@@ -96,12 +96,20 @@ object GraphJob {
   /** Load every *.json job under a directory, sorted by path — the
     * analysis-job corpus entrypoint (intel/analysis.py:31-42).
     */
-  def fromDirectory(dir: String): Seq[GraphJob] = {
+  def fromDirectory(dir: String): Seq[GraphJob] =
+    jobFilesIn(dir).map(p => fromJson(java.nio.file.Files.readString(p)))
+
+  /** Sorted *.json paths under `dir` (recursive). The walk stream is
+    * CLOSED eagerly — `Files.walk` holds a file descriptor until GC
+    * otherwise.
+    */
+  def jobFilesIn(dir: String): Seq[java.nio.file.Path] = {
     val d = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(d)) return Seq.empty
-    val it = java.nio.file.Files.walk(d).iterator().asScala
-    it.filter(p => p.toString.endsWith(".json"))
+    val s = java.nio.file.Files.walk(d)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".json"))
       .toSeq.sortBy(_.toString)
-      .map(p => fromJson(java.nio.file.Files.readString(p)))
+    finally s.close()
   }
 }

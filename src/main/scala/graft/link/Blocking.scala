@@ -175,15 +175,43 @@ object Blocking {
     * [[duplicateEntityEdges]] (pinned by a test); the Dataset version
     * remains the scale path for dictionaries too big for one heap.
     */
+  /** Code-point string ordering — matches Spark's UTF8String binary
+    * comparison (UTF-8 byte order ≡ code-point order). Java's
+    * `String.compareTo` compares UTF-16 code UNITS, which sorts
+    * supplementary-plane characters (≥ U+10000, surrogate-encoded in
+    * [0xD800,0xDFFF]) BELOW [U+E000,U+FFFF] — the local chain order
+    * would diverge from the distributed Window orderBy on such aliases,
+    * breaking the pair-for-pair local/distributed contract.
+    */
+  private[link] val codePointOrdering: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        var i = 0
+        var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i)
+          val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca)
+          j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
+
+  private val pairOrdering: Ordering[(String, String)] =
+    Ordering.Tuple2(codePointOrdering, codePointOrdering)
+
   /** All pairs for a group ≤ [[MaxBucket]]; sort-adjacent chain pairs
     * above — must stay identical to [[pairUp]]'s group handling so the
-    * local and distributed paths agree pair-for-pair.
+    * local and distributed paths agree pair-for-pair (hence the
+    * code-point sort: Spark's Window orderBy compares UTF-8 bytes).
     */
   private def groupPairs(g: Seq[(String, String)])
       : Iterator[((String, String), (String, String))] =
     if (g.sizeIs <= MaxBucket) (for (x <- g; y <- g) yield (x, y)).iterator
     else {
-      val sorted = g.sortBy(identity)
+      val sorted = g.sorted(pairOrdering)
       sorted.iterator.zip(sorted.iterator.drop(1))
         .flatMap { case (x, y) => Seq((x, y), (y, x)) }
     }

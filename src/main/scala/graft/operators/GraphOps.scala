@@ -269,4 +269,71 @@ object GraphOps {
       .unionByName(run("subset", Some(Set("PLACED_BY"))))
       .orderBy("run", "rel_label")
   }
+
+  /** q30: multi-tenant sync orchestration (_sync_multiple_accounts,
+    * cartography/intel/aws/__init__.py:142-206) over a SHARED graph.
+    * Round 1 syncs tenants (nations) 1 and 2; both succeed, so the
+    * post-ingestion marker job runs (the gated
+    * aws_post_ingestion_principals_cleanup analog). Round 2: tenant 1
+    * re-syncs its even customers and runs tenant-scoped cleanup; tenant
+    * 2's fetch THROWS — best-effort mode completes tenant 1, aggregates
+    * the failure into MultiTenantSyncException, and SKIPS the post job.
+    * The final graph must show: tenant 1 evens refreshed, odds cleaned,
+    * tenant 2 untouched (cleanup never crossed tenants), post marker
+    * still at round 1's value.
+    */
+  def q30MultiTenant(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.jobs.MultiTenant
+    val root = tempRoot()
+    val nodes = GraphTables.nodes(spark, root)
+    val edges = GraphTables.edges(spark, root)
+    val tenants = Seq("1", "2")
+    val postSchema = NodeSchema("Nation", RowRef("nid"),
+      properties = Map("name" -> RowRef("n_name"),
+        "post_run_tag" -> KwargRef("post_tag")))
+    def nationRows(t: String) = Graft.table(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === t.toInt)
+      .select(col("n_nationkey").cast("string").as("nid"), col("n_name"))
+    def markPost(tag: Long): Unit = tenants.foreach { t =>
+      GraphMerge.load(spark, nationRows(t), postSchema,
+        Map("post_tag" -> tag.toString), tag, nodes, edges,
+        collectStats = false)
+    }
+
+    // round 1: both tenants succeed -> post marker runs at tag 100
+    MultiTenant.syncAndThen(tenants, bestEffort = true) { t =>
+      loadNation(spark, sfDir, t.toInt, nodes, edges)
+      GraphMerge.load(spark, customersOf(spark, sfDir, t.toInt),
+        customerSchema, Map("nation_id" -> t), 100L, nodes, edges,
+        collectStats = false)
+    } { markPost(100L) }
+
+    // round 2: tenant 2 fails mid-fetch; tenant 1 completes + cleans up
+    val thrown = intercept2 {
+      MultiTenant.syncAndThen(tenants, bestEffort = true) { t =>
+        if (t == "2") sys.error("simulated upstream fetch failure")
+        val all = customersOf(spark, sfDir, 1)
+        GraphMerge.load(spark, all.filter(col("cid").cast("long") % 2 === 0),
+          customerSchema, Map("nation_id" -> t), 200L, nodes, edges,
+          collectStats = false)
+        Cleanup.run(spark, customerSchema, Map("nation_id" -> t), 200L,
+          nodes, edges): Unit
+      } { markPost(200L) }
+    }
+    require(thrown.report.failed.map(_.tenantId) == Seq("2"),
+      s"expected exactly tenant 2 to fail, got ${thrown.report}")
+    require(thrown.report.succeeded == Seq("1"))
+
+    nodes.read().filter(col("label").isin("Customer", "Nation"))
+      .select(col("label"), col("id"),
+        coalesce(col("sub_resource_id"), lit("-")).as("tenant"),
+        col("firstseen"), col("lastupdated"),
+        coalesce(element_at(col("props"), "post_run_tag"), lit("-")).as("post_tag"))
+      .orderBy("label", "id")
+  }
+
+  /** intercept a MultiTenantSyncException (anything else propagates). */
+  private def intercept2(body: => Any): graft.jobs.MultiTenant.MultiTenantSyncException =
+    try { body; sys.error("expected the aggregated multi-tenant failure") }
+    catch { case e: graft.jobs.MultiTenant.MultiTenantSyncException => e }
 }

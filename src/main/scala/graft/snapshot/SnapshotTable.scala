@@ -342,6 +342,18 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     * and the data sweep judges liveness against the RETAINED manifests,
     * so a re-run collects orphans from any earlier interrupted expiry.
     *
+    * Concurrent-writer safety: a commit writes `data/v{N+1}` FIRST and
+    * moves its manifest last, so an expire racing a sync would see the
+    * in-flight version as an unreferenced orphan. The sweep therefore
+    * NEVER touches version directories numbered above the latest
+    * retained manifest — those belong to a writer that has not committed
+    * yet (Iceberg's `expire_snapshots` likewise never deletes files it
+    * cannot prove expired; collecting ABANDONED in-flight dirs is a
+    * separate concern, and they are swept here only once a later commit
+    * has moved the version number past them). Orphans ≤ the retained
+    * ceiling (from earlier interrupted expiries or superseded commits)
+    * are collected as before.
+    *
     * Returns (expired version ids, deleted data dirs relative to root).
     */
   def expireVersions(keepLast: Int): (Seq[Long], Seq[String]) = {
@@ -350,6 +362,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     val expired = vs.dropRight(keepLast)
     if (expired.isEmpty) return (Nil, Nil)
     val retained = vs.takeRight(keepLast).toSet
+    val maxRetained = retained.max
     val referenced: Set[String] =
       retained.toSeq.flatMap(v => partitionsOf(v).values).toSet
     expired.foreach(v => Files.deleteIfExists(manifestPath(v)): Unit)
@@ -358,23 +371,28 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     if (Files.isDirectory(dataRoot)) {
       listDir(dataRoot).foreach { vdir =>
         val vname = vdir.getFileName.toString
-        listDir(vdir).foreach { child =>
-          val rel = s"data/$vname/${child.getFileName}"
-          if (Files.isDirectory(child) && !referenced(rel)) {
-            deleteTree(child)
-            deleted += rel: Unit
+        // vNum None (unrecognized dir) or > maxRetained (in-flight
+        // writer) → leave the whole directory alone
+        val vNum = vname.stripPrefix("v").toLongOption
+        val sweepable = vNum.exists(_ <= maxRetained)
+        if (sweepable) {
+          listDir(vdir).foreach { child =>
+            val rel = s"data/$vname/${child.getFileName}"
+            if (Files.isDirectory(child) && !referenced(rel)) {
+              deleteTree(child)
+              deleted += rel: Unit
+            }
           }
-        }
-        // a version dir that no retained manifest owns and whose
-        // referenced children are all gone holds only job-marker files
-        // (_SUCCESS) — drop it entirely (also collects orphans left by a
-        // previously interrupted expiry)
-        val isLive =
-          vname.stripPrefix("v").toLongOption.exists(retained.contains)
-        val remaining = listDir(vdir)
-        if (!isLive && remaining.forall(p => !Files.isDirectory(p))) {
-          remaining.foreach(Files.deleteIfExists(_))
-          Files.deleteIfExists(vdir): Unit
+          // a version dir that no retained manifest owns and whose
+          // referenced children are all gone holds only job-marker files
+          // (_SUCCESS) — drop it entirely (also collects orphans left by
+          // a previously interrupted expiry)
+          val isLive = vNum.exists(retained.contains)
+          val remaining = listDir(vdir)
+          if (!isLive && remaining.forall(p => !Files.isDirectory(p))) {
+            remaining.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(vdir): Unit
+          }
         }
       }
     }

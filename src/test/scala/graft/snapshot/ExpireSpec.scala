@@ -82,4 +82,32 @@ class ExpireSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(root, "data", "v1")), "v1 dir must be gone")
     assert(t.read().select("k").as[Int].collect().toSeq === Seq(3))
   }
+
+  test("expire never touches an in-flight writer's data dir (version above the retained ceiling)") {
+    val root = tmp()
+    val t = SnapshotTable(spark, root, None)
+    t.commit(Seq((1, "a")).toDF("k", "v"), 100L)
+    t.commit(Seq((2, "b")).toDF("k", "v"), 200L)
+
+    // simulate a concurrent commit mid-flight: data/v3 written, manifest
+    // not yet moved — an expire racing it must not collect it as orphan
+    val inflight = Paths.get(root, "data", "v3", "all")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-0.parquet"), "placeholder")
+
+    val (expired, deleted) = t.expireVersions(1)
+    assert(expired === Seq(1L))
+    assert(deleted.forall(_.startsWith("data/v1/")), deleted.toString)
+    assert(Files.exists(inflight.resolve("part-0.parquet")),
+      "in-flight v3 data must survive the race")
+
+    // if the v3 writer DIED before its manifest, the next committer
+    // reuses version 3 and its overwrite-mode write replaces the
+    // abandoned dir — that is the abandoned-dir collection mechanism
+    t.commit(Seq((4, "d")).toDF("k", "v"), 300L) // lands as v3
+    assert(t.versions === Seq(2L, 3L))
+    assert(!Files.exists(inflight.resolve("part-0.parquet")),
+      "abandoned dir is replaced by the next commit at that version")
+    assert(t.read().select("k").as[Int].collect().toSeq === Seq(4))
+  }
 }
