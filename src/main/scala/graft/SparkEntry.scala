@@ -72,6 +72,7 @@ object SparkEntry {
     "qann4_ivf_topk" -> (DataOps.qann4IvfTopK _),
     "qann5_embed_clusters" -> (DataOps.qann5EmbedClusters _),
     "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
+    "qmm2_image_dims" -> (DataOps.qmm2ImageDims _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -531,6 +532,15 @@ object SparkEntry {
         | CAST(160 + octet_length(encode(text)) % 480 AS INT) AS fake_width,
         | CAST(90 + (octet_length(encode(text)) // 7) % 270 AS INT) AS fake_height,
         | CAST(1 + octet_length(encode(text)) % 24 AS INT) AS fake_frames
+        |FROM documents ORDER BY url""".stripMargin,
+    // qmm2: the Spark side PARSES real PNG/GIF/BMP/JPEG header bytes; the
+    // oracle recomputes the planted dimensions from doc_id arithmetic.
+    "qmm2_image_dims" ->
+      """SELECT 'img://' || CAST(doc_id AS VARCHAR) AS url,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |      WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        | CAST(100 + doc_id % 900 AS INT) AS width,
+        | CAST(50 + doc_id % 500 AS INT) AS height
         |FROM documents ORDER BY url""".stripMargin,
   )
 

@@ -78,6 +78,25 @@ final case class GraphJob(name: String, statements: Seq[JobStatement]) {
 
 object GraphJob {
   private[jobs] val paramRe = """\$([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** Scoped-job parameter binding — run_scoped_analysis_job
+    * (cartography/util.py:98-130): sub-resource kwargs (tenant id,
+    * update tag, ...) are merged INTO the job's parameters so scoped
+    * jobs can reference `$nation_id` etc. without each caller re-plumbing
+    * them. Explicit params win on collision, loudly: a job-file param
+    * silently shadowed by a scope kwarg (or vice versa) is how the
+    * reference leaks one tenant's analysis into another.
+    */
+  def scopedParams(params: Map[String, String],
+                   scopeKwargs: Map[String, String]): Map[String, String] = {
+    val clash = params.keySet intersect scopeKwargs.keySet
+    clash.foreach { k =>
+      require(params(k) == scopeKwargs(k),
+        s"scoped-job parameter '$k' is bound twice with different values " +
+          s"('${params(k)}' vs scope '${scopeKwargs(k)}')")
+    }
+    scopeKwargs ++ params
+  }
   private val mapper = new ObjectMapper()
 
   /** Parse a job from its JSON definition (run_from_json analog). */

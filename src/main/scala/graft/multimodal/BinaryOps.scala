@@ -32,6 +32,102 @@ object BinaryOps {
     (w, h, frames)
   }
 
+  // ---- real header parsing (dependency-free) -------------------------------
+
+  /** Parsed image metadata from REAL header bytes (no codec needed). */
+  final case class ImageMeta(url: String, format: String,
+                             width: Int, height: Int)
+
+  /** Dimension parse from raw image header bytes — fixed-offset or
+    * marker-scan reads only, so no codec jar is required:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk's big-endian
+    *    width/height at offsets 16/20 (IHDR is required to be first);
+    *  - GIF: "GIF87a"/"GIF89a" + little-endian logical-screen w/h;
+    *  - BMP: "BM", then the DIB header — BITMAPINFOHEADER and later
+    *    store int32 LE w/h at 18/22 (height may be negative for
+    *    top-down rows), the ancient BITMAPCOREHEADER (size 12) uses
+    *    uint16 at 18/20;
+    *  - JPEG: marker scan from SOI to the first SOFn frame header
+    *    (C0-CF minus C4/C8/CC), whose payload is precision(1),
+    *    height(2 BE), width(2 BE).
+    *
+    * Returns None for truncated or unrecognized payloads — the caller
+    * falls back to [[decodeStub]], which remains the declared swap-in
+    * point for formats that genuinely need codecs (video, audio).
+    */
+  def imageDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 22 && b(0) == 'B' && b(1) == 'M') {
+      val dibSize = le32(14)
+      if (dibSize == 12) Some(("bmp", le16(18), le16(20)))
+      else if (b.length >= 26) Some(("bmp", le32(18), math.abs(le32(22))))
+      else None
+    }
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) jpegDims(b)
+    else None
+  }
+
+  /** JPEG marker scan: skip fill bytes and standalone markers, hop over
+    * variable-length segments by their declared length, stop at the
+    * first SOFn.
+    */
+  private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var i = 2 // past SOI
+    while (i + 1 < b.length) {
+      if (u8(i) != 0xff) return None // lost sync
+      var j = i
+      while (j < b.length && u8(j) == 0xff) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val m = u8(j)
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = j + 1 // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI / scan start: no SOF seen
+      else {
+        if (j + 2 >= b.length) return None
+        val len = be16(j + 1)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (j + 7 >= b.length) return None
+          return Some(("jpeg", be16(j + 6), be16(j + 4)))
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** Per-partition image-header metadata over (url, payload) rows using
+    * the REAL parsers; unparseable payloads surface as format "unknown"
+    * with the stub's deterministic fake dims (the declared codec
+    * fallback) rather than vanishing silently.
+    */
+  def imageMeta(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col("url"), col("payload")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (url, bytes) =>
+          imageDims(bytes) match {
+            case Some((f, w, h)) => ImageMeta(url, f, w, h)
+            case None =>
+              val (w, h, _) = decodeStub(bytes)
+              ImageMeta(url, "unknown", w, h)
+          }
+        }
+      }
+  }
+
   /** Per-partition batch decode of (url, payload) rows → typed metadata.
     * MessageDigest is allocated once per partition (the per-partition
     * resource pattern — at scale this is where a codec context lives).

@@ -141,4 +141,56 @@ object DataOps {
     BinaryOps.extractMeta(spark, media).toDF()
       .orderBy("url")
   }
+
+  /** qmm2: REAL image-header parsing — plant deterministic PNG/GIF/BMP/
+    * JPEG headers (format cycles by doc_id, dims are doc_id arithmetic)
+    * and recover format+dimensions through [[BinaryOps.imageDims]]'
+    * byte-level parsers. Builder and parser share no code: the oracle
+    * recomputes the expected dims from doc_id, so a parser that misreads
+    * endianness, offsets or marker structure hash-mismatches.
+    */
+  def qmm2ImageDims(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map(id => ("img://" + id, imageBytes(id)))
+      .toDF("url", "payload")
+    BinaryOps.imageMeta(spark, media).toDF().orderBy("url")
+  }
+
+  /** Test-scaffolding image builder (the corpus side of qmm2) — the
+    * engine-side parse never sees this code. BMP ids ≡ 2 (mod 8) store a
+    * NEGATIVE height (top-down row order) which the parser must abs.
+    */
+  private[graft] def imageBytes(id: Long): Array[Byte] = {
+    val w = (100 + id % 900).toInt
+    val h = (50 + id % 500).toInt
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    (id % 4) match {
+      case 0 => // PNG: signature + IHDR(w BE32, h BE32) + fake CRC
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+      case 1 => // GIF89a logical screen descriptor (LE16)
+        "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+          Array[Byte](0, 0, 0)
+      case 2 => // BMP with BITMAPINFOHEADER (int32 LE dims)
+        val storedH = if (id % 8 == 2) -h else h
+        "BM".getBytes("US-ASCII") ++ le32(58) ++ le32(0) ++ le32(54) ++
+          le32(40) ++ le32(w) ++ le32(storedH) ++ le16(1) ++ le16(24) ++ le32(0)
+      case _ => // JPEG: SOI + APP0(JFIF) + SOF0(h BE16, w BE16) + EOI
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
+          be16(16) ++ "JFIF".getBytes("US-ASCII") ++
+          Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0) ++
+          Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+          be16(h) ++ be16(w) ++
+          Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+          Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+  }
 }

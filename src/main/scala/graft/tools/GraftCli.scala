@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.core.Graft
-import graft.drift.DriftStates
+import graft.drift.{DriftRegistry, DriftStates}
 import graft.kg.{AliasRow, KgPipeline, Page}
 import graft.merge.GraphTables
 
@@ -36,8 +36,13 @@ object GraftCli {
       |            --update-tag N [--selected-modules s1,s2,..]
       |            [--graph-buckets N] [--cores N]
       |  expire    --work-dir DIR --keep N
-      |  get-state --work-dir DIR --name NAME --query SQL --out FILE [--cores N]
-      |  drift     --start FILE --end FILE
+      |  analysis  --work-dir DIR --job-dir JOBS --out DIR
+      |            [--params K=V,K2=V2,..] [--update-tag N] [--cores N]
+      |  get-state --work-dir DIR --drift-dir DIR [--timestamp N] [--cores N]
+      |            (legacy single-file mode: --name NAME --query SQL --out FILE)
+      |  drift     --drift-dir DIR --query NAME [--start REF --end REF]
+      |            (legacy: --start FILE --end FILE; REF = shortcut or file)
+      |  add-shortcut --drift-dir DIR --query NAME --alias NAME --file REF
       |""".stripMargin
 
   /** `--key value` pairs -> map; unknown/malformed flags fail fast. */
@@ -69,8 +74,10 @@ object GraftCli {
   def main(args: Array[String]): Unit = args.toSeq match {
     case "sync" +: rest => sync(parseFlags(rest))
     case "expire" +: rest => expire(parseFlags(rest))
+    case "analysis" +: rest => analysis(parseFlags(rest))
     case "get-state" +: rest => getState(parseFlags(rest))
     case "drift" +: rest => drift(parseFlags(rest))
+    case "add-shortcut" +: rest => addShortcut(parseFlags(rest))
     case other => sys.error(s"unknown command: ${other.mkString(" ")}\n$usage")
   }
 
@@ -113,23 +120,102 @@ object GraftCli {
     }
   }
 
-  private def getState(flags: Map[String, String]): Unit = {
-    val spark = session(flags, "graft-cli-state")
+  /** Run every *.json analysis job under --job-dir against the synced
+    * graph (intel/analysis.py:12-42 + util.py:43-130): temp views
+    * `nodes`/`edges` are the graph state, `--params`/`--update-tag`
+    * bind `$param` placeholders via the scoped-params contract, missing
+    * params fail fast before anything executes, and each job's final
+    * pure-read result lands as parquet under `--out/<job-file-stem>`.
+    */
+  private def analysis(flags: Map[String, String]): Unit = {
+    val spark = session(flags, "graft-cli-analysis")
     val workDir = req(flags, "work-dir")
-    val query = req(flags, "query")
+    val outDir = req(flags, "out")
+    val cliParams = flags.get("params").map(_.split(',').toSeq).getOrElse(Nil)
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case _ => sys.error(s"--params entries must be K=V, got '$kv'\n$usage")
+        }
+      }.toMap
+    val scope = flags.get("update-tag").map("UPDATE_TAG" -> _).toMap
+    val params = graft.jobs.GraphJob.scopedParams(cliParams, scope)
+    val jobFiles = graft.jobs.GraphJob.jobFilesIn(req(flags, "job-dir"))
+    require(jobFiles.nonEmpty, s"no *.json jobs under ${req(flags, "job-dir")}")
+    val views = Map(
+      "nodes" -> GraphTables.nodes(spark, s"$workDir/graph").read(),
+      "edges" -> GraphTables.edges(spark, s"$workDir/graph").read())
+    jobFiles.foreach { p =>
+      val job = graft.jobs.GraphJob.fromJson(java.nio.file.Files.readString(p))
+      val stem = p.getFileName.toString.stripSuffix(".json")
+      val (_, lastRead) = job.run(spark, views, params)
+      lastRead match {
+        case Some(df) =>
+          df.write.mode("overwrite").parquet(s"$outDir/$stem")
+          System.err.println(s"[analysis] ${job.name}: wrote $outDir/$stem")
+        case None =>
+          System.err.println(s"[analysis] ${job.name}: no read statement, " +
+            "nothing to write")
+      }
+    }
+  }
+
+  private def graphViews(spark: SparkSession, workDir: String): Unit = {
     GraphTables.nodes(spark, s"$workDir/graph").read()
       .createOrReplaceTempView("nodes")
     GraphTables.edges(spark, s"$workDir/graph").read()
       .createOrReplaceTempView("edges")
-    val state = DriftStates.fromDataFrame(req(flags, "name"), query,
-      spark.sql(query))
-    DriftStates.save(state, req(flags, "out"))
   }
 
+  /** Registry mode (--drift-dir): capture a NEW timestamped state for
+    * every query dir and move its `most-recent` shortcut
+    * (driftdetect/get_states.py:99-128). Legacy mode (--name/--query/
+    * --out): one ad-hoc state to an explicit file.
+    */
+  private def getState(flags: Map[String, String]): Unit = {
+    val spark = session(flags, "graft-cli-state")
+    graphViews(spark, req(flags, "work-dir"))
+    flags.get("drift-dir") match {
+      case Some(dd) =>
+        val ts = flags.get("timestamp").map(_.toLong)
+          .getOrElse(System.currentTimeMillis() / 1000L)
+        val written = DriftRegistry.captureAll(spark, dd, ts)
+        require(written.nonEmpty, s"no query dirs (template.json) under $dd")
+        written.foreach(p => System.err.println(s"[get-state] captured $p"))
+      case None =>
+        val query = req(flags, "query")
+        val state = DriftStates.fromDataFrame(req(flags, "name"), query,
+          spark.sql(query))
+        DriftStates.save(state, req(flags, "out"))
+    }
+  }
+
+  /** Registry mode resolves --start/--end through the query dir's
+    * shortcuts and defaults to the two most recent captures; legacy mode
+    * takes two explicit files.
+    */
   private def drift(flags: Map[String, String]): Unit = {
-    val start = DriftStates.load(req(flags, "start"))
-    val end = DriftStates.load(req(flags, "end"))
+    val (startP, endP) = flags.get("drift-dir") match {
+      case Some(dd) =>
+        val qd = s"$dd/${req(flags, "query")}"
+        (flags.get("start"), flags.get("end")) match {
+          case (Some(s), Some(e)) =>
+            (DriftRegistry.resolve(qd, s), DriftRegistry.resolve(qd, e))
+          case (None, None) => DriftRegistry.twoMostRecent(qd)
+          case _ => sys.error(s"drift needs BOTH --start and --end, or neither\n$usage")
+        }
+      case None =>
+        (java.nio.file.Paths.get(req(flags, "start")),
+          java.nio.file.Paths.get(req(flags, "end")))
+    }
+    val start = DriftStates.load(startP.toString)
+    val end = DriftStates.load(endP.toString)
     val (added, removed) = DriftStates.performDriftDetection(start, end)
     println(DriftStates.diffJson(added, removed))
   }
+
+  private def addShortcut(flags: Map[String, String]): Unit =
+    DriftRegistry.addShortcut(
+      s"${req(flags, "drift-dir")}/${req(flags, "query")}",
+      req(flags, "alias"), req(flags, "file"))
 }

@@ -88,4 +88,109 @@ class CliSpec extends SparkSpecBase {
     intercept[RuntimeException](GraftCli.main(Array("frobnicate")))
     intercept[RuntimeException](GraftCli.main(Array("expire", "--work-dir", work)))
   }
+
+  test("cli: analysis --job-dir runs json jobs against the synced graph; missing params fail fast") {
+    val in = tmp("cliin3")
+    val work = tmp("cliwork3")
+    val jobs = tmp("clijobs")
+    val out = tmp("cliout")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100"))
+
+    Files.writeString(java.nio.file.Paths.get(jobs, "a_label_counts.json"),
+      """{"name": "label counts",
+        | "statements": [
+        |  {"query": "SELECT label, count(*) AS n FROM nodes WHERE lastupdated = $UPDATE_TAG GROUP BY label ORDER BY label"}
+        |]}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(jobs, "b_top_degree.json"),
+      """{"name": "top degree",
+        | "statements": [
+        |  {"query": "SELECT src_id, count(*) AS deg FROM edges GROUP BY src_id", "updates": "deg"},
+        |  {"query": "SELECT src_id, deg FROM deg ORDER BY deg DESC, src_id LIMIT $TOPK"}
+        |]}""".stripMargin)
+
+    // missing $TOPK must fail fast (validated before anything executes)
+    val bad = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("analysis", "--work-dir", work, "--job-dir", jobs,
+        "--out", out, "--update-tag", "100"))
+    }
+    assert(bad.getMessage.contains("TOPK"), bad.getMessage)
+
+    GraftCli.main(Array("analysis", "--work-dir", work, "--job-dir", jobs,
+      "--out", out, "--update-tag", "100", "--params", "TOPK=7"))
+    val counts = spark.read.parquet(s"$out/a_label_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts("Page") === 500L)
+    assert(spark.read.parquet(s"$out/b_top_degree").count() === 7L)
+
+    // scoped-param conflict is loud, not silently shadowed
+    val clash = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("analysis", "--work-dir", work, "--job-dir", jobs,
+        "--out", out, "--update-tag", "100",
+        "--params", "TOPK=7,UPDATE_TAG=999"))
+    }
+    assert(clash.getMessage.contains("UPDATE_TAG"), clash.getMessage)
+  }
+
+  test("cli: drift registry — timestamped captures, most-recent shortcut, default drift pair") {
+    import graft.drift.DriftRegistry
+    val in = tmp("cliin4")
+    val work = tmp("cliwork4")
+    val dd = tmp("clidrift")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages1")
+    Corpus.pages(spark, sf, 2, 0).write.parquet(s"$in/pages2")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    val qd = java.nio.file.Paths.get(dd, "label-counts")
+    Files.createDirectories(qd)
+    Files.writeString(qd.resolve("template.json"),
+      """{"name": "label-counts",
+        | "validation_query": "SELECT label, count(*) AS n FROM nodes GROUP BY label ORDER BY label"}""".stripMargin)
+
+    GraftCli.main(Array("sync", "--input", s"$in/pages1", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100"))
+    GraftCli.main(Array("get-state", "--work-dir", work, "--drift-dir", dd,
+      "--timestamp", "1000"))
+    GraftCli.main(Array("sync", "--input", s"$in/pages2", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "200"))
+    GraftCli.main(Array("get-state", "--work-dir", work, "--drift-dir", dd,
+      "--timestamp", "2000"))
+
+    // two runs -> two distinct artifacts, shortcut tracks the newest
+    assert(Files.isRegularFile(qd.resolve("1000.json")))
+    assert(Files.isRegularFile(qd.resolve("2000.json")))
+    assert(DriftRegistry.shortcuts(qd.toString)("most-recent") === "2000.json")
+    // same-timestamp recapture must refuse, not overwrite
+    intercept[IllegalArgumentException] {
+      GraftCli.main(Array("get-state", "--work-dir", work, "--drift-dir", dd,
+        "--timestamp", "2000"))
+    }
+
+    // drift with no explicit refs diffs the two most recent captures
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) {
+      GraftCli.main(Array("drift", "--drift-dir", dd, "--query", "label-counts"))
+    }
+    assert(out.toString.contains(""""new_results":[["Page","1000"]]"""), out.toString)
+    assert(out.toString.contains(""""missing_results":[["Page","500"]]"""), out.toString)
+
+    // user shortcut -> usable as a state ref; dangling refs refused
+    GraftCli.main(Array("add-shortcut", "--drift-dir", dd, "--query", "label-counts",
+      "--alias", "baseline", "--file", "1000.json"))
+    val out2 = new ByteArrayOutputStream()
+    Console.withOut(out2) {
+      GraftCli.main(Array("drift", "--drift-dir", dd, "--query", "label-counts",
+        "--start", "baseline", "--end", "most-recent"))
+    }
+    assert(out2.toString === out.toString)
+    intercept[IllegalArgumentException] {
+      GraftCli.main(Array("add-shortcut", "--drift-dir", dd, "--query", "label-counts",
+        "--alias", "nope", "--file", "missing.json"))
+    }
+    // numeric ordering: 900 < 1000 even though "900" > "1000" lexically
+    Files.writeString(qd.resolve("900.json"), Files.readString(qd.resolve("1000.json")))
+    assert(DriftRegistry.stateFiles(qd.toString).map(_.getFileName.toString) ===
+      Seq("900.json", "1000.json", "2000.json"))
+  }
 }
