@@ -47,6 +47,7 @@ object SparkEntry {
     "q27_drift_states" -> (GraphOps.q27DriftStates _),
     "q28_selected_rels" -> (GraphOps.q28SelectedRels _),
     "q30_multi_tenant" -> (GraphOps.q30MultiTenant _),
+    "q31_indexed_cleanup" -> (GraphOps.q31IndexedCleanup _),
     "qkg1_extract_invariant" -> (KgOps.qkg1Invariant _),
     "qkg2_mentions" -> (KgOps.qkg2Mentions _),
     "qkg3_triples" -> (KgOps.qkg3Triples _),
@@ -321,6 +322,14 @@ object SparkEntry {
         |  UNION ALL SELECT 'all', 'RESOURCE', (SELECT COUNT(*) FROM o)
         |  UNION ALL SELECT 'subset', 'PLACED_BY', (SELECT COUNT(*) FROM o)) t
         |ORDER BY run, rel_label""".stripMargin,
+    // q31 runs the q14 scenario through the endpoint-index DETACH path;
+    // the expected state is identical by contract.
+    "q31_indexed_cleanup" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        | CAST(100 AS BIGINT) AS firstseen, CAST(200 AS BIGINT) AS lastupdated,
+        | CAST(1 AS BIGINT) AS n_res_edges
+        |FROM customer WHERE c_nationkey = 1 AND c_custkey % 2 = 0
+        |ORDER BY id""".stripMargin,
     // q30 expected state: round 1 synced both tenants at tag 100 and ran
     // the gated post job (post_run_tag=100 on both Nation containers);
     // round 2 refreshed tenant 1's even customers at tag 200 and cleaned

@@ -72,9 +72,17 @@ object Cleanup {
     n
   }
 
+  /** With `edgeIndex` (an [[EdgeEndpointIndex]] maintained on every edge
+    * commit of this graph) the DETACH sweep reads ONLY the edge
+    * partitions the index names for the deleted nodes — batch-
+    * proportional instead of table-proportional. Without it, the sweep
+    * falls back to the full-scan semi-join (correct at any scale, reads
+    * everything once).
+    */
   def run(spark: SparkSession, schema: NodeSchema,
           kwargs: Map[String, String], updateTag: Long,
-          nodes: SnapshotTable, edges: SnapshotTable): CleanupStats = {
+          nodes: SnapshotTable, edges: SnapshotTable,
+          edgeIndex: Option[EdgeEndpointIndex] = None): CleanupStats = {
     val subId = schema.subResource.map(sr => kwargs.getOrElse(sr.ref.name,
       sys.error(s"cleanup requires kwarg '${sr.ref.name}' — " +
         "sub-resource scoping is mandatory (cleanupbuilder.py:191-206)")))
@@ -108,7 +116,6 @@ object Cleanup {
     var eDeleted = 0L
     if (edges.exists) {
       val relSet = schema.relLabels.toSet
-      val edgeState = edges.read()
       // Every membership test below is TWO equi-semi-joins (src side,
       // dst side) unioned — an OR-of-equalities join condition cannot be
       // planned as a hash join and degrades to a nested loop over
@@ -124,12 +131,25 @@ object Cleanup {
             base.filter(col("dst_label") === schema.label)
               .join(r, col("dst_id") === col(renamed), "left_semi"))
       }
-      // detach: any edge touching a deleted node of this label
-      val detached = touching(edgeState, staleNodes, "_sid")
+      // detach: any edge touching a deleted node of this label. A
+      // deleted node's edges can carry ANY rel_label and edge buckets
+      // hash (src_id, dst_id) jointly, so without help neither side
+      // prunes — the endpoint index names the exact partition subset.
+      val detachState = edgeIndex match {
+        case Some(ix) if nDeleted > 0 =>
+          edges.readPhysical(ix.edgePartitionsFor(schema.label, staleNodes))
+            .getOrElse(GraphTables.emptyEdges(spark))
+        case Some(_) => GraphTables.emptyEdges(spark) // nothing deleted
+        case None => edges.read()
+      }
+      val detached = touching(detachState, staleNodes, "_sid")
       // stale rels of this schema's rel labels, scoped to this node label
-      // AND to the tenant being synced
-      val staleRelEdges = touching(
-        edgeState.filter(col("rel_label").isin(relSet.toSeq: _*) && stale(updateTag)),
+      // AND to the tenant being synced. The labels are the table's
+      // partition column — read ONLY those partitions (no index needed).
+      val relState = relSet.toSeq.sorted.flatMap(edges.readPartition)
+        .reduceOption(_ unionByName _)
+        .getOrElse(GraphTables.emptyEdges(spark))
+      val staleRelEdges = touching(relState.filter(stale(updateTag)),
         tenantIds, "_tid")
       val doomed = detached
         .unionByName(staleRelEdges)
@@ -157,3 +177,4 @@ object Cleanup {
     CleanupStats(nDeleted, eDeleted)
   }
 }
+

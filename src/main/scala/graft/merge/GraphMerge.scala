@@ -190,7 +190,8 @@ object GraphMerge {
     */
   def upsertEdgeBatch(spark: SparkSession, batch: DataFrame, updateTag: Long,
                       edges: SnapshotTable, collectStats: Boolean = true,
-                      dedupBatch: Boolean = true): Long = {
+                      dedupBatch: Boolean = true,
+                      edgeIndex: Option[EdgeEndpointIndex] = None): Long = {
     val keys = Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id")
     // dedupBatch=false skips a corpus-sized shuffle when the caller's
     // batch is already key-unique (e.g. an aggregation output)
@@ -202,6 +203,7 @@ object GraphMerge {
         if (fresh.isEmpty) return 0L
         val n = if (collectStats) fresh.count() else -1L
         edges.commit(fresh, updateTag)
+        edgeIndex.foreach(_.update(fresh, updateTag))
         return n
       }
       // bucket-precise: only the physical partitions the batch hashes
@@ -215,6 +217,7 @@ object GraphMerge {
       }
       val n = if (collectStats) fresh.count() else -1L
       edges.commitPhysical(merged, updateTag, touched)
+      edgeIndex.foreach(_.update(fresh, updateTag))
       n
     } finally fresh.unpersist()
   }
@@ -281,7 +284,8 @@ object GraphMerge {
            kwargs: Map[String, String], updateTag: Long,
            nodes: SnapshotTable, edges: SnapshotTable,
            collectStats: Boolean = true,
-           selectedRels: Option[Set[String]] = None): LoadStats = {
+           selectedRels: Option[Set[String]] = None,
+           edgeIndex: Option[EdgeEndpointIndex] = None): LoadStats = {
     val (selSubRes, selOtherRels) = filterSelectedRels(schema, selectedRels)
     if (batch.isEmpty) return LoadStats(0, 0) // no-op on empty input (tx.py:253)
 
@@ -380,6 +384,7 @@ object GraphMerge {
           else if (!edges.exists) {
             val n = if (collectStats) e.count() else -1L
             edges.commit(e, updateTag) // first commit: the batch IS the table
+            edgeIndex.foreach(_.update(e, updateTag))
             n
           } else {
             val touchedE = edges.physicalValuesOf(e)
@@ -390,6 +395,7 @@ object GraphMerge {
             }
             val n = if (collectStats) e.count() else -1L
             edges.commitPhysical(mergedE, updateTag, touchedE)
+            edgeIndex.foreach(_.update(e, updateTag))
             n
           }
         } finally e.unpersist()

@@ -332,6 +332,42 @@ object GraphOps {
       .orderBy("label", "id")
   }
 
+  /** q31: the q14 cleanup scenario driven through the [[graft.merge.EdgeEndpointIndex]]
+    * — every edge commit maintains the reverse endpoint index and the
+    * DETACH sweep reads only the partitions the index names instead of
+    * the whole edges table. The oracle is the SAME expected state as the
+    * full-scan path (q14): the index must change what cleanup READS,
+    * never what it deletes.
+    */
+  def q31IndexedCleanup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.merge.EdgeEndpointIndex
+    val root = tempRoot()
+    val nodes = GraphTables.nodes(spark, root)
+    val edges = GraphTables.edges(spark, root)
+    val ix = Some(EdgeEndpointIndex(spark, root))
+    val nat = Graft.table(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === 1)
+      .select(col("n_nationkey").cast("string").as("nid"), col("n_name"))
+    GraphMerge.load(spark, nat, NodeSchema("Nation", RowRef("nid"),
+      properties = Map("name" -> RowRef("n_name"))), Map.empty, 100L,
+      nodes, edges, edgeIndex = ix)
+    val all = customersOf(spark, sfDir, 1)
+    val kw = Map("nation_id" -> "1")
+    GraphMerge.load(spark, all, customerSchema, kw, 100L, nodes, edges,
+      edgeIndex = ix)
+    GraphMerge.load(spark, all.filter(col("cid").cast("long") % 2 === 0),
+      customerSchema, kw, 200L, nodes, edges, edgeIndex = ix)
+    Cleanup.run(spark, customerSchema, kw, 200L, nodes, edges, edgeIndex = ix)
+    val nodeSide = nodes.read().filter(col("label") === "Customer")
+      .select(col("id"), col("firstseen"), col("lastupdated"))
+    val edgeSide = edges.read().filter(col("rel_label") === "RESOURCE")
+      .groupBy(col("dst_id").as("id")).agg(count(lit(1)).as("n_res_edges"))
+    nodeSide.join(edgeSide, Seq("id"), "left")
+      .select(col("id"), col("firstseen"), col("lastupdated"),
+        coalesce(col("n_res_edges"), lit(0L)).as("n_res_edges"))
+      .orderBy(col("id"))
+  }
+
   /** intercept a MultiTenantSyncException (anything else propagates). */
   private def intercept2(body: => Any): graft.jobs.MultiTenant.MultiTenantSyncException =
     try { body; sys.error("expected the aggregated multi-tenant failure") }

@@ -1,0 +1,103 @@
+package graft.merge
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.model._
+
+/** The endpoint index must (a) never change WHAT cleanup deletes — only
+  * what it READS — and (b) actually prune: with many buckets and few
+  * stale nodes the DETACH scan set is a strict subset of the edge
+  * table's physical partitions.
+  */
+class EdgeIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val buckets = 64
+
+  private val custSchema = NodeSchema("Customer", RowRef("cid"),
+    subResource = Some(SubResourceRel(targetLabel = "Nation",
+      ref = KwargRef("nation_id"))))
+
+  private def buildGraph(root: String, withIndex: Boolean)
+      : (graft.snapshot.SnapshotTable, graft.snapshot.SnapshotTable,
+         Option[EdgeEndpointIndex]) = {
+    val nodes = GraphTables.nodes(spark, root, buckets)
+    val edges = GraphTables.edges(spark, root, buckets)
+    val ix = if (withIndex) Some(EdgeEndpointIndex(spark, root, buckets)) else None
+    val nation = Seq(("1", "ALGERIA")).toDF("nid", "n_name")
+    GraphMerge.load(spark, nation, NodeSchema("Nation", RowRef("nid")),
+      Map.empty, 100L, nodes, edges, collectStats = false, edgeIndex = ix)
+    // 40 customers under nation 1 (RESOURCE edges), each with one order
+    // edge (PLACED_BY, dynamic via upsertEdgeBatch) — two rel labels so
+    // DETACH must cross rel partitions
+    val cust = (1 to 40).map(i => (s"c$i", s"name$i")).toDF("cid", "c_name")
+    GraphMerge.load(spark, cust, custSchema, Map("nation_id" -> "1"), 100L,
+      nodes, edges, collectStats = false, edgeIndex = ix)
+    val placed = (1 to 40).map(i =>
+      ("Order", s"o$i", "PLACED_BY", "Customer", s"c$i"))
+      .toDF("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+      .withColumn("props", map().cast("map<string,string>"))
+      .withColumn("firstseen", lit(100L)).withColumn("lastupdated", lit(100L))
+    GraphMerge.upsertEdgeBatch(spark, placed, 100L, edges,
+      collectStats = false, edgeIndex = ix)
+    (nodes, edges, ix)
+  }
+
+  /** Re-sync only customers c3..c40 at tag 200 → c1, c2 go stale. */
+  private def resyncAndClean(nodes: graft.snapshot.SnapshotTable,
+                             edges: graft.snapshot.SnapshotTable,
+                             ix: Option[EdgeEndpointIndex]): CleanupStats = {
+    val kept = (3 to 40).map(i => (s"c$i", s"name$i")).toDF("cid", "c_name")
+    GraphMerge.load(spark, kept, custSchema, Map("nation_id" -> "1"), 200L,
+      nodes, edges, collectStats = false, edgeIndex = ix)
+    Cleanup.run(spark, custSchema, Map("nation_id" -> "1"), 200L,
+      nodes, edges, edgeIndex = ix)
+  }
+
+  test("index-backed cleanup deletes exactly what the full-scan path deletes") {
+    val rootA = Files.createTempDirectory("ixa").toString
+    val rootB = Files.createTempDirectory("ixb").toString
+    val (nA, eA, ixA) = buildGraph(rootA, withIndex = true)
+    val (nB, eB, _) = buildGraph(rootB, withIndex = false)
+    val statsA = resyncAndClean(nA, eA, ixA)
+    val statsB = resyncAndClean(nB, eB, None)
+    assert(statsA === statsB)
+    assert(statsA.nodesDeleted === 2)
+    assert(statsA.edgesDeleted === 4, "RESOURCE + PLACED_BY per stale customer")
+    def state(n: graft.snapshot.SnapshotTable, e: graft.snapshot.SnapshotTable) = (
+      n.read().select("label", "id", "lastupdated")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet,
+      e.read().select("src_id", "rel_label", "dst_id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+    assert(state(nA, eA) === state(nB, eB))
+    assert(!state(nA, eA)._2.exists(t => t._1 == "c1" || t._3 == "c1"))
+  }
+
+  test("DETACH scan set is a strict subset of the edge partitions, and superset-safe after deletes") {
+    val root = Files.createTempDirectory("ixc").toString
+    val (nodes, edges, Some(ix)) = buildGraph(root, withIndex = true): @unchecked
+    val stale = Seq("c1", "c2").toDF("id")
+    val scan = ix.edgePartitionsFor("Customer", stale)
+    val allPvs = edges.partitionsOf(edges.latestVersion.get).keys.toSeq
+    assert(scan.nonEmpty && scan.toSet.subsetOf(allPvs.toSet))
+    assert(scan.size < allPvs.size / 2,
+      s"expected strong pruning, scanned ${scan.size} of ${allPvs.size}")
+    // every edge touching c1/c2 must live inside the named partitions
+    val inScan = edges.readPhysical(scan).get
+      .filter(col("src_id").isin("c1", "c2") || col("dst_id").isin("c1", "c2"))
+      .count()
+    assert(inScan === 4L)
+
+    resyncAndClean(nodes, edges, Some(ix))
+    // superset semantics: the index may still name partitions for the
+    // deleted edges (reads find nothing); rebuild compacts them away
+    val afterScan = ix.edgePartitionsFor("Customer", stale)
+    assert(edges.readPhysical(afterScan).forall(
+      _.filter(col("dst_id").isin("c1", "c2")).isEmpty))
+    ix.rebuild(300L)
+    assert(ix.edgePartitionsFor("Customer", stale) === Seq.empty,
+      "rebuilt index holds no entries for fully-detached nodes")
+    assert(ix.edgePartitionsFor("Customer", Seq("c3").toDF("id")).nonEmpty)
+  }
+}
