@@ -44,6 +44,76 @@ class HtmlEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("scanner == regex pipeline on ADVERSARIAL malformed markup (1500 cases)") {
+    // atoms chosen to land every scanner state on a boundary: truncated
+    // entities, stray angle brackets, case-mangled tags, attribute quotes
+    // hiding '>', near-miss closers, orphan drop-closers. Drop-block
+    // OPENERS appear only inside self-contained complete blocks (or as
+    // the final chunk): an unmatched opener can pair across another
+    // block's span, and sequential vs multi-pass extraction legitimately
+    // diverge on such interleavings — that class is pinned scanner-side
+    // in the next test, not via the regex twin.
+    val atoms = Seq(
+      "-->", "<!---->", "<!-- -- >",
+      "</script>", "</scriptx>", "</style>", "</head>",
+      "</nav>", "</footer>", "</aside>",
+      "<p>", "</p>", "<br>", "<br/>", "<br />", "<BR>", "<bR/>",
+      "<div a='1>2'>", "<div a=\"x\">", ">", "<>", "< p>", "</>", "<//p>",
+      "&", "&a", "&amp", "&amp;", "&#", "&#x", "&#x1F600;", "&#65;",
+      "&#999999999;", "&#x110000;", "&;", "&#;", "&nbsp", "&nbsp;",
+      "text", "two words", "é№", "\n", "\n\n", " ", "\t", "\r\n",
+      "<SCRIPT >x</SCRIPT >", "<sCrIpT>y</ScRiPt>", "<STYLE>z</STYLE>",
+      "]]>", "<?php ?>", "<!DOCTYPE html>",
+      "<script><p>nested</p></script>", "<nav>menu &amp; links</nav>",
+      "<head><title>t</title></head>", "<aside>side</aside>",
+      "<footer>\nfoot\n</footer>")
+    // atoms that leave a dangling '<', an unclosed comment, or an
+    // unmatched drop opener — these can swallow or cross-pair with a
+    // LATER block (the documented divergence class), so they are only
+    // valid as the FINAL chunk
+    val tailAtoms = Seq("<script", "</scr", "<style x", "<br", "<p", "<",
+      "</", "<!doctype", "<![CDATA[", "<!--", "<!-- no close",
+      "<script>", "<style>", "<head>", "<nav>", "<footer>", "<aside>",
+      "<head><script>double drop</head>")
+    val rng = new scala.util.Random(20260818)
+    (1 to 1500).foreach { i =>
+      val body = Seq.fill(1 + rng.nextInt(30))(atoms(rng.nextInt(atoms.length)))
+      val html = (if (i % 3 == 0)
+        body :+ tailAtoms(rng.nextInt(tailAtoms.length)) else body).mkString("")
+      assert(Html.extract(html) === RegexHtml.extract(html), s"html=<$html>")
+    }
+  }
+
+  test("divergence class (interleaved/swallowed drop blocks): scanner is sequential and outer-first") {
+    // Where the twins legitimately differ — multi-pass regex removal
+    // cannot reproduce sequential semantics on interleaved spans; the
+    // scanner's behavior (the shipping one) is pinned directly here.
+    // 1. '<scripttwo words<sCrIpT>' is ONE tag named 'scripttwo' ending
+    //    at the first '>' (HTML5 tokenizer behavior): the '<sCrIpT'
+    //    inside it never opens a drop block, so 'y' is content.
+    assert(Html.extract("<scripttwo words<sCrIpT>y</ScRiPt>z") === "yz")
+    assert(Html.extract("<p attr<script>kept</script>tail") === "kepttail")
+    // 2. an unclosed comment degrades to generic-tag handling (stripped
+    //    to the first '>'), so a drop opener inside it never opens
+    assert(Html.extract("<!-- no close<script>kept</script>tail") === "kepttail")
+    // 3. outer-first: a <head> block swallows a script opener inside it;
+    //    the text after </head> is content, not part of a script block
+    //    (the orphan </script> after it strips as a generic tag)
+    assert(Html.extract("<head><script>x</head>after</script>z") === "afterz")
+    assert(Html.extract("<head><script>x</head>after") === "after")
+    // sanity: the same opener OUTSIDE a tag does drop its block
+    assert(Html.extract("a<sCrIpT>y</ScRiPt>z") === "az")
+  }
+
+  test("scanner == regex pipeline on EVERY byte-prefix of a corpus page (entities/tags cut mid-way)") {
+    val text = "para one & <raw>.\n\nsecond para é№."
+    val html = Corpus.renderHtml(7L, text, noise = 10)
+    (0 to html.length).foreach { n =>
+      val p = html.substring(0, n)
+      assert(Html.extract(p) === RegexHtml.extract(p), s"prefix len=$n")
+    }
+  }
+
   test("scanner edge cases match the regex pipeline") {
     val cases = Seq(
       "",
