@@ -67,6 +67,8 @@ object SparkEntry {
     "qtx3_langid" -> (DataOps.qtx3LangId _),
     "qtx4_fingerprint" -> (DataOps.qtx4Fingerprint _),
     "qtx5_rabin" -> (DataOps.qtx5Rabin _),
+    "qtx6_chunks" -> (DataOps.qtx6Chunks _),
+    "qtx7_redact" -> (DataOps.qtx7Redact _),
     "qann1_topk" -> (DataOps.qann1TopK _),
     "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
     "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
@@ -449,6 +451,35 @@ object SparkEntry {
         |  (h, c) -> (h * 257 + c) % 2305843009213693951
         |) AS BIGINT) AS rabin_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "qtx6_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+        |c AS (SELECT doc_id, r.i AS st, n, ws FROM s
+        |      JOIN range(0, 100000) r(i) ON r.i < n AND r.i % 24 = 0)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_idx,
+        | CAST(LEAST(32, n - st) AS BIGINT) AS n_chunk_tokens,
+        | md5(array_to_string(list_slice(ws, st + 1, st + 32), ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // qtx7: DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    // matches by default); patterns are ASCII-only so Java regex ≡ RE2.
+    "qtx7_redact" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+        |   || CAST(doc_id % 7 AS VARCHAR) || '.example or 10.'
+        |   || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |   || CAST(doc_id % 100 AS VARCHAR) || ' ext 555-'
+        |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
+        |FROM p ORDER BY doc_id""".stripMargin,
     "qann1_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -67,6 +67,28 @@ object DataOps {
   def qtx5Rabin(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.rabinFingerprints(spark, TextStats.docs(spark, sfDir))
 
+  /** Token-window chunking (size 32, stride 24 → 8-token overlap); chunk
+    * content is value-pinned via md5 so the oracle checks the exact
+    * chunk text without shipping it.
+    */
+  def qtx6Chunks(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.chunkTokens(TextStats.docs(spark, sfDir))
+
+  /** PII redaction over documents with deterministically planted
+    * email/IP/phone strings (doc_id arithmetic, so the oracle replants
+    * them exactly); counts computed pre-mask, redacted text value-pinned
+    * via md5.
+    */
+  def qtx7Redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = TextStats.docs(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
+        lit(".example or 10."), col("doc_id") % 256, lit(".0."),
+        col("doc_id") % 100, lit(" ext 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    TextStats.redactPii(planted)
+  }
+
   // ---- similarity search --------------------------------------------------
 
   val annQueryIds: Seq[Long] = (0L until 20L)

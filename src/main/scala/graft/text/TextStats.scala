@@ -86,6 +86,54 @@ object TextStats {
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
       .orderBy("doc_id")
 
+  /** Token-window chunking — the context-window document splitter of a
+    * training-data pipeline: fixed-size token chunks on a fixed stride
+    * (`step` < `chunkSize` ⇒ overlapping windows). Pure codegen columns
+    * (split → explode(sequence) → slice → md5), no UDF; one narrow map +
+    * explode, so at 100 TB it is an embarrassingly-parallel pass whose
+    * output partitioning follows the input's. Every token lands in at
+    * least one chunk (starts run to the last token; the final chunk may
+    * be partial); a doc never yields zero chunks.
+    */
+  def chunkTokens(d: DataFrame, chunkSize: Int = 32, step: Int = 24): DataFrame = {
+    require(chunkSize > 0 && step > 0, "chunkSize and step must be positive")
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(step))))
+      .select(col("doc_id"),
+        (col("start") / step).cast("bigint").as("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("start")).cast("bigint").as("n_chunk_tokens"),
+        md5(array_join(slice(col("ws"), col("start") + 1, lit(chunkSize)), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // PII patterns shared by count + redact — ASCII-only constructs that
+  // mean the same thing under Java regex (Spark) and RE2 (DuckDB).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrub for training corpora: count then mask emails, IPv4s and
+    * phone-suffix patterns (emails FIRST — an address can embed dots and
+    * digits that the narrower patterns would half-mask). Pure
+    * regexp_count/regexp_replace columns — codegen'd, no UDF, and the
+    * patterns are engine-portable so an independent SQL engine states
+    * the same redaction.
+    */
+  def redactPii(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("bigint").as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("bigint").as("n_ips"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("bigint").as("n_phones"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+              Ipv4Re, "<IP>"),
+            PhoneRe, "<PHONE>")).as("redacted_hash"))
+      .orderBy("doc_id")
+
   /** 61-bit Rabin–Karp rolling polynomial hash over the char stream —
     * the streaming fingerprint used at scale (content-defined chunking
     * base). Pure Scala, deterministic.

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Invariants of the chunking and PII-redaction operators beyond the
+  * driver oracle: full token coverage, overlap arithmetic, short-doc
+  * behavior, and masking semantics (order, idempotence, boundaries).
+  */
+class ChunkRedactSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chunking covers every token; stride/overlap arithmetic holds; short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "only three tokens"),
+      (3L, (1 to 24).map(i => s"t$i").mkString(" ")),  // exactly one stride
+      (4L, (1 to 25).map(i => s"t$i").mkString(" "))   // one past the stride
+    ).toDF("doc_id", "text")
+    val chunks = TextStats.chunkTokens(docs, chunkSize = 32, step = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def of(id: Long) = chunks.filter(_._1 == id).sortBy(_._2)
+    // 100 tokens, stride 24: starts 0,24,48,72,96 → sizes 32,32,32,28,4
+    assert(of(1L).map(_._3).toSeq === Seq(32L, 32L, 32L, 28L, 4L))
+    assert(of(1L).map(_._2).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // coverage: start of chunk k = 24k ≤ 99, last chunk reaches token 100
+    assert(of(1L).map(t => t._2 * 24 + t._3).max === 100L)
+    assert(of(2L).map(_._3).toSeq === Seq(3L), "short doc = one partial chunk")
+    assert(of(3L).map(_._3).toSeq === Seq(24L), "n == stride → one chunk, no empty tail")
+    assert(of(4L).map(_._3).toSeq === Seq(25L, 1L), "one token past the stride spawns a tail chunk")
+  }
+
+  test("overlapping windows share exactly chunkSize-step tokens (hash-checkable)") {
+    val text = (1 to 56).map(i => s"u$i").mkString(" ") // starts 0, 24, 48
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val hashes = TextStats.chunkTokens(docs).orderBy("chunk_idx")
+      .select("chunk_hash").as[String].collect()
+    val ws = text.split(" ")
+    def h(a: Int, sz: Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(ws.slice(a, a + sz).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(hashes.toSeq === Seq(h(0, 32), h(24, 32), h(48, 32)))
+  }
+
+  test("redaction masks emails before IPs/phones, counts pre-mask, and is idempotent") {
+    val docs = Seq(
+      (1L, "write to a.b+c@sub.domain.org or 10.1.2.3 ext 555-1234"),
+      (2L, "no pii here at all"),
+      (3L, "double x@y.zz and q@r.ss; ip 255.255.255.255; 555-0000 555-9999"),
+      (4L, "not-an-ip 1234.5.6.7 and short 55-1234 stay")).toDF("doc_id", "text")
+    val out = TextStats.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L)._1 === 1L && out(1L)._2 === 1L && out(1L)._3 === 1L)
+    assert(out(2L) === ((0L, 0L, 0L, md5Hex("no pii here at all"))))
+    assert(out(3L)._1 === 2L && out(3L)._2 === 1L && out(3L)._3 === 2L)
+    // \b boundaries: 1234.5.6.7 has a 4-digit first octet → no IP match;
+    // 55-1234 lacks the 3-digit prefix → no phone match
+    assert(out(4L) === ((0L, 0L, 0L, md5Hex("not-an-ip 1234.5.6.7 and short 55-1234 stay"))))
+    assert(out(1L)._4 === md5Hex("write to <EMAIL> or <IP> ext <PHONE>"))
+    // idempotent: masking already-masked text changes nothing
+    val again = TextStats.redactPii(
+      Seq((1L, "write to <EMAIL> or <IP> ext <PHONE>")).toDF("doc_id", "text"))
+      .collect().head
+    assert((again.getLong(1), again.getLong(2), again.getLong(3)) === ((0L, 0L, 0L)))
+    assert(again.getString(4) === out(1L)._4)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
