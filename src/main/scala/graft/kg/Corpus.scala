@@ -114,8 +114,26 @@ object Corpus {
     * which at benchmark parallelism is measurable memory-bandwidth
     * pressure.
     */
+  /** Unsynchronized growable byte buffer: ByteArrayOutputStream.write is
+    * `synchronized` per byte, and with biased locking gone (JDK 15+)
+    * every byte paid an uncontended CAS — measured ~4× the whole render
+    * cost at bench weight (~120k writes/page → ~2.5 ms/page/core of pure
+    * lock overhead).
+    */
+  private final class ByteSink(initial: Int) {
+    private var buf = new Array[Byte](math.max(initial, 64))
+    private var len = 0
+    def write(b: Int): Unit = {
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+      buf(len) = b.toByte
+      len += 1
+    }
+    def toByteArray: Array[Byte] =
+      if (len == buf.length) buf else java.util.Arrays.copyOf(buf, len)
+  }
+
   def renderHtmlBytes(i: Long, text: String, noise: Int = 0): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(text.length + noise * 10 + 1024)
+    val out = new ByteSink(text.length + noise * 10 + 1024)
     def ascii(s: String): Unit = {
       var k = 0
       while (k < s.length) { out.write(s.charAt(k).toInt); k += 1 }

@@ -34,7 +34,7 @@ object GraftCli {
     """usage:
       |  sync      --input PAGES.parquet --dict ALIASES.parquet --work-dir DIR
       |            --update-tag N [--selected-modules s1,s2,..]
-      |            [--graph-buckets N] [--cores N]
+      |            [--analysis-job-dir JOBS --out DIR] [--graph-buckets N] [--cores N]
       |  expire    --work-dir DIR --keep N
       |  analysis  --work-dir DIR --job-dir JOBS --out DIR
       |            [--params K=V,K2=V2,..] [--update-tag N] [--cores N]
@@ -94,6 +94,15 @@ object GraftCli {
     flags.get("selected-modules") match {
       case Some(sel) => pipe.runStages(pages, dict, tag, sel)
       case None => pipe.run(pages, dict, tag, mergeGraph = true): Unit
+    }
+    // The reference's sync runs its analysis-job corpus as the FINAL
+    // stage (cartography/sync.py stage list ends with 'analysis',
+    // intel/analysis.py:12-42) — mirror that when a job dir is given.
+    flags.get("analysis-job-dir").foreach { jd =>
+      analysis(Map("work-dir" -> workDir, "job-dir" -> jd,
+        "out" -> req(flags, "out"), "update-tag" -> tag.toString)
+        ++ flags.get("params").map("params" -> _)
+        ++ flags.get("cores").map("cores" -> _))
     }
   }
 

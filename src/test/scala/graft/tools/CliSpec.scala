@@ -132,6 +132,18 @@ class CliSpec extends SparkSpecBase {
         "--params", "TOPK=7,UPDATE_TAG=999"))
     }
     assert(clash.getMessage.contains("UPDATE_TAG"), clash.getMessage)
+
+    // the reference's sync ends with its analysis stage: --analysis-job-dir
+    // runs the job corpus right after the pipeline, same tag
+    val work2 = tmp("cliwork3b")
+    val out2 = tmp("cliout2")
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work2, "--update-tag", "300",
+      "--analysis-job-dir", jobs, "--out", out2, "--params", "TOPK=3"))
+    assert(spark.read.parquet(s"$out2/b_top_degree").count() === 3L)
+    val counts2 = spark.read.parquet(s"$out2/a_label_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts2("Page") === 500L, "analysis ran against the tag-300 sync")
   }
 
   test("cli: drift registry — timestamped captures, most-recent shortcut, default drift pair") {
