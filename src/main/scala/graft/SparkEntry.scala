@@ -69,6 +69,8 @@ object SparkEntry {
     "qtx5_rabin" -> (DataOps.qtx5Rabin _),
     "qtx6_chunks" -> (DataOps.qtx6Chunks _),
     "qtx7_redact" -> (DataOps.qtx7Redact _),
+    "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
+    "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qann1_topk" -> (DataOps.qann1TopK _),
     "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
     "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
@@ -480,6 +482,18 @@ object SparkEntry {
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
         |FROM p ORDER BY doc_id""".stripMargin,
+    // 0x40000000 / 2^32 = 0.25: lexicographic hex compare, engine-portable
+    "qsp1_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+    "qsp2_stratified" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        | SELECT lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS sample_rank
+        | FROM documents) t
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
     "qann1_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

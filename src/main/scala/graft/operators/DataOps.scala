@@ -89,6 +89,24 @@ object DataOps {
     TextStats.redactPii(planted)
   }
 
+  /** Deterministic Bernoulli sample (rate 0.25) by content hash — the
+    * reproducible training-data subsampling primitive.
+    */
+  def qsp1HashSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sample.Sampling.hashSample(
+      TextStats.docs(spark, sfDir).select(col("doc_id"), col("lang")),
+      col("doc_id"), 0.25).orderBy("doc_id")
+
+  /** Stratified fixed quota (20 docs per language) in content-hash order
+    * — the dataset-mixing primitive (fixed per-source quotas).
+    */
+  def qsp2Stratified(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sample.Sampling.stratifiedQuota(
+      TextStats.docs(spark, sfDir).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), 20)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+
   // ---- similarity search --------------------------------------------------
 
   val annQueryIds: Seq[Long] = (0L until 20L)

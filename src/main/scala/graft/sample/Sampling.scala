@@ -1,0 +1,45 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing. Both operators are
+  * pure functions of row CONTENT (never of partitioning, task order or
+  * an RNG), so a sample is reproducible run-to-run, engine-to-engine,
+  * and under repartitioning — the property that makes dataset mixes
+  * auditable and incremental (a re-run over yesterday's corpus keeps
+  * yesterday's rows; `rand(seed)` keeps them only under identical
+  * partitioning, which no 100 TB pipeline can promise).
+  */
+object Sampling {
+
+  /** Bernoulli-by-content-hash: keep a row iff the first 8 hex digits of
+    * md5(key) fall below rate·2³². Implemented as a lexicographic
+    * compare against an 8-hex-digit threshold — portable to any engine
+    * with md5(varchar) and string compare, no integer parsing needed.
+    * At scale: a pure map (no shuffle, no state); the kept fraction
+    * converges to `rate` by md5 uniformity.
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val threshold = f"${math.min(math.round(rate * 4294967296.0), 0xffffffffL)}%08x"
+    df.filter(substring(md5(key.cast("string")), 1, 8) < lit(threshold))
+  }
+
+  /** Stratified fixed quota: the `n` rows of each stratum with the
+    * smallest md5(key) (key as the tiebreak). Hash order is a stable,
+    * content-defined "random" order, so quotas are reproducible and a
+    * grown corpus only ever *replaces* quota members, never reshuffles
+    * the whole sample. One shuffle (hash partition by stratum); each
+    * stratum's top-n is a bounded heap per partition under codegen.
+    */
+  def stratifiedQuota(df: DataFrame, stratum: Column, key: Column,
+                      n: Int): DataFrame = {
+    require(n > 0, s"quota must be positive, got $n")
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .filter(col("sample_rank") <= n)
+  }
+}

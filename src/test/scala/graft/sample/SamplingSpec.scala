@@ -1,0 +1,62 @@
+package graft.sample
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Properties that make content-hash sampling the right primitive for
+  * dataset mixing: rate convergence, invariance under repartitioning
+  * (where rand(seed) breaks), nested samples (a lower rate is a subset
+  * of a higher one), and quota stability under corpus growth.
+  */
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val ids = (1L to 20000L).toDF("doc_id")
+
+  test("kept fraction converges to the rate (md5 uniformity)") {
+    Seq(0.1, 0.25, 0.5).foreach { rate =>
+      val kept = Sampling.hashSample(ids, col("doc_id"), rate).count().toDouble
+      val frac = kept / 20000.0
+      assert(math.abs(frac - rate) < 0.02, s"rate=$rate got $frac")
+    }
+    assert(Sampling.hashSample(ids, col("doc_id"), 0.0).count() === 0L)
+    assert(Sampling.hashSample(ids, col("doc_id"), 1.0).count() === 20000L)
+  }
+
+  test("sample is a pure function of content: repartitioning changes nothing") {
+    val a = Sampling.hashSample(ids, col("doc_id"), 0.25)
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(17, col("doc_id") % 3), col("doc_id"), 0.25)
+      .as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("samples nest: rate 0.1 ⊆ rate 0.25 ⊆ rate 0.5 (threshold construction)") {
+    def s(r: Double) = Sampling.hashSample(ids, col("doc_id"), r).as[Long].collect().toSet
+    val (s10, s25, s50) = (s(0.1), s(0.25), s(0.5))
+    assert(s10.subsetOf(s25) && s25.subsetOf(s50))
+    assert(s10.nonEmpty && s25.size > s10.size && s50.size > s25.size)
+  }
+
+  test("stratified quota: exact n per stratum; growth only replaces, never reshuffles") {
+    val docs = (1L to 3000L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val q = Sampling.stratifiedQuota(docs, col("lang"), col("doc_id"), 10)
+    val perLang = q.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang === Map("lang0" -> 10L, "lang1" -> 10L, "lang2" -> 10L))
+    // grow the corpus: each stratum's new quota differs from the old one
+    // only by hash-order replacement — surviving members keep relative order
+    val grown = (1L to 6000L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val q2 = Sampling.stratifiedQuota(grown, col("lang"), col("doc_id"), 10)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .select("lang", "doc_id", "sample_rank").as[(String, Long, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val (r1, r2) = (ranked(q), ranked(q2))
+    r1.keys.foreach { lang =>
+      val survivors = r1(lang).filter(r2(lang).contains)
+      assert(survivors === r2(lang).filter(r1(lang).contains),
+        s"$lang: surviving members must keep their relative hash order")
+      assert(r2(lang).size === 10)
+    }
+  }
+}
