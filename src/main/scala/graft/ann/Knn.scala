@@ -210,7 +210,12 @@ object Knn {
             var dot = 0.0
             var j = 0
             while (j < n) { dot += cv(j).toDouble * v(j).toDouble; j += 1 }
-            val cs = dot / (cNorm * vNorm)
+            val cs0 = dot / (cNorm * vNorm)
+            // NaN (zero-norm vector or centroid) ranks HIGHEST under the
+            // window's orderBy(cs.desc) in both Spark and DuckDB — map it
+            // to +∞ so the strict `>` + ascending-cid scan reproduces the
+            // same smallest-cid assignment instead of leaving cid = -1
+            val cs = if (java.lang.Double.isNaN(cs0)) Double.PositiveInfinity else cs0
             if (cs > bestCs) { bestCs = cs; bestCid = cid }
             c += 1
           }

@@ -125,8 +125,14 @@ object Dedup {
     * buckets sort by id and pair each member with its predecessor:
     * linear in bucket size, keeps the bucket one connected component.
     */
-  private def cappedBucketPairs(df: DataFrame, keys: Seq[String],
+  private def cappedBucketPairs(df0: DataFrame, keys: Seq[String],
                                 payload: Seq[String]): DataFrame = {
+    // The input (typically the banded minhash/simhash flatMap — the
+    // dominant dedup cost) feeds THREE branches below (counts, small
+    // self-join, chain window); persist so one action evaluates it once.
+    // The result is lazy, so the cache is left to Spark's LRU rather
+    // than an eager unpersist that would fire before the caller's action.
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idA = s"${payload.head}_a"
     val idB = s"${payload.head}_b"
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))

@@ -62,8 +62,15 @@ object DriftRegistry {
     val root = mapper.createObjectNode()
     val s = root.putObject("shortcuts")
     m.toSeq.sortBy(_._1).foreach { case (k, v) => s.put(k, v): Unit }
-    Files.writeString(Paths.get(queryDir, ShortcutFile),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)): Unit
+    // tmp + ATOMIC_MOVE (the SnapshotTable.writeManifest convention): a
+    // crash mid-write must not leave a truncated shortcut.json that
+    // breaks every later registry call
+    val tmp = Paths.get(queryDir, s".$ShortcutFile.tmp")
+    Files.writeString(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.move(tmp, Paths.get(queryDir, ShortcutFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   /** Register `alias` -> `ref` (a filename or an existing alias,

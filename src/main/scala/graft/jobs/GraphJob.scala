@@ -83,8 +83,9 @@ object GraphJob {
     * (cartography/util.py:98-130): sub-resource kwargs (tenant id,
     * update tag, ...) are merged INTO the job's parameters so scoped
     * jobs can reference `$nation_id` etc. without each caller re-plumbing
-    * them. Explicit params win on collision, loudly: a job-file param
-    * silently shadowed by a scope kwarg (or vice versa) is how the
+    * them. A key bound by BOTH sides must agree — any value conflict
+    * throws. There is deliberately no precedence: a job-file param
+    * silently shadowing a scope kwarg (or vice versa) is how the
     * reference leaks one tenant's analysis into another.
     */
   def scopedParams(params: Map[String, String],

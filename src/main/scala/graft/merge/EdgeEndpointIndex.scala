@@ -29,6 +29,9 @@ import graft.snapshot.{BucketSpec, SnapshotTable}
   *    is only sound on graphs whose every edge commit ran with the index
   *    attached (pass it to GraphMerge.load/upsertEdgeBatch from the first
   *    sync). Cleanup without the index stays the default full-scan path.
+  *    GraphMerge writes the index BEFORE the edge commit for the same
+  *    reason: a crash between the two non-atomic commits then leaves the
+  *    index over-approximating (extra reads), never missing edges.
   *  - index rows are a pure set — no freshness tags; update is
   *    union+distinct over only the touched index buckets.
   */

@@ -202,8 +202,11 @@ object GraphMerge {
       if (!edges.exists) {
         if (fresh.isEmpty) return 0L
         val n = if (collectStats) fresh.count() else -1L
-        edges.commit(fresh, updateTag)
+        // index FIRST: a crash between the two commits must leave the
+        // index over-approximating (harmless extra reads), never under-
+        // approximating (missed DETACHes) — its documented contract
         edgeIndex.foreach(_.update(fresh, updateTag))
+        edges.commit(fresh, updateTag)
         return n
       }
       // bucket-precise: only the physical partitions the batch hashes
@@ -216,8 +219,8 @@ object GraphMerge {
         case None => fresh
       }
       val n = if (collectStats) fresh.count() else -1L
+      edgeIndex.foreach(_.update(fresh, updateTag)) // before the edge commit (see above)
       edges.commitPhysical(merged, updateTag, touched)
-      edgeIndex.foreach(_.update(fresh, updateTag))
       n
     } finally fresh.unpersist()
   }
@@ -383,8 +386,9 @@ object GraphMerge {
           if (e.isEmpty) 0L // every matcher missed (silent skip)
           else if (!edges.exists) {
             val n = if (collectStats) e.count() else -1L
-            edges.commit(e, updateTag) // first commit: the batch IS the table
+            // index first — crash safety must err toward over-approximation
             edgeIndex.foreach(_.update(e, updateTag))
+            edges.commit(e, updateTag) // first commit: the batch IS the table
             n
           } else {
             val touchedE = edges.physicalValuesOf(e)
@@ -394,8 +398,8 @@ object GraphMerge {
               case None => e
             }
             val n = if (collectStats) e.count() else -1L
+            edgeIndex.foreach(_.update(e, updateTag)) // before the edge commit
             edges.commitPhysical(mergedE, updateTag, touchedE)
-            edgeIndex.foreach(_.update(e, updateTag))
             n
           }
         } finally e.unpersist()

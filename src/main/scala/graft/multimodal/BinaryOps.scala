@@ -62,8 +62,14 @@ object BinaryOps {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
-        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
-      Some(("png", be32(16), be32(20)))
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a) {
+      // the first chunk must actually BE IHDR (bytes 12-15): real-web
+      // PNGs with a vendor chunk first (e.g. Apple CgBI) would otherwise
+      // read flags/CRC bytes as dimensions — fall through to the stub
+      if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some(("png", be32(16), be32(20)))
+      else None
+    }
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       Some(("gif", le16(6), le16(8)))

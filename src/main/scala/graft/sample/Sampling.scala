@@ -23,6 +23,9 @@ object Sampling {
     */
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    // rate 1.0 must keep EVERYTHING: the clamped strict-< compare would
+    // drop rows whose md5 prefix is exactly "ffffffff" (~1 per 2³²)
+    if (rate == 1.0) return df
     val threshold = f"${math.min(math.round(rate * 4294967296.0), 0xffffffffL)}%08x"
     df.filter(substring(md5(key.cast("string")), 1, 8) < lit(threshold))
   }

@@ -151,11 +151,19 @@ object GraftCli {
     val params = graft.jobs.GraphJob.scopedParams(cliParams, scope)
     val jobFiles = graft.jobs.GraphJob.jobFilesIn(req(flags, "job-dir"))
     require(jobFiles.nonEmpty, s"no *.json jobs under ${req(flags, "job-dir")}")
+    val jobs = jobFiles.map(p =>
+      p -> graft.jobs.GraphJob.fromJson(java.nio.file.Files.readString(p)))
+    // fail fast BEFORE any job writes: a missing param in job N must not
+    // leave --out half-populated with jobs 1..N-1 (intel/analysis.py
+    // validates up front for the same reason)
+    val missing = jobs.flatMap(_._2.requiredParams).toSet -- params.keySet
+    require(missing.isEmpty,
+      s"analysis jobs reference undefined parameters: ${missing.toSeq.sorted.mkString(", ")} " +
+        "— pass them via --params K=V,...")
     val views = Map(
       "nodes" -> GraphTables.nodes(spark, s"$workDir/graph").read(),
       "edges" -> GraphTables.edges(spark, s"$workDir/graph").read())
-    jobFiles.foreach { p =>
-      val job = graft.jobs.GraphJob.fromJson(java.nio.file.Files.readString(p))
+    jobs.foreach { case (p, job) =>
       val stem = p.getFileName.toString.stripSuffix(".json")
       val (_, lastRead) = job.run(spark, views, params)
       lastRead match {

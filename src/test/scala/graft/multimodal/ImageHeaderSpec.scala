@@ -21,6 +21,12 @@ class ImageHeaderSpec extends AnyFunSuite {
       8, 2, 0, 0, 0)
     assert(imageDims(png) === Some(("png", 65536, 513)))
     assert(imageDims(png.take(20)) === None, "truncated IHDR")
+    // PNG whose FIRST chunk is not IHDR (Apple CgBI): dims at 16/20 would
+    // be flags/CRC garbage — must fall through to the stub, not parse
+    val cgbi = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 4, 'C', 'g', 'B', 'I', 0x50, 0x00, 0x20, 0x02,
+      0xde, 0xad, 0xbe, 0xef)
+    assert(imageDims(cgbi) === None, "non-IHDR first chunk is not parseable")
   }
 
   test("gif: 87a and 89a little-endian dims") {
