@@ -69,6 +69,7 @@ object SparkEntry {
     "qtx5_rabin" -> (DataOps.qtx5Rabin _),
     "qtx6_chunks" -> (DataOps.qtx6Chunks _),
     "qtx7_redact" -> (DataOps.qtx7Redact _),
+    "qtx8_bigram_support" -> (DataOps.qtx8BigramSupport _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qann1_topk" -> (DataOps.qann1TopK _),
@@ -482,6 +483,21 @@ object SparkEntry {
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
         |FROM p ORDER BY doc_id""".stripMargin,
+    "qtx8_bigram_support" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  ws[r.i + 1] || ' ' || ws[r.i + 2] AS bigram
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        | JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 2
+        | WHERE len(ws) >= 2),
+        |df_ AS (SELECT bigram, COUNT(DISTINCT doc_id) AS bigram_df
+        |        FROM b GROUP BY bigram)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(CASE WHEN bigram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_supported,
+        | CAST(SUM(CASE WHEN bigram_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS support_ratio
+        |FROM b JOIN df_ USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 0x40000000 / 2^32 = 0.25: lexicographic hex compare, engine-portable
     "qsp1_hash_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -89,6 +89,12 @@ object DataOps {
     TextStats.redactPii(planted)
   }
 
+  /** Corpus-level bigram-support quality score (two-pass corpus
+    * statistic: bigram document frequencies joined back per document).
+    */
+  def qtx8BigramSupport(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.bigramSupport(TextStats.docs(spark, sfDir))
+
   /** Deterministic Bernoulli sample (rate 0.25) by content hash — the
     * reproducible training-data subsampling primitive.
     */

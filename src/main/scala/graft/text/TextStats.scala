@@ -134,6 +134,40 @@ object TextStats {
             PhoneRe, "<PHONE>")).as("redacted_hash"))
       .orderBy("doc_id")
 
+  /** Corpus-level bigram support — the LM-style boilerplate/quality
+    * signal (CCNet-shaped, integer-exact instead of a float perplexity
+    * so independent engines agree bit-for-bit): for each document, the
+    * fraction of its bigram OCCURRENCES whose bigram appears in ≥
+    * `minDocs` distinct documents. Boilerplate scores high (its bigrams
+    * recur corpus-wide), novel prose scores low.
+    *
+    * Two-pass shape — the operator family the per-doc scorers can't
+    * express: pass 1 aggregates corpus bigram document-frequencies (one
+    * shuffle on the bigram), pass 2 joins them back to each document's
+    * bigrams (second shuffle) and reduces per doc. At 100 TB the
+    * df table is Zipf-long-tailed; the join is bigram-hash-partitioned
+    * and the final reduce is a map-side-combinable sum. The single
+    * double division per doc of two exact integers is bit-reproducible.
+    */
+  def bigramSupport(d: DataFrame, minDocs: Int = 2): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bigrams = d.select(col("doc_id"), ws.as("ws"))
+      .withColumn("i", explode(sequence(lit(0), size(col("ws")) - 2)))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("bigram"))
+    val df_ = bigrams.groupBy("bigram")
+      .agg(countDistinct(col("doc_id")).as("bigram_df"))
+    bigrams.join(df_, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bigram_df") >= minDocs, 1L).otherwise(0L)).as("n_supported"))
+      .withColumn("support_ratio",
+        col("n_supported").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** 61-bit Rabin–Karp rolling polynomial hash over the char stream —
     * the streaming fingerprint used at scale (content-defined chunking
     * base). Pure Scala, deterministic.
