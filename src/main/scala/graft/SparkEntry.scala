@@ -57,6 +57,7 @@ object SparkEntry {
     "qkg7_comention" -> (KgOps.qkg7Comention _),
     "qkg8_salted_degree" -> (KgOps.qkg8SaltedDegree _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
+    "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
     "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
@@ -288,6 +289,18 @@ object SparkEntry {
          | ${KgOps.predCase} AS rel_label,
          | 'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst_id
          |FROM cz ORDER BY src_id, rel_label, dst_id""".stripMargin,
+    // q32 oracle: the rows the streaming query must have KEPT (late row
+    // i=45 dropped; windows past the final watermark never emitted) with
+    // counts recomputed relationally.
+    "q32_stream_windows" ->
+      """WITH rows_ AS (
+        | SELECT i, CASE WHEN i % 2 = 0 THEN 'en' ELSE 'de' END AS lang
+        | FROM range(0, 300) t(i)
+        | UNION ALL SELECT 900, 'en' UNION ALL SELECT 1000, 'en'
+        | UNION ALL SELECT 1100, 'en')
+        |SELECT CAST((i // 60) * 60 AS BIGINT) AS window_min, lang,
+        | COUNT(*) AS n_pages
+        |FROM rows_ GROUP BY 1, 2 ORDER BY window_min, lang""".stripMargin,
     "q23_array_any" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM (
         | SELECT o_custkey,

@@ -174,6 +174,61 @@ object KgOps {
       .orderBy("src_id", "rel_label", "dst_id")
   }
 
+  /** q32: watermarked windowed counters with a full value oracle — the
+    * streaming semantics the reference's batch statsd gauges can't
+    * express, driven through controlled micro-batches so every
+    * watermark-sensitive behavior is deterministic:
+    *
+    *  - append mode emits a (window, lang) count exactly once, after the
+    *    watermark (max event time of PRIOR batches − 10 min) passes the
+    *    window end;
+    *  - a late row (event time below the current watermark) is DROPPED —
+    *    the already-emitted window's count must not change (the oracle
+    *    count for window 0 is 30/30, not 31/30);
+    *  - windows the final watermark never passes are never emitted.
+    *
+    * Output is minutes-since-base so no timestamp rendering can differ
+    * between engines; `base` is hour-aligned because Spark's tumbling
+    * windows align to the epoch.
+    */
+  def q32StreamWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseSec = 1600000000L - (1600000000L % 3600L) // hour-aligned
+    def page(i: Long): graft.kg.Page = graft.kg.Page(
+      s"p$i", new java.sql.Timestamp((baseSec + i * 60L) * 1000L),
+      Array.emptyByteArray, "", if (i % 2 == 0) "en" else "de")
+    val in = MemoryStream[graft.kg.Page]
+    val cp = Files.createTempDirectory("q32cp").toString
+    val q = graft.streaming.StreamingSync
+      .windowedPageCounts(in.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("q32win")
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      // B1: windows 0-3 fill; watermark still -inf -> nothing emitted
+      in.addData((0L until 240L).map(page)); q.processAllAvailable()
+      // B2: wm = 239-10 -> late i=45 DROPPED, windows 0-2 emitted;
+      // window 4 fills; i=900 advances the future watermark
+      in.addData(Seq(45L).map(page) ++ (240L until 300L).map(page) :+ page(900L))
+      q.processAllAvailable()
+      // B3: wm = 890 -> windows 3,4 emitted
+      in.addData(Seq(page(1000L))); q.processAllAvailable()
+      // B4: wm = 990 -> window [900,960) emitted (count 1)
+      in.addData(Seq(page(1100L))); q.processAllAvailable()
+      // B5: wm = 1090 -> window [960,1020) emitted. After B5 a trailing
+      // NO-DATA micro-batch (noDataMicroBatches, on by default) applies
+      // the final wm = 1190, emitting [1080,1140); [1200,1260) never is.
+      in.addData(Seq(page(1200L))); q.processAllAvailable()
+    } finally q.stop()
+    spark.table("q32win")
+      .select(((unix_timestamp(col("window_start")) - baseSec) / 60L)
+        .cast("bigint").as("window_min"),
+        col("lang"), col("n_pages"))
+      .orderBy("window_min", "lang")
+  }
+
   /** Oracle SQL fragments shared by the KG queries. */
   val predCase: String =
     "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"
