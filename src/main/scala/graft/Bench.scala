@@ -53,7 +53,9 @@ object Bench {
     "q1_agg", "q2_join_agg", "q5_antijoin", "q6_window_top1",
     "q12_twohop_closure", "q16_khop", "q17_wildcard_policy",
     "q20_exposure_propagation", "qdd2_neardup_allpairs", "qdd4_minhash_lsh",
-    "qann1_topk", "qtx1_tokens", "qtx3_langid")
+    "qann1_topk", "qann4_ivf_topk", "qtx1_tokens", "qtx3_langid",
+    "qtx6_chunks", "qtx8_bigram_support", "qsp2_stratified",
+    "qmm2_image_dims")
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
