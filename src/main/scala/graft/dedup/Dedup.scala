@@ -129,10 +129,15 @@ object Dedup {
                                 payload: Seq[String]): DataFrame = {
     // The input (typically the banded minhash/simhash flatMap — the
     // dominant dedup cost) feeds THREE branches below (counts, small
-    // self-join, chain window); persist so one action evaluates it once.
-    // The result is lazy, so the cache is left to Spark's LRU rather
-    // than an eager unpersist that would fire before the caller's action.
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // self-join, chain window); localCheckpoint (lazy) evaluates it once
+    // per action and cuts lineage. Unlike persist(), the blocks are NOT
+    // pinned by the CacheManager — the ContextCleaner frees them when
+    // the plan is garbage-collected, so repeated invocations (bench
+    // loops) cannot leak session-lifetime cache entries. Trade-off: the
+    // blocks are unreplicated, so an executor loss fails (and retries)
+    // the job instead of recomputing the branch — acceptable for a
+    // candidate-generation pass.
+    val df = df0.localCheckpoint(eager = false)
     val idA = s"${payload.head}_a"
     val idB = s"${payload.head}_b"
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))

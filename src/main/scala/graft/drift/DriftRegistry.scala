@@ -64,8 +64,10 @@ object DriftRegistry {
     m.toSeq.sortBy(_._1).foreach { case (k, v) => s.put(k, v): Unit }
     // tmp + ATOMIC_MOVE (the SnapshotTable.writeManifest convention): a
     // crash mid-write must not leave a truncated shortcut.json that
-    // breaks every later registry call
-    val tmp = Paths.get(queryDir, s".$ShortcutFile.tmp")
+    // breaks every later registry call. The tmp name is UNIQUE per write
+    // (createTempFile) so two concurrent writers can't race on one tmp
+    // path — last mover wins atomically, neither throws.
+    val tmp = Files.createTempFile(Paths.get(queryDir), s".$ShortcutFile.", ".tmp")
     Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     Files.move(tmp, Paths.get(queryDir, ShortcutFile),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -221,7 +222,18 @@ object KgOps {
       // NO-DATA micro-batch (noDataMicroBatches, on by default) applies
       // the final wm = 1190, emitting [1080,1140); [1200,1260) never is.
       in.addData(Seq(page(1200L))); q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // checkpoint state (offsets/commits/state store) is per-run litter
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p): Unit
+      }
+      rm(java.nio.file.Paths.get(cp))
+    }
     spark.table("q32win")
       .select(((unix_timestamp(col("window_start")) - baseSec) / 60L)
         .cast("bigint").as("window_min"),

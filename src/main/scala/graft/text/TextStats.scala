@@ -157,6 +157,12 @@ object TextStats {
       .select(col("doc_id"),
         concat_ws(" ", element_at(col("ws"), col("i") + 1),
           element_at(col("ws"), col("i") + 2)).as("bigram"))
+    // `bigrams` is deliberately RECOMPUTED on both sides of the join
+    // (the df_ aggregation and the probe): the exploded bigram stream is
+    // ~10× the corpus, so materializing it to cache/disk at 100 TB costs
+    // more than the second scan — the classic two-pass corpus-statistic
+    // trade. The narrow split+explode re-runs; the expensive shuffles
+    // (bigram agg, bigram join) each run once.
     val df_ = bigrams.groupBy("bigram")
       .agg(countDistinct(col("doc_id")).as("bigram_df"))
     bigrams.join(df_, "bigram")
