@@ -112,18 +112,18 @@ object Bench {
     // 16, not 32: saturating this VM's overcommitted vCPUs measures
     // hypervisor throttling, not the engine (BASELINE.md notes).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
-    // 120 replicas over sf0.1 ≈ 600k pages at ~120 KB each (noise=14000
+    // 180 replicas over sf0.1 ≈ 900k pages at ~120 KB each (noise=14000
     // filler words ≈ the weight of a typical Common-Crawl HTML page): the
     // regime where page-proportional Stage-1 work dominates both the
     // fixed entity-space work and the per-run constant costs (stage
     // commits, small driver jobs) — undersizing the corpus turns those
     // constants into an Amdahl floor that caps measured scaling
     // efficiency regardless of how well the engine scales. (Was 60 in
-    // round 2; the round-3 synthesis speedup nearly 3×'d page
-    // throughput, so the corpus doubles to keep page work dominant.
-    // 3 passes at 120 ≈ 1500 s, inside the 2000 s wall budget; the
-    // contention probe still halves it on a bad host.)
-    val replicas0 = sys.env.getOrElse("SPARK_GRAFT_KG_REPLICAS", "120").toInt
+    // round 2; the round-3 synthesis speedups ~5×'d page throughput, so
+    // the corpus triples to keep page work dominant. 3 passes at 180 ≈
+    // 1600 s, inside the 2000 s wall budget; the contention probe still
+    // halves it on a bad host.)
+    val replicas0 = sys.env.getOrElse("SPARK_GRAFT_KG_REPLICAS", "180").toInt
     val noise = sys.env.getOrElse("SPARK_GRAFT_KG_NOISE", "14000").toInt
     // Scaling legs run at 2 and 8 cores (the north rule's "N and 4N").
     // NOT 8/32: this VM's 32 vCPUs are overcommitted (nonzero steal time

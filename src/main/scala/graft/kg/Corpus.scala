@@ -128,9 +128,25 @@ object Corpus {
       buf(len) = b.toByte
       len += 1
     }
+    /** Bulk-write protocol for hot loops: one capacity check buys
+      * `extra` direct stores (`ensure` returns the backing array, the
+      * caller writes from [[position]] and commits with [[setLen]]) —
+      * the per-byte `write` pays a bounds+capacity check per CALL, which
+      * at ~120k bytes/page is the remaining render cost.
+      */
+    def ensure(extra: Int): Array[Byte] = {
+      var cap = buf.length
+      while (len + extra > cap) cap <<= 1
+      if (cap != buf.length) buf = java.util.Arrays.copyOf(buf, cap)
+      buf
+    }
+    def position: Int = len
+    def setLen(n: Int): Unit = len = n
     def toByteArray: Array[Byte] =
       if (len == buf.length) buf else java.util.Arrays.copyOf(buf, len)
   }
+
+  private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
 
   def renderHtmlBytes(i: Long, text: String, noise: Int = 0): Array[Byte] = {
     val out = new ByteSink(text.length + noise * 10 + 1024)
@@ -151,15 +167,6 @@ object Corpus {
         k += 1
       }
     }
-    def hex(v: Long): Unit = {
-      if (v == 0) { out.write('0'); return }
-      var shift = (63 - java.lang.Long.numberOfLeadingZeros(v)) / 4 * 4
-      while (shift >= 0) {
-        val d = ((v >>> shift) & 0xf).toInt
-        out.write(if (d < 10) '0' + d else 'a' + d - 10)
-        shift -= 4
-      }
-    }
     ascii("<html><head><title>Doc "); longDigits(i)
     ascii("</title><script type=\"text/javascript\">var p="); longDigits(i)
     ascii(";if(p<0){document.write(\"<p>ghost</p>\");}</script><style>.m{color:#aaa}</style></head><body><!-- crawl ")
@@ -169,11 +176,31 @@ object Corpus {
       ascii("<aside class=\"recommended\"><ul><li>")
       var s = i * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
       var w = 0
+      // ~97% of the page's bytes come out of this loop: write each word
+      // (≤ 8 hex digits + ≤ 2 separator bytes) straight into the backing
+      // array under ONE capacity check — byte-identical to the hex() +
+      // ascii(sep) spelling it replaces (pinned by HtmlEquivalenceSpec's
+      // corpus-template pass and every qkg oracle)
       while (w < noise) {
         s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-        hex(s & 0xffffffffL)
+        val v = s & 0xffffffffL
+        val buf = out.ensure(10)
+        var p = out.position
+        var shift =
+          if (v == 0) 0
+          else (63 - java.lang.Long.numberOfLeadingZeros(v)) / 4 * 4
+        while (shift >= 0) {
+          buf(p) = HexDigits(((v >>> shift) & 0xf).toInt)
+          p += 1
+          shift -= 4
+        }
         w += 1
-        if (w < noise) ascii(if (w % 12 == 0) ". " else " ")
+        if (w < noise) {
+          if (w % 12 == 0) { buf(p) = '.'; p += 1 }
+          buf(p) = ' '
+          p += 1
+        }
+        out.setLen(p)
       }
       ascii("</li></ul></aside>")
     }
