@@ -61,19 +61,37 @@ object Html {
 
   /** Index of the first case-insensitive occurrence of `pat` at or after
     * `from`, or -1.
+    *
+    * When the first pattern char has no case variants (every caller
+    * passes "</tag>", so it is '<'), candidates are found with the
+    * intrinsic single-char `String.indexOf` — a vectorized skip instead
+    * of a char-by-char walk. This is the drop-block hot path: on a
+    * Common-Crawl-weight page ~97% of the bytes sit inside one
+    * `<aside>` block, so this search IS the scanner's cost for them.
     */
   private def indexOfIC(s: String, pat: String, from: Int): Int = {
     val n = s.length - pat.length
     var i = math.max(from, 0)
-    val c0l = Character.toLowerCase(pat.charAt(0))
-    val c0u = Character.toUpperCase(pat.charAt(0))
-    while (i <= n) {
-      val c = s.charAt(i)
-      if ((c == c0l || c == c0u) && s.regionMatches(true, i, pat, 0, pat.length))
-        return i
-      i += 1
+    val c0 = pat.charAt(0)
+    val c0l = Character.toLowerCase(c0)
+    val c0u = Character.toUpperCase(c0)
+    if (c0l == c0u) {
+      while (i <= n) {
+        i = s.indexOf(c0, i)
+        if (i < 0 || i > n) return -1
+        if (s.regionMatches(true, i, pat, 0, pat.length)) return i
+        i += 1
+      }
+      -1
+    } else {
+      while (i <= n) {
+        val c = s.charAt(i)
+        if ((c == c0l || c == c0u) && s.regionMatches(true, i, pat, 0, pat.length))
+          return i
+        i += 1
+      }
+      -1
     }
-    -1
   }
 
   /** True if the char after a tag name ends the name (regex `\b` between
@@ -87,7 +105,29 @@ object Html {
     val n = s.length
     val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
     var i = 0
+    // Positions of the next '<' / '&' at-or-after the cursor, refreshed
+    // lazily (only once the cursor passes them). Each refresh is the
+    // intrinsic single-char String.indexOf, so locating every special
+    // char costs an amortized ONE vectorized sweep of the page per char
+    // kind; the plain-text runs between them are then appended in bulk
+    // (System.arraycopy under StringBuilder.append(CharSequence,i,j))
+    // instead of char-by-char. Byte-identical to the per-char loop —
+    // pinned by HtmlEquivalenceSpec (corpus, random, adversarial,
+    // prefix-sweep passes).
+    var nextLt = s.indexOf('<')
+    var nextAmp = s.indexOf('&')
     while (i < n) {
+      if (nextLt >= 0 && nextLt < i) nextLt = s.indexOf('<', i)
+      if (nextAmp >= 0 && nextAmp < i) nextAmp = s.indexOf('&', i)
+      val runEnd = {
+        val a = if (nextLt < 0) n else nextLt
+        val b = if (nextAmp < 0) n else nextAmp
+        if (a < b) a else b
+      }
+      if (runEnd > i) {
+        sb.append(s, i, runEnd)
+        i = runEnd
+      } else {
       val c = s.charAt(i)
       if (c == '<') {
         val commentClose =
@@ -139,11 +179,11 @@ object Html {
             }
           }
         }
-      } else if (c == '&') {
-        i = appendEntity(s, i, sb)
       } else {
-        sb.append(c)
-        i += 1
+        // runEnd == i, so the cursor is ON a special char and c == '&'
+        // (the '<' case is handled above).
+        i = appendEntity(s, i, sb)
+      }
       }
     }
     trimSeparators(sb)

@@ -195,6 +195,11 @@ object GraphMerge {
     val keys = Seq("src_label", "src_id", "rel_label", "dst_label", "dst_id")
     // dedupBatch=false skips a corpus-sized shuffle when the caller's
     // batch is already key-unique (e.g. an aggregation output)
+    // Edge batches are typically AGGREGATION outputs (unlike node
+    // batches): even the emptiness check runs their full shuffle map
+    // side, so the cache pays for itself on every path — measured: an
+    // uncached first commit re-ran the mention/triple aggregation maps
+    // and cost more than the cache round-trip it saved.
     val fresh = (if (dedupBatch) dedupByKeys(batch, keys) else batch).persist()
     try {
       // first commit: the batch IS the table — no upsert join, and no
@@ -236,8 +241,20 @@ object GraphMerge {
     // dedupBatch=false skips a corpus-sized shuffle when the caller's
     // batch is already (label, id)-unique (e.g. projections of committed
     // one-row-per-key tables) — same contract as upsertEdgeBatch
-    val fresh = (if (dedupBatch) dedupByKeys(batch, Seq("label", "id"))
-                 else batch).persist()
+    val fresh0 = if (dedupBatch) dedupByKeys(batch, Seq("label", "id"))
+                 else batch
+    if (!nodes.exists && !dedupBatch) {
+      // first commit of a NARROW (already key-unique) batch: isEmpty
+      // touches one input partition and the commit is the only full
+      // pass, so a cache would just add a batch-sized memory round-trip.
+      // (With dedupBatch the batch is a shuffle output and even isEmpty
+      // runs its full map side — the cached path below is cheaper, same
+      // reasoning as upsertEdgeBatch.)
+      if (fresh0.isEmpty) return 0L
+      nodes.commit(fresh0, updateTag)
+      return -1L
+    }
+    val fresh = fresh0.persist()
     try {
       if (!nodes.exists) { // first commit: the batch IS the table
         if (fresh.isEmpty) return 0L
