@@ -56,6 +56,8 @@ object SparkEntry {
     "qkg6_graph_edges" -> (KgOps.qkg6GraphEdges _),
     "qkg7_comention" -> (KgOps.qkg7Comention _),
     "qkg8_salted_degree" -> (KgOps.qkg8SaltedDegree _),
+    "qkg9_triangles" -> (KgOps.qkg9Triangles _),
+    "qkg10_pagerank" -> (KgOps.qkg10PageRank _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
@@ -389,6 +391,69 @@ object SparkEntry {
          |SELECT 'e' || lpad(CAST(ck AS VARCHAR), 4, '0') AS entity_id,
          | COUNT(*) AS n_mentions
          |FROM c GROUP BY 1 ORDER BY n_mentions DESC, entity_id LIMIT 30""".stripMargin,
+    // qkg9: triangles of the co-mention graph. The oracle enumerates
+    // each triangle once as x < y < z over the canonical (a < b) edge
+    // set — pure integer counting, exact.
+    "qkg9_triangles" ->
+      s"""${KgOps.mentionCte},
+         |pe AS (SELECT DISTINCT i, ck FROM c),
+         |e AS (SELECT DISTINCT a.ck AS a, b.ck AS b
+         |      FROM pe a JOIN pe b ON a.i = b.i AND a.ck < b.ck),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pn AS (SELECT x AS k FROM t
+         |       UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+         |SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS entity_id,
+         | COUNT(*) AS n_triangles
+         |FROM pn GROUP BY 1 ORDER BY n_triangles DESC, entity_id LIMIT 30""".stripMargin,
+    // qkg10: 3-iteration PageRank (d = 0.85) over the distinct canonical
+    // (subj, obj) triple edges, unrolled in SQL. The per-node incoming
+    // contributions are folded left-to-right in contributor order
+    // (list_reduce over a list_sort'ed list) — the same deterministic
+    // summation the Spark operator uses, so all 800 double ranks are
+    // BIT-identical, not approximately equal. Entity ids are
+    // fixed-width ('e' || lpad(..)), so string order == numeric order
+    // and both engines fold in the same sequence.
+    "qkg10_pagerank" ->
+      s"""${KgOps.tripleCte},
+         |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+         |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+         |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+         |          FROM range(800) t(k)),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE)/800 AS rank FROM nodes),
+         |s1 AS (SELECT e.dst AS id,
+         |         list_reduce(list_transform(list_sort(
+         |           list({'u': e.src, 'c': r.rank/od.outdeg})), x -> x.c),
+         |           (a, b) -> a + b) AS s
+         |       FROM e JOIN r0 r ON r.id = e.src JOIN od ON od.src = e.src
+         |       GROUP BY 1),
+         |r1 AS (SELECT n.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/800
+         |           + CAST(0.85 AS DOUBLE) * COALESCE(s1.s, CAST(0 AS DOUBLE)) AS rank
+         |       FROM nodes n LEFT JOIN s1 ON s1.id = n.id),
+         |s2 AS (SELECT e.dst AS id,
+         |         list_reduce(list_transform(list_sort(
+         |           list({'u': e.src, 'c': r.rank/od.outdeg})), x -> x.c),
+         |           (a, b) -> a + b) AS s
+         |       FROM e JOIN r1 r ON r.id = e.src JOIN od ON od.src = e.src
+         |       GROUP BY 1),
+         |r2 AS (SELECT n.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/800
+         |           + CAST(0.85 AS DOUBLE) * COALESCE(s2.s, CAST(0 AS DOUBLE)) AS rank
+         |       FROM nodes n LEFT JOIN s2 ON s2.id = n.id),
+         |s3 AS (SELECT e.dst AS id,
+         |         list_reduce(list_transform(list_sort(
+         |           list({'u': e.src, 'c': r.rank/od.outdeg})), x -> x.c),
+         |           (a, b) -> a + b) AS s
+         |       FROM e JOIN r2 r ON r.id = e.src JOIN od ON od.src = e.src
+         |       GROUP BY 1),
+         |r3 AS (SELECT n.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/800
+         |           + CAST(0.85 AS DOUBLE) * COALESCE(s3.s, CAST(0 AS DOUBLE)) AS rank
+         |       FROM nodes n LEFT JOIN s3 ON s3.id = n.id)
+         |SELECT id AS entity_id, rank FROM r3 ORDER BY entity_id""".stripMargin,
     // Dedup oracles rebuild the copy corpus and recompute pair ground
     // truth relationally (integer Jaccard threshold — no floating point).
     "qdd1_exact_dedup" ->

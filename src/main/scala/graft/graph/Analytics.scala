@@ -1,0 +1,125 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed analytics over the materialized KG — the algorithms a
+  * graph warehouse runs AFTER sync (the reference ships its analysis as
+  * post-sync jobs, `cartography/intel/analysis.py:12-42` + the JSON
+  * jobs under `cartography/data/jobs/analysis/`); these are the two
+  * classic whole-graph members of that family that its per-query
+  * Cypher jobs cannot express.
+  *
+  * Both operators are declarative DataFrame plans (joins + aggregations
+  * Catalyst can reorder/push), no RDDs, no driver-side iteration over
+  * data — the only driver values are scalar counts.
+  */
+object Analytics {
+
+  /** Per-node triangle counts of an undirected graph.
+    *
+    * Input: (u, v) pairs in ANY form — directed duplicates, self-loops
+    * and repeated rows are normalized away first.
+    *
+    * Algorithm (the MapReduce-classic degree orientation, Suri &
+    * Vassilvitskii "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one. The orientation is
+    * acyclic and every triangle has EXACTLY one node with two outgoing
+    * oriented edges inside it, so enumerating (x < y) out-neighbor pairs
+    * per source and closing them against the undirected edge set counts
+    * each triangle once — and the out-degree of every node is bounded by
+    * O(sqrt(m)), so a Zipf head entity (degree 10^6 in a 10^12-page KG)
+    * generates at most ~sqrt(m) wedges instead of degree² ≈ 10^12. The
+    * wedge self-join and the closing join both shuffle on edge keys;
+    * nothing is ever collected to the driver.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val (cu, cv) = (col(cols(0)), col(cols(1)))
+    // canonical undirected edge set: a < b, no self-loops, no duplicates
+    val und = edges
+      .select(least(cu, cv).as("a"), greatest(cu, cv).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    // wedges: unordered out-neighbor pairs per source ...
+    val wedges = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+      .filter(col("x") < col("y"))
+    // ... closed against the undirected edge set (x < y matches a < b)
+    val tri = wedges.join(und,
+      col("x") === col("a") && col("y") === col("b"))
+      .select(col("src"), col("x"), col("y"))
+    tri.select(explode(array(col("src"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Fixed-iteration PageRank over a directed graph, with REPRODUCIBLE
+    * floating point: per node and iteration the incoming contributions
+    * are folded left-to-right in contributor-id order
+    * (`aggregate(sort_array(collect_list(struct(src, c))), 0.0, +)`), so
+    * the result is bit-identical across partitionings, core counts and
+    * engines — the property that lets the driver value-hash it against a
+    * DuckDB oracle, and that makes a 1000-executor rerun byte-stable.
+    * A plain `sum()` of doubles is partition-order-dependent and would
+    * produce a different last bit on every shuffle layout.
+    *
+    * Definition (iteration i, damping d, n = |nodes|):
+    *   rank_0(v)   = 1/n
+    *   rank_i(v)   = (1-d)/n + d * Σ_{u→v} rank_{i-1}(u) / outdeg(u)
+    * Dangling nodes (no out-edges) leak their mass — the common
+    * fixed-iteration simplification; self-loops are kept as ordinary
+    * edges. Exactly `iterations` rounds, no convergence test (a
+    * convergence test on doubles would reintroduce order dependence).
+    *
+    * Scale shape: `edges` is distinct (src, dst); each iteration is one
+    * broadcast-or-shuffle join of edges against the (node-space-sized,
+    * corpus-independent) rank table plus one aggregation by dst — the
+    * rank table never leaves the cluster. The per-dst sorted fold bounds
+    * state by in-degree; for a Zipf head with 10^6 in-neighbors the
+    * collect_list is ~16 MB on one reducer — acceptable; beyond that,
+    * two-level salted pre-aggregation trades exact bit-stability for
+    * headroom (documented alternative, not needed at this corpus).
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int,
+               damping: Double): DataFrame = {
+    require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
+    val e = edges.toDF("src", "dst").distinct()
+    val ids = nodes.toDF("id")
+    val n = ids.count()
+    require(n > 0, "pageRank needs a non-empty node set")
+    val base = (1.0 - damping) / n
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val sortedFold: Column => Column = uc =>
+      aggregate(sort_array(uc), lit(0.0), (acc, x) => acc + x.getField("c"))
+    var ranks = ids.select(col("id"), (lit(1.0) / n).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"),
+          struct(col("src").as("u"),
+            (col("rank") / col("outdeg")).as("c")).as("uc"))
+      val summed = contribs.groupBy("id")
+        .agg(sortedFold(collect_list(col("uc"))).as("s"))
+      ranks = ids
+        .join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      i += 1
+    }
+    ranks
+  }
+}

@@ -142,6 +142,46 @@ object KgOps {
       .limit(30)
   }
 
+  /** Per-entity triangle counts of the co-mention graph (degree-oriented
+    * distributed enumeration, [[graft.graph.Analytics.triangleCounts]]):
+    * edges are canonical entity pairs co-mentioned on at least one page
+    * (qkg7's pair set), the classic clustering-structure metric over a
+    * KG. Top 30 by count.
+    */
+  def qkg9Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val canon = broadcast(res.canonical
+      .select(col("id").as("entity_id"), col("canonical_id")))
+    val pageEnt = res.links.join(canon, Seq("entity_id"))
+      .select(col("url"), col("canonical_id")).distinct()
+    val pairs = pageEnt.select(col("url"), col("canonical_id").as("u"))
+      .join(pageEnt.select(col("url"), col("canonical_id").as("v")), Seq("url"))
+      .filter(col("u") < col("v"))
+      .select("u", "v")
+    graft.graph.Analytics.triangleCounts(pairs)
+      .orderBy(col("n_triangles").desc, col("id"))
+      .limit(30)
+      .select(col("id").as("entity_id"), col("n_triangles"))
+  }
+
+  /** Fixed-iteration PageRank over the canonical triple-edge graph
+    * ([[graft.graph.Analytics.pageRank]], 3 iterations, damping 0.85):
+    * entity importance over the KG the pipeline just built. The
+    * deterministic sorted-fold summation makes every one of the 800
+    * double-valued ranks value-hash-comparable against the DuckDB
+    * oracle (which unrolls the same three iterations in SQL with the
+    * same left-to-right fold) — bit-identical floating point, not
+    * approximate-match.
+    */
+  def qkg10PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    graft.graph.Analytics.pageRank(edges, nodes, iterations = 3, damping = 0.85)
+      .select(col("id").as("entity_id"), col("rank"))
+      .orderBy("entity_id")
+  }
+
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +
     * maxFilesPerTrigger=1 (so the run takes MULTIPLE micro-batches), and

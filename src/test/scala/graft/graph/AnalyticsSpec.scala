@@ -1,0 +1,92 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class AnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("triangleCounts: K4 plus a dangling path, messy input normalized") {
+    // K4 over a,b,c,d (4 triangles; every node in C(3,2) = 3) plus a
+    // triangle-free tail d-e-f. Input is deliberately messy: duplicate
+    // rows, both orientations of the same edge, and a self-loop.
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("c", "d"), ("d", "e"), ("e", "f"),
+      ("e", "e")).toDF("u", "v")
+    val got = Analytics.triangleCounts(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangleCounts: hub wheel — every spoke pair on the rim closes") {
+    // wheel: hub h connected to r0..r5, rim cycle r0-r1-...-r5-r0
+    // triangles = 6 (one per rim edge); hub in all 6, each rim node in 2
+    val rim = (0 until 6).map(i => (s"r$i", s"r${(i + 1) % 6}"))
+    val spokes = (0 until 6).map(i => ("h", s"r$i"))
+    val got = Analytics.triangleCounts((rim ++ spokes).toDF("u", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("h") === 6L)
+    (0 until 6).foreach(i => assert(got(s"r$i") === 2L))
+  }
+
+  /** Local reference PageRank with the same sorted-fold summation. */
+  private def refRanks(edges: Seq[(String, String)], nodes: Seq[String],
+                       iters: Int, d: Double): Map[String, Double] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2)
+      r = nodes.map { v =>
+        val s = in.getOrElse(v, Nil).map(_._1).sorted
+          .foldLeft(0.0)((acc, u) => acc + r(u) / out(u))
+        v -> ((1.0 - d) / n + d * s)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank: matches the sorted-fold reference bit-for-bit") {
+    val nodes = Seq("a", "b", "c", "d")
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c")) // d is a source; nothing points at d -> base rank
+    val got = Analytics.pageRank(edges.toDF("src", "dst"),
+      nodes.toDF("id"), iterations = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refRanks(edges, nodes, 3, 0.85)
+    nodes.foreach { v =>
+      assert(java.lang.Double.doubleToLongBits(got(v)) ===
+        java.lang.Double.doubleToLongBits(want(v)), s"node $v")
+    }
+    // nothing links to d -> exactly the base term
+    assert(got("d") === (1.0 - 0.85) / 4)
+  }
+
+  test("pageRank: bit-stable across partitionings") {
+    val nodes = (0 until 50).map(i => s"n$i")
+    val edges = (0 until 200).map(i => (s"n${i % 50}", s"n${(i * 7 + 3) % 50}"))
+    def run(parts: Int): Array[(String, Double)] =
+      Analytics.pageRank(edges.toDF("src", "dst").repartition(parts),
+        nodes.toDF("id"), iterations = 2, damping = 0.85)
+        .orderBy("id").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val a = run(2)
+    val b = run(7)
+    a.zip(b).foreach { case ((ida, ra), (idb, rb)) =>
+      assert(ida === idb)
+      assert(java.lang.Double.doubleToLongBits(ra) ===
+        java.lang.Double.doubleToLongBits(rb), s"node $ida")
+    }
+  }
+
+  test("pageRank: ranks form a probability-mass deficit only from dangling leaks") {
+    // no dangling nodes -> total mass stays exactly-ish 1 (fp tolerance)
+    val nodes = Seq("a", "b", "c")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val total = Analytics.pageRank(edges.toDF("src", "dst"),
+      nodes.toDF("id"), iterations = 4, damping = 0.85)
+      .agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-12)
+  }
+}
