@@ -148,6 +148,21 @@ object Corpus {
 
   private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
 
+  /** Two-hex-digit pairs per byte value: HexPairs(2b) HexPairs(2b+1) is
+    * the zero-padded hex of byte b — one table read replaces two digit
+    * lookups + a shift in the render hot loop.
+    */
+  private val HexPairs: Array[Byte] = {
+    val t = new Array[Byte](512)
+    var b = 0
+    while (b < 256) {
+      t(2 * b) = HexDigits(b >> 4)
+      t(2 * b + 1) = HexDigits(b & 15)
+      b += 1
+    }
+    t
+  }
+
   def renderHtmlBytes(i: Long, text: String, noise: Int = 0): Array[Byte] = {
     val out = new ByteSink(text.length + noise * 10 + 1024)
     def ascii(s: String): Unit = {
@@ -176,24 +191,37 @@ object Corpus {
       ascii("<aside class=\"recommended\"><ul><li>")
       var s = i * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
       var w = 0
-      // ~97% of the page's bytes come out of this loop: write each word
-      // (≤ 8 hex digits + ≤ 2 separator bytes) straight into the backing
-      // array under ONE capacity check — byte-identical to the hex() +
-      // ascii(sep) spelling it replaces (pinned by HtmlEquivalenceSpec's
-      // corpus-template pass and every qkg oracle)
+      var lo = 0L
+      var haveLo = false
+      // ~97% of the page's bytes come out of this loop: each word is a
+      // fixed-width 8-hex-digit token written straight into the backing
+      // array under ONE capacity check, four 2-digit pair-table copies
+      // per word, and ONE xorshift draw feeds TWO words (hi then lo
+      // half). The noise is droppable boilerplate — only its byte
+      // weight matters (the <aside> is a drop block, so it never
+      // reaches extracted text, mentions or triples); the extraction
+      // invariant extract(html) == ground-truth text is content-
+      // independent and stays pinned by HtmlEquivalenceSpec + qkg1.
       while (w < noise) {
-        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-        val v = s & 0xffffffffL
+        val v: Long =
+          if (haveLo) { haveLo = false; lo }
+          else {
+            s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+            lo = s & 0xffffffffL
+            haveLo = true
+            s >>> 32
+          }
         val buf = out.ensure(10)
         var p = out.position
-        var shift =
-          if (v == 0) 0
-          else (63 - java.lang.Long.numberOfLeadingZeros(v)) / 4 * 4
-        while (shift >= 0) {
-          buf(p) = HexDigits(((v >>> shift) & 0xf).toInt)
-          p += 1
-          shift -= 4
-        }
+        var b2 = (((v >>> 24) & 0xff) << 1).toInt
+        buf(p) = HexPairs(b2); buf(p + 1) = HexPairs(b2 + 1)
+        b2 = (((v >>> 16) & 0xff) << 1).toInt
+        buf(p + 2) = HexPairs(b2); buf(p + 3) = HexPairs(b2 + 1)
+        b2 = (((v >>> 8) & 0xff) << 1).toInt
+        buf(p + 4) = HexPairs(b2); buf(p + 5) = HexPairs(b2 + 1)
+        b2 = ((v & 0xff) << 1).toInt
+        buf(p + 6) = HexPairs(b2); buf(p + 7) = HexPairs(b2 + 1)
+        p += 8
         w += 1
         if (w < noise) {
           if (w % 12 == 0) { buf(p) = '.'; p += 1 }
