@@ -38,6 +38,8 @@ object GraftCli {
       |  expire    --work-dir DIR --keep N
       |  analysis  --work-dir DIR --job-dir JOBS --out DIR
       |            [--params K=V,K2=V2,..] [--update-tag N] [--cores N]
+      |  analytics --work-dir DIR --out DIR [--rel-labels L1,L2,..]
+      |            [--pagerank-iters N] [--damping D] [--cores N]
       |  get-state --work-dir DIR --drift-dir DIR [--timestamp N] [--cores N]
       |            (legacy single-file mode: --name NAME --query SQL --out FILE)
       |  drift     --drift-dir DIR --query NAME [--start REF --end REF]
@@ -75,6 +77,7 @@ object GraftCli {
     case "sync" +: rest => sync(parseFlags(rest))
     case "expire" +: rest => expire(parseFlags(rest))
     case "analysis" +: rest => analysis(parseFlags(rest))
+    case "analytics" +: rest => analytics(parseFlags(rest))
     case "get-state" +: rest => getState(parseFlags(rest))
     case "drift" +: rest => drift(parseFlags(rest))
     case "add-shortcut" +: rest => addShortcut(parseFlags(rest))
@@ -175,6 +178,41 @@ object GraftCli {
             "nothing to write")
       }
     }
+  }
+
+  /** Whole-graph analytics over the synced graph
+    * ([[graft.graph.Analytics]]): fixed-iteration PageRank over the
+    * (optionally `--rel-labels`-restricted) directed edge table and
+    * triangle counts over its undirected view, written as parquet under
+    * `--out/pagerank` and `--out/triangles`. The node universe is the
+    * distinct endpoint set of the selected edges (so a label-restricted
+    * run ranks exactly the subgraph it names); isolated nodes never
+    * influence either metric. Runs post-sync, like the reference's
+    * analysis stage — but these are the whole-graph algorithms its
+    * per-query jobs cannot express.
+    */
+  private def analytics(flags: Map[String, String]): Unit = {
+    val spark = session(flags, "graft-cli-analytics")
+    import org.apache.spark.sql.functions.col
+    val workDir = req(flags, "work-dir")
+    val outDir = req(flags, "out")
+    val iters = flags.getOrElse("pagerank-iters", "3").toInt
+    val damping = flags.getOrElse("damping", "0.85").toDouble
+    val all = GraphTables.edges(spark, s"$workDir/graph").read()
+    val selected = flags.get("rel-labels") match {
+      case Some(ls) =>
+        all.filter(col("rel_label").isin(ls.split(',').toSeq: _*))
+      case None => all
+    }
+    val e = selected.select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    graft.graph.Analytics.pageRank(e, nodes, iters, damping)
+      .write.mode("overwrite").parquet(s"$outDir/pagerank")
+    graft.graph.Analytics.triangleCounts(e)
+      .write.mode("overwrite").parquet(s"$outDir/triangles")
+    System.err.println(s"[analytics] wrote $outDir/pagerank ($iters " +
+      s"iterations, damping $damping) and $outDir/triangles")
   }
 
   private def graphViews(spark: SparkSession, workDir: String): Unit = {

@@ -205,4 +205,43 @@ class CliSpec extends SparkSpecBase {
     assert(DriftRegistry.stateFiles(qd.toString).map(_.getFileName.toString) ===
       Seq("900.json", "1000.json", "2000.json"))
   }
+
+  test("cli: analytics — pagerank + triangles over the synced graph match the operators") {
+    val in = tmp("cliin5")
+    val work = tmp("cliwork5")
+    val out = tmp("cliout5")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100"))
+
+    // restricted to the predicate rel labels = the entity-entity subgraph
+    val preds = Corpus.predicates.map(_._1)
+    GraftCli.main(Array("analytics", "--work-dir", work, "--out", out,
+      "--rel-labels", preds.mkString(","), "--pagerank-iters", "2"))
+
+    val e = GraphTables.edges(spark, s"$work/graph").read()
+      .filter(col("rel_label").isin(preds: _*))
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+
+    val gotPr = spark.read.parquet(s"$out/pagerank")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantPr = graft.graph.Analytics.pageRank(e, nodes, 2, 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotPr.keySet === wantPr.keySet)
+    gotPr.foreach { case (id, r) =>
+      assert(java.lang.Double.doubleToLongBits(r) ===
+        java.lang.Double.doubleToLongBits(wantPr(id)), s"node $id")
+    }
+    // only entities appear in the restricted subgraph
+    assert(gotPr.keySet.forall(_.startsWith("e")), "Page nodes must be excluded")
+
+    val gotTri = spark.read.parquet(s"$out/triangles")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantTri = graft.graph.Analytics.triangleCounts(e)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotTri === wantTri)
+  }
 }
