@@ -150,11 +150,15 @@ object Bench {
     // kg_pages_per_sec_peak: the engine's best single-host throughput
     // (the scaling pair stays at 1/4 where the host is quiet). 0 skips.
     val peakCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_PEAK", "8").toInt
-    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    // 2000 s admits a 3rd pass only when the first two ran clean (~400 s
-    // each at default size on the 1/4 legs); under contention the slower
-    // passes trip the budget first, so the run degrades to fewer passes
-    // instead of overrunning the driver's patience.
+    // 4 fixed passes (was 3): min-per-leg over more samples absorbs
+    // host-contention windows — the stopping rule is still FIXED and
+    // independent of the 0.8 gate, so there is no retry-until-pass
+    // selection bias. At post-round-3 speeds a pass is ~285 s, so
+    // 4 passes + probe + peak + headline ≈ 1,300 s.
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
+    // 2000 s: under contention the slower passes trip the budget first,
+    // so the run degrades to fewer passes instead of overrunning the
+    // driver's patience.
     val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2000").toDouble
     // Probe throughput below this (pages/s at bigCores on a 10k-page
     // corpus; nominal on an idle host is ~1400 at the 4-core default —
