@@ -80,6 +80,57 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("triangleCounts: random graphs match a brute-force O(n^3) count (40 cases)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 40).foreach { k =>
+      val n = 4 + rnd.nextInt(12)
+      val density = 0.15 + rnd.nextDouble() * 0.5
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < density
+      } yield (s"v%02d".format(a), s"v%02d".format(b))).toVector
+      if (und.nonEmpty) {
+        // brute force: check every (a, b, c) against the edge set
+        val es = und.toSet
+        def adj(x: String, y: String) =
+          es(if (x < y) (x, y) else (y, x))
+        val ids = (0 until n).map(i => s"v%02d".format(i))
+        val want = (for {
+          ai <- ids.indices; bi <- (ai + 1) until n; ci <- (bi + 1) until n
+          if adj(ids(ai), ids(bi)) && adj(ids(bi), ids(ci)) && adj(ids(ai), ids(ci))
+        } yield Seq(ids(ai), ids(bi), ids(ci))).flatten
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // feed the operator a messy doubled/reversed copy of the edges
+        val messy = und ++ und.map(_.swap)
+        val got = Analytics.triangleCounts(messy.toDF("u", "v"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === want, s"case $k (n=$n, m=${und.size})")
+      }
+    }
+  }
+
+  test("pageRank: random graphs match the sorted-fold reference bit-for-bit (15 cases)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 15).foreach { k =>
+      val n = 3 + rnd.nextInt(10)
+      val ids = (0 until n).map(i => s"v%02d".format(i))
+      val edges = (for {
+        a <- ids; b <- ids
+        if a != b && rnd.nextDouble() < 0.3
+      } yield (a, b)).toVector
+      val iters = 1 + rnd.nextInt(4)
+      val got = Analytics.pageRank(edges.toDF("src", "dst"), ids.toDF("id"),
+        iters, 0.85)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = refRanks(edges, ids, iters, 0.85)
+      ids.foreach { v =>
+        assert(java.lang.Double.doubleToLongBits(got(v)) ===
+          java.lang.Double.doubleToLongBits(want(v)),
+          s"case $k node $v (n=$n, m=${edges.size}, iters=$iters)")
+      }
+    }
+  }
+
   test("pageRank: ranks form a probability-mass deficit only from dangling leaks") {
     // no dangling nodes -> total mass stays exactly-ish 1 (fp tolerance)
     val nodes = Seq("a", "b", "c")
