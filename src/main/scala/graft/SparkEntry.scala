@@ -378,9 +378,16 @@ object SparkEntry {
         |FROM ids
         |WHERE i < (SELECT n*6//10 FROM c) OR i >= (SELECT n*4//10 FROM c)
         |ORDER BY id""".stripMargin,
+    // Pages over the co-mention cap (MaxComentionEntitiesPerPage = 256
+    // distinct entities) are excluded — a no-op at every test scale
+    // (≤ 6 entities/page) but part of the operator's contract, so the
+    // oracle states it too.
     "qkg7_comention" ->
       s"""${KgOps.mentionCte},
-         |pe AS (SELECT DISTINCT i, ck FROM c)
+         |pe0 AS (SELECT DISTINCT i, ck FROM c),
+         |ok AS (SELECT i FROM pe0 GROUP BY i
+         |       HAVING COUNT(*) <= ${KgOps.MaxComentionEntitiesPerPage}),
+         |pe AS (SELECT pe0.i, pe0.ck FROM pe0 JOIN ok USING (i))
          |SELECT 'e' || lpad(CAST(a.ck AS VARCHAR), 4, '0') AS entity_a,
          | 'e' || lpad(CAST(b.ck AS VARCHAR), 4, '0') AS entity_b,
          | COUNT(*) AS n_pages
@@ -396,7 +403,10 @@ object SparkEntry {
     // set — pure integer counting, exact.
     "qkg9_triangles" ->
       s"""${KgOps.mentionCte},
-         |pe AS (SELECT DISTINCT i, ck FROM c),
+         |pe0 AS (SELECT DISTINCT i, ck FROM c),
+         |ok AS (SELECT i FROM pe0 GROUP BY i
+         |       HAVING COUNT(*) <= ${KgOps.MaxComentionEntitiesPerPage}),
+         |pe AS (SELECT pe0.i, pe0.ck FROM pe0 JOIN ok USING (i)),
          |e AS (SELECT DISTINCT a.ck AS a, b.ck AS b
          |      FROM pe a JOIN pe b ON a.i = b.i AND a.ck < b.ck),
          |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

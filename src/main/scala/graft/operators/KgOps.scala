@@ -99,19 +99,54 @@ object KgOps {
       .orderBy("src_id", "rel_label", "dst_id")
   }
 
+  /** Per-page cap on distinct entities entering the co-mention
+    * self-join: a page still contributes O(k²) pairs for its k distinct
+    * entities, and k is UNBOUNDED in the wild — one directory-listing /
+    * spam page with 10⁴ entity mentions would put 10⁸ pairs on a single
+    * url key (the same blowup class as an uncapped LSH band bucket,
+    * fenced in `Blocking.MaxBucket`). Pages above the cap are EXCLUDED
+    * from co-mention analytics entirely (a page that mentions everything
+    * co-mentions nothing meaningful — the standard boilerplate rule);
+    * exclusion is deterministic, mirrored in the DuckDB oracles, and far
+    * above any real page at test scale (≤ 6 distinct entities/page).
+    */
+  val MaxComentionEntitiesPerPage: Int = 256
+
+  /** Drop every page whose distinct-entity count exceeds `cap` from a
+    * (url, canonical_id) page-entity table. One aggregation + one
+    * semi-join-shaped inner join; no row of an under-cap page is
+    * touched.
+    */
+  def capComentionPages(pageEnt: DataFrame, cap: Int): DataFrame = {
+    val small = pageEnt.groupBy("url")
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") <= cap)
+      .select("url")
+    pageEnt.join(small, Seq("url"))
+  }
+
+  /** Distinct (url, canonical entity) rows of pages under the co-mention
+    * cap — the shared input of qkg7 (pair counts) and qkg9 (triangles).
+    */
+  private def comentionPageEntities(res: KgPipeline#Result): DataFrame = {
+    val canon = broadcast(res.canonical
+      .select(col("id").as("entity_id"), col("canonical_id")))
+    val pageEnt = res.links.join(canon, Seq("entity_id"))
+      .select(col("url"), col("canonical_id")).distinct()
+    capComentionPages(pageEnt, MaxComentionEntitiesPerPage)
+  }
+
   /** Co-mention pairs: top-30 canonical entity pairs by number of pages
     * mentioning both. The distinct (page, entity) projection happens
     * BEFORE the per-page self-join — the aggregate-then-join shape that
     * keeps the Zipf head entity from exploding the join (each page
     * contributes O(k²) pairs for its k distinct entities, never
-    * mention-count²).
+    * mention-count²) — and pages above
+    * [[MaxComentionEntitiesPerPage]] are excluded (see its scaladoc).
     */
   def qkg7Comention(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, res) = pipelineFor(spark, sfDir)
-    val canon = broadcast(res.canonical
-      .select(col("id").as("entity_id"), col("canonical_id")))
-    val pageEnt = res.links.join(canon, Seq("entity_id"))
-      .select(col("url"), col("canonical_id")).distinct()
+    val pageEnt = comentionPageEntities(res)
     val a = pageEnt.select(col("url"), col("canonical_id").as("entity_a"))
     val b = pageEnt.select(col("url"), col("canonical_id").as("entity_b"))
     a.join(b, Seq("url"))
@@ -150,10 +185,7 @@ object KgOps {
     */
   def qkg9Triangles(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, res) = pipelineFor(spark, sfDir)
-    val canon = broadcast(res.canonical
-      .select(col("id").as("entity_id"), col("canonical_id")))
-    val pageEnt = res.links.join(canon, Seq("entity_id"))
-      .select(col("url"), col("canonical_id")).distinct()
+    val pageEnt = comentionPageEntities(res)
     val pairs = pageEnt.select(col("url"), col("canonical_id").as("u"))
       .join(pageEnt.select(col("url"), col("canonical_id").as("v")), Seq("url"))
       .filter(col("u") < col("v"))

@@ -131,6 +131,18 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("co-mention cap drops over-cap pages whole, keeps under-cap pages untouched") {
+    val pageEnt = (
+      (1 to 5).map(k => ("spam", s"e$k")) ++     // 5 distinct entities
+        (1 to 3).map(k => ("ok", s"e$k"))        // 3 distinct entities
+    ).toDF("url", "canonical_id")
+    val kept = graft.operators.KgOps.capComentionPages(pageEnt, 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept === (1 to 3).map(k => ("ok", s"e$k")).toSet)
+    // cap at 5 keeps everything
+    assert(graft.operators.KgOps.capComentionPages(pageEnt, 5).count() === 8L)
+  }
+
   test("pageRank: ranks form a probability-mass deficit only from dangling leaks") {
     // no dangling nodes -> total mass stays exactly-ish 1 (fp tolerance)
     val nodes = Seq("a", "b", "c")
