@@ -33,7 +33,7 @@ import graft.kg.{Corpus, KgPipeline}
   * extract measured 2.3 s, then 785 s, then 2290 s for the same work):
   *  - a probe run first detects a heavily contended host and shrinks the
   *    corpus once, for ALL passes, so every pass stays comparable;
-  *  - the pass count is FIXED (default 3, wall-budget bounded) — the
+  *  - the pass count is FIXED (default 4, wall-budget bounded) — the
   *    stopping rule is independent of the 0.8 efficiency gate, so there
   *    is no retry-until-pass selection bias;
   *  - per leg the MIN time over passes is reported (min is the right
@@ -72,7 +72,14 @@ object Bench {
                     noise: Int, mergeGraph: Boolean = true): (Long, Long, Double) = {
     val work = Files.createTempDirectory("kgbench").toString
     val pipe = new KgPipeline(spark, work)
-    val pages = Corpus.pages(spark, sfDir, replicas, noise)
+    // 192-task floor (vs the library's 64): fine, IDENTICAL task
+    // granularity across the scaling legs — at 192 tasks a straggler
+    // from a hypervisor-steal convoy costs 1/192 of the corpus, not
+    // 1/64 (measured: the 64 floor left extract scaling at 3.4/4 once
+    // the scanner got fast; 192 recovers most of the tail). Bench
+    // measurement tuning lives here, not in the shared corpus path.
+    val pages = Corpus.pages(spark, sfDir, replicas, noise, repOffset = 0,
+      minParts = 192)
     // run() is eager — every stage commits synchronously, so the timed
     // block needs no extra forcing action
     val (_, sec) = timed {
@@ -249,7 +256,10 @@ object Bench {
     }
 
     // ---- one ungated peak-throughput leg (not part of the scaling pair) -----
-    if (peakCores > 0 && peakCores != bigCores) {
+    // Budget-guarded like the pass loop: on a contended host that already
+    // degraded the passes, skipping the (optional, ungated) peak leg is
+    // how the run stays inside the driver's patience window.
+    if (peakCores > 0 && peakCores != bigCores && elapsedSec < wallBudgetSec) {
       spark = core.Graft.session(s"local[$peakCores]", peakCores,
         s"graft-bench-peak-$peakCores")
       peak = Some(kgRun(spark, sfDir, replicas, noise))

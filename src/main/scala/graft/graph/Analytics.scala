@@ -34,6 +34,13 @@ object Analytics {
     * wedge self-join and the closing join both shuffle on edge keys;
     * nothing is ever collected to the driver.
     */
+  /** Returns the per-node counts EAGERLY (computed and cached before
+    * returning): the normalized edge set is referenced three times
+    * (degrees, orientation, wedge closing) and the oriented set twice
+    * (the wedge self-join), so both are cached for the one computation
+    * and released before the method returns — a lazy plan would re-scan
+    * the input once per reference.
+    */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
@@ -42,27 +49,37 @@ object Analytics {
     val und = edges
       .select(least(cu, cv).as("a"), greatest(cu, cv).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val withDeg = und
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("src"),
-      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-    // wedges: unordered out-neighbor pairs per source ...
-    val wedges = oriented.select(col("src"), col("dst").as("x"))
-      .join(oriented.select(col("src"), col("dst").as("y")), "src")
-      .filter(col("x") < col("y"))
-    // ... closed against the undirected edge set (x < y matches a < b)
-    val tri = wedges.join(und,
-      col("x") === col("a") && col("y") === col("b"))
-      .select(col("src"), col("x"), col("y"))
-    tri.select(explode(array(col("src"), col("x"), col("y"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+      .distinct().persist()
+    var oriented: DataFrame = null
+    try {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst")).persist()
+      // wedges: unordered out-neighbor pairs per source ...
+      val wedges = oriented.select(col("src"), col("dst").as("x"))
+        .join(oriented.select(col("src"), col("dst").as("y")), "src")
+        .filter(col("x") < col("y"))
+      // ... closed against the undirected edge set (x < y matches a < b)
+      val tri = wedges.join(und,
+        col("x") === col("a") && col("y") === col("b"))
+        .select(col("src"), col("x"), col("y"))
+      val result = tri
+        .select(explode(array(col("src"), col("x"), col("y"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+        .persist()
+      result.count(): Unit // materialize while the inputs are cached
+      result
+    } finally {
+      und.unpersist()
+      if (oriented != null) oriented.unpersist(): Unit
+    }
   }
 
   /** Fixed-iteration PageRank over a directed graph, with REPRODUCIBLE
@@ -92,34 +109,51 @@ object Analytics {
     * two-level salted pre-aggregation trades exact bit-stability for
     * headroom (documented alternative, not needed at this corpus).
     */
+  /** Returns the rank table EAGERLY (computed and cached before
+    * returning): the edge, node and out-degree tables are each
+    * referenced once PER ITERATION, so they are cached for the one
+    * computation and released before the method returns — a lazy plan
+    * would re-scan the inputs `iterations` times (the static qkg10 plan
+    * showed 20 parquet scans before this). The returned DataFrame is
+    * node-space-sized and persisted; callers running many pageRanks in
+    * one session may `unpersist()` it when done.
+    */
   def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int,
                damping: Double): DataFrame = {
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
-    val e = edges.toDF("src", "dst").distinct()
-    val ids = nodes.toDF("id")
-    val n = ids.count()
-    require(n > 0, "pageRank needs a non-empty node set")
-    val base = (1.0 - damping) / n
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val sortedFold: Column => Column = uc =>
-      aggregate(sort_array(uc), lit(0.0), (acc, x) => acc + x.getField("c"))
-    var ranks = ids.select(col("id"), (lit(1.0) / n).as("rank"))
-    var i = 0
-    while (i < iterations) {
-      val contribs = e
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("id"),
-          struct(col("src").as("u"),
-            (col("rank") / col("outdeg")).as("c")).as("uc"))
-      val summed = contribs.groupBy("id")
-        .agg(sortedFold(collect_list(col("uc"))).as("s"))
-      ranks = ids
-        .join(summed, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-      i += 1
+    val e = edges.toDF("src", "dst").distinct().persist()
+    val ids = nodes.toDF("id").persist()
+    var outdeg: DataFrame = null
+    try {
+      val n = ids.count()
+      require(n > 0, "pageRank needs a non-empty node set")
+      val base = (1.0 - damping) / n
+      outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      val sortedFold: Column => Column = uc =>
+        aggregate(sort_array(uc), lit(0.0), (acc, x) => acc + x.getField("c"))
+      var ranks = ids.select(col("id"), (lit(1.0) / n).as("rank"))
+      var i = 0
+      while (i < iterations) {
+        val contribs = e
+          .join(ranks.select(col("id").as("src"), col("rank")), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("id"),
+            struct(col("src").as("u"),
+              (col("rank") / col("outdeg")).as("c")).as("uc"))
+        val summed = contribs.groupBy("id")
+          .agg(sortedFold(collect_list(col("uc"))).as("s"))
+        ranks = ids
+          .join(summed, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        i += 1
+      }
+      val result = ranks.persist()
+      result.count(): Unit // materialize while the inputs are cached
+      result
+    } finally {
+      e.unpersist(); ids.unpersist()
+      if (outdeg != null) outdeg.unpersist(): Unit
     }
-    ranks
   }
 }

@@ -254,7 +254,8 @@ object Corpus {
     * same entity space — the incremental-sync delta batch.
     */
   def pages(spark: SparkSession, sfDir: String, replicas: Int = 1,
-            noise: Int = 0, repOffset: Int = 0): Dataset[Page] = {
+            noise: Int = 0, repOffset: Int = 0,
+            minParts: Int = 64): Dataset[Page] = {
     import spark.implicits._
     // The source table arrives as a single small file (one input split);
     // spread it across the executors BEFORE the heavy narrow work
@@ -262,16 +263,13 @@ object Corpus {
     // core. One tiny shuffle of the source rows buys full parallelism
     // downstream — and the committed pages stage inherits the file count,
     // so every later stage reads a well-partitioned table.
-    // The floor (default 192, env-tunable) keeps task granularity
-    // IDENTICAL across the bench's two parallelism legs (2 vs 8 cores
-    // would otherwise get 4 vs 16 tasks — different last-wave tail loss
-    // poisons the scaling ratio) and small enough that one straggling
-    // task (hypervisor steal) costs a fraction of a wave, not a whole
-    // one: at 192 tasks an 8-core leg runs 24 waves of ~2 s, so a
-    // multi-second steal convoy lands on one task out of 192 instead of
-    // one out of 64 (measured: the floor of 64 left extract scaling at
-    // 3.4/4 once the scanner got fast; 192 recovers most of the tail).
-    val parFloor = sys.env.getOrElse("SPARK_GRAFT_INPUT_PARTS", "192").toInt
+    // `minParts` floors the task count: 64 by default (tests and CLI
+    // syncs stay small-file-friendly); the BENCH passes 192 so its
+    // scaling legs get fine, IDENTICAL task granularity (see Bench
+    // scaladoc — bench measurement tuning lives in the bench, not
+    // here). SPARK_GRAFT_INPUT_PARTS overrides both.
+    val parFloor = sys.env.get("SPARK_GRAFT_INPUT_PARTS")
+      .map(_.toInt).getOrElse(minParts)
     val par = math.max(spark.sparkContext.defaultParallelism * 2, parFloor)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"), col("lang"))

@@ -112,14 +112,15 @@ object KgOps {
     */
   val MaxComentionEntitiesPerPage: Int = 256
 
-  /** Drop every page whose distinct-entity count exceeds `cap` from a
-    * (url, canonical_id) page-entity table. One aggregation + one
-    * semi-join-shaped inner join; no row of an under-cap page is
-    * touched.
+  /** Drop every page whose DISTINCT-entity count exceeds `cap` from a
+    * (url, canonical_id) page-entity table (counting distinct entities,
+    * not rows, so a non-deduplicated mention table gets the same
+    * verdict per page). One aggregation + one semi-join-shaped inner
+    * join; no row of an under-cap page is touched.
     */
   def capComentionPages(pageEnt: DataFrame, cap: Int): DataFrame = {
     val small = pageEnt.groupBy("url")
-      .agg(count(lit(1)).as("k"))
+      .agg(countDistinct(col("canonical_id")).as("k"))
       .filter(col("k") <= cap)
       .select("url")
     pageEnt.join(small, Seq("url"))

@@ -49,17 +49,19 @@ object IncrementalBench {
       (fresh, parts.size - fresh)
     }
 
-    val full = Corpus.pages(spark, sfDir, replicas, noise)
+    val full = Corpus.pages(spark, sfDir, replicas, noise, minParts = 192)
     val tFull = timed { pipe.run(full, Corpus.aliasRows, 100L): Unit }
     val pagesFull = extractPages()
 
-    val day2 = Corpus.pages(spark, sfDir, 1, noise, repOffset = replicas)
+    val day2 = Corpus.pages(spark, sfDir, 1, noise, repOffset = replicas,
+      minParts = 192)
     val tDay2 = timed { pipe.run(day2, Corpus.aliasRows, 101L): Unit }
     val pagesDay2 = extractPages()
 
     // day 3: ids ending in 00 — a tiny batch whose keys hash into a
     // strict subset of the buckets
-    val day3 = Corpus.pages(spark, sfDir, 1, noise, repOffset = replicas + 1)
+    val day3 = Corpus.pages(spark, sfDir, 1, noise, repOffset = replicas + 1,
+      minParts = 192)
       .filter((p: graft.kg.Page) => p.url.endsWith("00"))
     val tDay3 = timed { pipe.run(day3, Corpus.aliasRows, 102L): Unit }
     val pagesDay3 = extractPages()

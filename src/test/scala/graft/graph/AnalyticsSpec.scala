@@ -141,6 +141,11 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(kept === (1 to 3).map(k => ("ok", s"e$k")).toSet)
     // cap at 5 keeps everything
     assert(graft.operators.KgOps.capComentionPages(pageEnt, 5).count() === 8L)
+    // the verdict counts DISTINCT entities, not rows: 300 mentions of 3
+    // entities is still an under-cap page
+    val repeated = (1 to 300).map(k => ("noisy", s"e${k % 3}"))
+      .toDF("url", "canonical_id")
+    assert(graft.operators.KgOps.capComentionPages(repeated, 4).count() === 300L)
   }
 
   test("pageRank: ranks form a probability-mass deficit only from dangling leaks") {
