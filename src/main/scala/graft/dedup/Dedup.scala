@@ -109,10 +109,15 @@ object Dedup {
     * pairs (O(m²)). At 100 TB a mass-duplicated boilerplate page (10⁶
     * copies sharing every band) would otherwise put O(10¹²) candidate
     * rows on a single band key. Chaining keeps every bucket member
-    * CONNECTED — near-dup *clusters* (the dedup deliverable, [[clusters]]
-    * via CC transitivity) are unchanged; only pair-level enumeration
-    * inside an oversized bucket is thinned, and exact-Jaccard
-    * verification still gates every emitted pair. The fixture corpora
+    * CONNECTED in the *candidate* graph; near-dup clusters ([[clusters]]
+    * via CC transitivity) are preserved exactly when the chain-adjacent
+    * pairs survive exact-Jaccard verification. In a mixed oversized
+    * bucket (two interleaved dup-groups colliding on one band) a chain
+    * link can be a false-positive pair that verification removes, so
+    * recall inside oversized buckets is probabilistic — in practice the
+    * OTHER bands' buckets recover such pairs (each true pair gets b
+    * independent chances), which is the standard banded-LSH recall
+    * argument, not a worst-case guarantee. The fixture corpora
     * stay far under the cap, so the qdd4/qdd5 driver oracles (which
     * assert equality with the exact all-pairs baseline) are unaffected.
     */

@@ -126,11 +126,20 @@ object DriftRegistry {
   }
 
   /** Capture every query dir (subdirs holding a template.json) under the
-    * drift-detection root — get-state's run_get_states loop.
+    * drift-detection root — get-state's run_get_states loop. Timestamp
+    * collisions are pre-checked across ALL query dirs BEFORE any state
+    * is written, so a clash cannot leave the registry partially updated
+    * (some dirs captured, some not).
     */
   def captureAll(spark: SparkSession, driftDir: String,
-                 timestamp: Long): Seq[Path] =
-    queryDirs(driftDir).map(d => captureState(spark, d.toString, timestamp))
+                 timestamp: Long): Seq[Path] = {
+    val dirs = queryDirs(driftDir)
+    val clashes = dirs.filter(d => Files.exists(d.resolve(s"$timestamp.json")))
+    require(clashes.isEmpty,
+      s"state $timestamp.json already exists in ${clashes.mkString(", ")} — " +
+        "pass a fresh --timestamp (nothing was captured)")
+    dirs.map(d => captureState(spark, d.toString, timestamp))
+  }
 
   def queryDirs(driftDir: String): Seq[Path] = {
     val d = Paths.get(driftDir)

@@ -70,12 +70,14 @@ object Analytics {
       val tri = wedges.join(und,
         col("x") === col("a") && col("y") === col("b"))
         .select(col("src"), col("x"), col("y"))
-      val result = tri
-        .select(explode(array(col("src"), col("x"), col("y"))).as("id"))
+      // localCheckpoint (eager), not persist(): the result materializes
+      // while the inputs are cached, the lineage is cut, and the blocks
+      // are freed by the ContextCleaner when the plan is GC'd — a
+      // persist() here pinned one CacheManager entry per invocation for
+      // the session lifetime unless every caller remembered to unpersist
+      tri.select(explode(array(col("src"), col("x"), col("y"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-        .persist()
-      result.count(): Unit // materialize while the inputs are cached
-      result
+        .localCheckpoint(true)
     } finally {
       und.unpersist()
       if (oriented != null) oriented.unpersist(): Unit
@@ -105,9 +107,10 @@ object Analytics {
     * corpus-independent) rank table plus one aggregation by dst — the
     * rank table never leaves the cluster. The per-dst sorted fold bounds
     * state by in-degree; for a Zipf head with 10^6 in-neighbors the
-    * collect_list is ~16 MB on one reducer — acceptable; beyond that,
-    * two-level salted pre-aggregation trades exact bit-stability for
-    * headroom (documented alternative, not needed at this corpus).
+    * collect_list is ~16 MB on one reducer — acceptable; beyond that use
+    * [[pageRankSalted]], whose two-level deterministic fold keeps the
+    * same bit-reproducibility with per-reducer state bounded by
+    * in-degree / saltBuckets.
     */
   /** Returns the rank table EAGERLY (computed and cached before
     * returning): the edge, node and out-degree tables are each
@@ -115,11 +118,61 @@ object Analytics {
     * computation and released before the method returns — a lazy plan
     * would re-scan the inputs `iterations` times (the static qkg10 plan
     * showed 20 parquet scans before this). The returned DataFrame is
-    * node-space-sized and persisted; callers running many pageRanks in
-    * one session may `unpersist()` it when done.
+    * node-space-sized, held as an eager localCheckpoint whose blocks the
+    * ContextCleaner frees once the plan is unreachable — repeated
+    * invocations in a long session accumulate nothing.
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int,
-               damping: Double): DataFrame = {
+               damping: Double): DataFrame =
+    pageRankCore(edges, nodes, iterations, damping) { contribs =>
+      contribs.groupBy("id")
+        .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("s"))
+    }
+
+  /** [[pageRank]] with a TWO-LEVEL deterministic fold — the adversarial-
+    * scale variant for graphs whose Zipf head has extreme in-degree.
+    *
+    * The single-level sorted fold holds one node's entire incoming
+    * contribution list on one reducer (~16 MB at 10^6 in-degree — fine;
+    * GBs at 10^8 — not). Here contributors are first split by a
+    * DETERMINISTIC salt of the source id (`saltOf`, an engine-portable
+    * pure function — NOT a random salt): level 1 folds each (dst, salt)
+    * bucket's contributions in contributor order, level 2 folds the
+    * per-bucket partials in salt order. Both levels are sorted folds, so
+    * the result is still BIT-identical across partitionings, core counts
+    * and engines (qkg11 value-hashes all ranks against a DuckDB oracle
+    * that replays the same two-level tree) — it differs from
+    * [[pageRank]]'s single fold only by the fixed, reproducible grouping
+    * of the additions. Per-reducer state drops from in-degree to
+    * max(in-degree / buckets, buckets): with 2^10 salt buckets a
+    * 10^8-in-degree head costs ~10^5 entries per level-1 reducer.
+    * Size `saltOf`'s bucket count to ~sqrt(max expected in-degree).
+    */
+  def pageRankSalted(edges: DataFrame, nodes: DataFrame, iterations: Int,
+                     damping: Double, saltOf: Column => Column): DataFrame =
+    pageRankCore(edges, nodes, iterations, damping) { contribs =>
+      val partial = contribs
+        .groupBy(col("id"), saltOf(col("u")).as("b"))
+        .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("p"))
+      partial.groupBy("id")
+        .agg(aggregate(sort_array(collect_list(struct(col("b"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
+    }
+
+  /** Left-to-right fold of a struct array's LAST field in array-sort
+    * order — the deterministic summation both PageRank variants build on.
+    */
+  private def sortedFold(uc: Column): Column =
+    aggregate(sort_array(uc), lit(0.0), (acc, x) => acc + x.getField("c"))
+
+  /** Shared PageRank driver: `sumContribs` receives the per-iteration
+    * contribution table (id = dst, u = contributor, c = rank/outdeg) and
+    * must return one (id, s) row per receiving node with a DETERMINISTIC
+    * summation (the variants differ only in the fold tree).
+    */
+  private def pageRankCore(edges: DataFrame, nodes: DataFrame,
+                           iterations: Int, damping: Double)
+                          (sumContribs: DataFrame => DataFrame): DataFrame = {
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
     val e = edges.toDF("src", "dst").distinct().persist()
     val ids = nodes.toDF("id").persist()
@@ -129,28 +182,24 @@ object Analytics {
       require(n > 0, "pageRank needs a non-empty node set")
       val base = (1.0 - damping) / n
       outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-      val sortedFold: Column => Column = uc =>
-        aggregate(sort_array(uc), lit(0.0), (acc, x) => acc + x.getField("c"))
       var ranks = ids.select(col("id"), (lit(1.0) / n).as("rank"))
       var i = 0
       while (i < iterations) {
         val contribs = e
           .join(ranks.select(col("id").as("src"), col("rank")), "src")
           .join(outdeg, "src")
-          .select(col("dst").as("id"),
-            struct(col("src").as("u"),
-              (col("rank") / col("outdeg")).as("c")).as("uc"))
-        val summed = contribs.groupBy("id")
-          .agg(sortedFold(collect_list(col("uc"))).as("s"))
+          .select(col("dst").as("id"), col("src").as("u"),
+            (col("rank") / col("outdeg")).as("c"))
+        val summed = sumContribs(contribs)
         ranks = ids
           .join(summed, Seq("id"), "left")
           .select(col("id"),
             (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         i += 1
       }
-      val result = ranks.persist()
-      result.count(): Unit // materialize while the inputs are cached
-      result
+      // eager localCheckpoint — see triangleCounts: materialized while
+      // the inputs are cached, blocks auto-freed when the plan is GC'd
+      ranks.localCheckpoint(true)
     } finally {
       e.unpersist(); ids.unpersist()
       if (outdeg != null) outdeg.unpersist(): Unit

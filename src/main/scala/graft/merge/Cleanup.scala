@@ -77,7 +77,9 @@ object Cleanup {
     * partitions the index names for the deleted nodes — batch-
     * proportional instead of table-proportional. Without it, the sweep
     * falls back to the full-scan semi-join (correct at any scale, reads
-    * everything once).
+    * everything once). Soundness is checked, not assumed: the index's
+    * coverage marker must prove every edge commit was indexed, otherwise
+    * this method warns and uses the full scan.
     */
   def run(spark: SparkSession, schema: NodeSchema,
           kwargs: Map[String, String], updateTag: Long,
@@ -135,12 +137,23 @@ object Cleanup {
       // deleted node's edges can carry ANY rel_label and edge buckets
       // hash (src_id, dst_id) jointly, so without help neither side
       // prunes — the endpoint index names the exact partition subset.
-      val detachState = edgeIndex match {
+      // The index path is gated on its coverage marker: if ANY edge
+      // commit bypassed the index, soundForDetach is false and the sweep
+      // falls back to the full scan (correct, just table-proportional)
+      // instead of silently leaving dangling edges.
+      val soundIndex = edgeIndex.filter(_.soundForDetach)
+      if (edgeIndex.isDefined && soundIndex.isEmpty)
+        System.err.println(s"[cleanup] endpoint index at " +
+          s"${edgeIndex.get.table.root} does not cover every edge commit " +
+          "(a commit ran without it, or it was attached mid-life without " +
+          "rebuild) — falling back to the full-scan DETACH sweep")
+      val detachState = soundIndex match {
         case Some(ix) if nDeleted > 0 =>
           edges.readPhysical(ix.edgePartitionsFor(schema.label, staleNodes))
             .getOrElse(GraphTables.emptyEdges(spark))
         case Some(_) => GraphTables.emptyEdges(spark) // nothing deleted
-        case None => edges.read()
+        case None if nDeleted > 0 => edges.read()
+        case None => GraphTables.emptyEdges(spark) // nothing deleted
       }
       val detached = touching(detachState, staleNodes, "_sid")
       // stale rels of this schema's rel labels, scoped to this node label
@@ -169,7 +182,10 @@ object Cleanup {
               col("rel_label") === col("_drl") && col("dst_label") === col("_ddl") &&
               col("dst_id") === col("_ddi"),
             "left_anti")
-        edges.commitPhysical(keptE, updateTag, touchedE)
+        val v = edges.commitPhysical(keptE, updateTag, touchedE)
+        // a delete-only rewrite cannot break the index's superset
+        // property — advance its coverage marker across this commit
+        edgeIndex.foreach(_.coverDeleteCommit(v))
       }
       doomed.unpersist()
     }

@@ -1,5 +1,6 @@
 package graft.merge
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.snapshot.{BucketSpec, SnapshotTable}
@@ -32,11 +33,79 @@ import graft.snapshot.{BucketSpec, SnapshotTable}
   *    GraphMerge writes the index BEFORE the edge commit for the same
   *    reason: a crash between the two non-atomic commits then leaves the
   *    index over-approximating (extra reads), never missing edges.
+  *  - that contract is ENFORCED, not just documented: the index keeps a
+  *    `coverage.json` marker recording the highest edge-table version it
+  *    is guaranteed to cover. [[update]] advances it only when the chain
+  *    is contiguous (every prior edge version already covered), so an
+  *    edge commit that bypassed the index freezes the marker, and
+  *    [[Cleanup.run]] checks [[soundForDetach]] and falls back to the
+  *    full-scan sweep (loudly) instead of silently missing edges.
+  *    `rebuild` re-establishes coverage at the scanned version; delete-
+  *    only commits (Cleanup's own rewrites) advance it via
+  *    [[coverDeleteCommit]] because removing edges cannot break a
+  *    superset.
   *  - index rows are a pure set — no freshness tags; update is
   *    union+distinct over only the touched index buckets.
   */
 final class EdgeEndpointIndex private (val table: SnapshotTable,
                                        edges: SnapshotTable) {
+
+  // ---- coverage marker (index-soundness contract) --------------------------
+
+  private def coveragePath = Paths.get(table.root, "coverage.json")
+
+  /** Highest edge-table version this index provably covers; None until
+    * the index has been attached from the graph's first edge commit or
+    * `rebuild` has run.
+    */
+  def coveredEdgeVersion: Option[Long] = {
+    if (!Files.isRegularFile(coveragePath)) return None
+    val root = EdgeEndpointIndex.mapper.readTree(Files.readString(coveragePath))
+    Option(root.get("covered_edge_version")).map(_.asLong())
+  }
+
+  private def writeCoverage(v: Long): Unit = {
+    val root = EdgeEndpointIndex.mapper.createObjectNode()
+    root.put("covered_edge_version", v): Unit
+    Files.createDirectories(coveragePath.getParent)
+    val tmp = Files.createTempFile(coveragePath.getParent, ".coverage.", ".tmp")
+    Files.writeString(tmp, EdgeEndpointIndex.mapper.writeValueAsString(root))
+    Files.move(tmp, coveragePath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** True iff the index provably covers every committed edge version —
+    * the gate for index-backed DETACH. The marker may run one AHEAD of
+    * the edge table (update() writes before the edge commit; a crash
+    * between the two leaves a harmless over-approximation), hence >=.
+    */
+  def soundForDetach: Boolean =
+    coveredEdgeVersion.exists(_ >= edges.latestVersion.getOrElse(0L))
+
+  /** Advance coverage for the edge commit `update` precedes: sound only
+    * when the chain is contiguous (all versions up to the current edge
+    * latest already covered). First attach is sound only on a graph with
+    * NO pre-existing edge commits — attaching mid-life requires
+    * `rebuild` to establish coverage.
+    */
+  private def advanceCoverage(): Unit = {
+    val ev = edges.latestVersion.getOrElse(0L)
+    coveredEdgeVersion match {
+      case Some(c) if c >= ev => writeCoverage(math.max(c, ev + 1))
+      case Some(_) => () // gap: an edge commit bypassed the index
+      case None if ev == 0L => writeCoverage(1L)
+      case None => () // attached to a pre-existing graph without rebuild
+    }
+  }
+
+  /** Record a delete-only edge commit (version `v`): removing edges
+    * preserves the superset property, so coverage advances across it
+    * when the chain was contiguous up to the commit's predecessor.
+    */
+  def coverDeleteCommit(v: Long): Unit = coveredEdgeVersion match {
+    case Some(c) if c >= v - 1 => writeCoverage(math.max(c, v))
+    case _ => ()
+  }
 
   /** Distinct (endpoint_label, endpoint_id, edge_pv) rows for a batch of
     * canonical edge rows — both endpoints, pv computed with the edge
@@ -59,7 +128,10 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     val fresh = indexRows(edgeBatch).persist()
     try {
       if (!table.exists) {
-        if (!fresh.isEmpty) table.commit(fresh, updateTag): Unit
+        if (!fresh.isEmpty) {
+          table.commit(fresh, updateTag)
+          advanceCoverage()
+        }
         return
       }
       val touched = table.physicalValuesOf(fresh)
@@ -68,7 +140,8 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
         case Some(existing) => existing.unionByName(fresh).distinct()
         case None => fresh
       }
-      table.commitPhysical(merged, updateTag, touched): Unit
+      table.commitPhysical(merged, updateTag, touched)
+      advanceCoverage()
     } finally fresh.unpersist(): Unit
   }
 
@@ -96,10 +169,16 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * predates the index. One full edge scan, by design.
     */
   def rebuild(updateTag: Long): Unit =
-    if (edges.exists) table.commit(indexRows(edges.read()), updateTag): Unit
+    if (edges.exists) {
+      table.commit(indexRows(edges.read()), updateTag)
+      // a full rescan covers every committed version by construction
+      writeCoverage(edges.latestVersion.getOrElse(0L))
+    }
 }
 
 object EdgeEndpointIndex {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Standard location: alongside the graph's nodes/edges tables. */
   def apply(spark: SparkSession, graphRoot: String,
             buckets: Int = GraphTables.DefaultBuckets): EdgeEndpointIndex = {

@@ -264,37 +264,51 @@ object KgOps {
     * Output is minutes-since-base so no timestamp rendering can differ
     * between engines; `base` is hour-aligned because Spark's tumbling
     * windows align to the epoch.
+    *
+    * Micro-batches are controlled through the PUBLIC file-source API
+    * (the q29 pattern): each batch is one parquet file appended to the
+    * watched directory between `processAllAvailable()` calls, so each
+    * append is exactly one micro-batch and every watermark transition is
+    * deterministic. (A previous version used
+    * `execution.streaming.runtime.MemoryStream` — a private Spark
+    * package, version-fragile in library code.)
     */
   def q32StreamWindows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val baseSec = 1600000000L - (1600000000L % 3600L) // hour-aligned
     def page(i: Long): graft.kg.Page = graft.kg.Page(
       s"p$i", new java.sql.Timestamp((baseSec + i * 60L) * 1000L),
       Array.emptyByteArray, "", if (i % 2 == 0) "en" else "de")
-    val in = MemoryStream[graft.kg.Page]
+    val srcDir = Files.createTempDirectory("q32src").toString
     val cp = Files.createTempDirectory("q32cp").toString
+    // one file per append → one micro-batch per processAllAvailable()
+    def addData(is: Seq[Long]): Unit =
+      spark.createDataset(is.map(page)).toDF()
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // B1 is the initial file set: windows 0-3 fill; watermark still
+    // -inf -> nothing emitted
+    addData(0L until 240L)
+    val in = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(srcDir)
     val q = graft.streaming.StreamingSync
-      .windowedPageCounts(in.toDF(), "10 minutes", "1 hour")
+      .windowedPageCounts(in, "10 minutes", "1 hour")
       .writeStream.format("memory").queryName("q32win")
       .option("checkpointLocation", cp)
       .outputMode("append").start()
     try {
-      // B1: windows 0-3 fill; watermark still -inf -> nothing emitted
-      in.addData((0L until 240L).map(page)); q.processAllAvailable()
+      q.processAllAvailable()
       // B2: wm = 239-10 -> late i=45 DROPPED, windows 0-2 emitted;
       // window 4 fills; i=900 advances the future watermark
-      in.addData(Seq(45L).map(page) ++ (240L until 300L).map(page) :+ page(900L))
-      q.processAllAvailable()
+      addData(Seq(45L) ++ (240L until 300L) :+ 900L); q.processAllAvailable()
       // B3: wm = 890 -> windows 3,4 emitted
-      in.addData(Seq(page(1000L))); q.processAllAvailable()
+      addData(Seq(1000L)); q.processAllAvailable()
       // B4: wm = 990 -> window [900,960) emitted (count 1)
-      in.addData(Seq(page(1100L))); q.processAllAvailable()
+      addData(Seq(1100L)); q.processAllAvailable()
       // B5: wm = 1090 -> window [960,1020) emitted. After B5 a trailing
       // NO-DATA micro-batch (noDataMicroBatches, on by default) applies
       // the final wm = 1190, emitting [1080,1140); [1200,1260) never is.
-      in.addData(Seq(page(1200L))); q.processAllAvailable()
+      addData(Seq(1200L)); q.processAllAvailable()
     } finally {
       q.stop()
       // checkpoint state (offsets/commits/state store) is per-run litter

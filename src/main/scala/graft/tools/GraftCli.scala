@@ -89,6 +89,12 @@ object GraftCli {
     import spark.implicits._
     val workDir = req(flags, "work-dir")
     val tag = req(flags, "update-tag").toLong
+    // validate the post-sync analysis flags BEFORE the (expensive) sync
+    // runs: a forgotten --out or malformed --params must abort up front,
+    // not after hours of pipeline work
+    val postJobDir = flags.get("analysis-job-dir")
+    val postOut = postJobDir.map(_ => req(flags, "out"))
+    postJobDir.foreach { _ => parseParams(flags): Unit }
     val buckets = flags.getOrElse("graph-buckets",
       GraphTables.DefaultBuckets.toString).toInt
     val pipe = new KgPipeline(spark, workDir, buckets)
@@ -101,13 +107,25 @@ object GraftCli {
     // The reference's sync runs its analysis-job corpus as the FINAL
     // stage (cartography/sync.py stage list ends with 'analysis',
     // intel/analysis.py:12-42) — mirror that when a job dir is given.
-    flags.get("analysis-job-dir").foreach { jd =>
+    postJobDir.foreach { jd =>
       analysis(Map("work-dir" -> workDir, "job-dir" -> jd,
-        "out" -> req(flags, "out"), "update-tag" -> tag.toString)
+        "out" -> postOut.get, "update-tag" -> tag.toString)
         ++ flags.get("params").map("params" -> _)
         ++ flags.get("cores").map("cores" -> _))
     }
   }
+
+  /** Parse `--params K=V,K2=V2` — shared by sync (up-front validation)
+    * and analysis (actual use); malformed entries fail fast.
+    */
+  private def parseParams(flags: Map[String, String]): Map[String, String] =
+    flags.get("params").map(_.split(',').toSeq).getOrElse(Nil)
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case _ => sys.error(s"--params entries must be K=V, got '$kv'\n$usage")
+        }
+      }.toMap
 
   /** Expire graph + stage snapshot versions under a work dir. Stage
     * tables only ever need their latest version (resume reads the last
@@ -143,13 +161,7 @@ object GraftCli {
     val spark = session(flags, "graft-cli-analysis")
     val workDir = req(flags, "work-dir")
     val outDir = req(flags, "out")
-    val cliParams = flags.get("params").map(_.split(',').toSeq).getOrElse(Nil)
-      .map { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => k -> v
-          case _ => sys.error(s"--params entries must be K=V, got '$kv'\n$usage")
-        }
-      }.toMap
+    val cliParams = parseParams(flags)
     val scope = flags.get("update-tag").map("UPDATE_TAG" -> _).toMap
     val params = graft.jobs.GraphJob.scopedParams(cliParams, scope)
     val jobFiles = graft.jobs.GraphJob.jobFilesIn(req(flags, "job-dir"))
@@ -232,8 +244,11 @@ object GraftCli {
     graphViews(spark, req(flags, "work-dir"))
     flags.get("drift-dir") match {
       case Some(dd) =>
+        // millisecond default: a second-resolution default made two
+        // captures within one second collide mid-captureAll, leaving the
+        // registry partially updated (ADVICE r3)
         val ts = flags.get("timestamp").map(_.toLong)
-          .getOrElse(System.currentTimeMillis() / 1000L)
+          .getOrElse(System.currentTimeMillis())
         val written = DriftRegistry.captureAll(spark, dd, ts)
         require(written.nonEmpty, s"no query dirs (template.json) under $dd")
         written.foreach(p => System.err.println(s"[get-state] captured $p"))

@@ -100,4 +100,53 @@ class EdgeIndexSpec extends SparkSpecBase {
       "rebuilt index holds no entries for fully-detached nodes")
     assert(ix.edgePartitionsFor("Customer", Seq("c3").toDF("id")).nonEmpty)
   }
+
+  test("an un-indexed edge commit freezes coverage; cleanup falls back and still detaches everything") {
+    val root = Files.createTempDirectory("ixd").toString
+    val (nodes, edges, Some(ix)) = buildGraph(root, withIndex = true): @unchecked
+    assert(ix.soundForDetach, "fully-indexed graph must be sound")
+    // an edge commit that BYPASSES the index: the index never hears
+    // about x1 -> c1, so index-backed DETACH would miss it
+    val rogue = Seq(("Extra", "x1", "LINKED", "Customer", "c1"))
+      .toDF("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+      .withColumn("props", map().cast("map<string,string>"))
+      .withColumn("firstseen", lit(150L)).withColumn("lastupdated", lit(150L))
+    GraphMerge.upsertEdgeBatch(spark, rogue, 150L, edges,
+      collectStats = false, edgeIndex = None)
+    assert(!ix.soundForDetach, "bypassed commit must break the coverage chain")
+
+    // cleanup with the (now unsound) index attached: the gate must route
+    // to the full scan, which deletes the rogue edge too — no dangling
+    // edges referencing the deleted nodes
+    val stats = resyncAndClean(nodes, edges, Some(ix))
+    assert(stats.nodesDeleted === 2)
+    assert(stats.edgesDeleted === 5, "RESOURCE + PLACED_BY per stale customer + the rogue LINKED edge")
+    val remaining = edges.read()
+      .filter(col("src_id").isin("c1", "c2") || col("dst_id").isin("c1", "c2"))
+    assert(remaining.isEmpty, "fallback sweep must leave no dangling edges")
+    // a delete-only commit cannot repair a broken chain...
+    assert(!ix.soundForDetach)
+    // ...but a rebuild can
+    ix.rebuild(300L)
+    assert(ix.soundForDetach)
+  }
+
+  test("attaching an index to a graph with pre-existing edge commits is unsound until rebuild") {
+    val root = Files.createTempDirectory("ixe").toString
+    // graph built WITHOUT the index
+    val (_, edges, _) = buildGraph(root, withIndex = false)
+    val late = EdgeEndpointIndex(spark, root, buckets)
+    assert(!late.soundForDetach)
+    // feeding it a new batch does not make history covered
+    val more = Seq(("Order", "o99", "PLACED_BY", "Customer", "c9"))
+      .toDF("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+      .withColumn("props", map().cast("map<string,string>"))
+      .withColumn("firstseen", lit(150L)).withColumn("lastupdated", lit(150L))
+    GraphMerge.upsertEdgeBatch(spark, more, 150L, edges,
+      collectStats = false, edgeIndex = Some(late))
+    assert(!late.soundForDetach,
+      "mid-life attach without rebuild must stay unsound")
+    late.rebuild(200L)
+    assert(late.soundForDetach)
+  }
 }
