@@ -48,6 +48,7 @@ object SparkEntry {
     "q28_selected_rels" -> (GraphOps.q28SelectedRels _),
     "q30_multi_tenant" -> (GraphOps.q30MultiTenant _),
     "q31_indexed_cleanup" -> (GraphOps.q31IndexedCleanup _),
+    "q33_policy_file" -> (Analysis.q33PolicyFile _),
     "qkg1_extract_invariant" -> (KgOps.qkg1Invariant _),
     "qkg2_mentions" -> (KgOps.qkg2Mentions _),
     "qkg3_triples" -> (KgOps.qkg3Triples _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "qkg8_salted_degree" -> (KgOps.qkg8SaltedDegree _),
     "qkg9_triangles" -> (KgOps.qkg9Triangles _),
     "qkg10_pagerank" -> (KgOps.qkg10PageRank _),
+    "qkg11_pagerank_salted" -> (KgOps.qkg11PageRankSalted _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
@@ -167,6 +169,19 @@ object SparkEntry {
         |WHERE c_nationkey = 1
         |ORDER BY hop""".stripMargin,
     "q17_wildcard_policy" ->
+      s"""${Analysis.policyCte}
+         |SELECT policy_id, COUNT(*) AS n_allowed FROM (
+         | SELECT policy_id, p_partkey,
+         |  MAX(CASE WHEN kind = 'allow' THEN 1 ELSE 0 END) AS a,
+         |  MAX(CASE WHEN kind = 'deny' THEN 1 ELSE 0 END) AS d
+         | FROM part JOIN pats ON p_name LIKE pattern
+         | GROUP BY policy_id, p_partkey) t
+         |WHERE a = 1 AND d = 0
+         |GROUP BY policy_id ORDER BY policy_id""".stripMargin,
+    // q33 loads the SAME policy set through the mapping-file round-trip
+    // (serialize → loadPolicyMapping → evaluate), so its expected answer
+    // is exactly q17's.
+    "q33_policy_file" ->
       s"""${Analysis.policyCte}
          |SELECT policy_id, COUNT(*) AS n_allowed FROM (
          | SELECT policy_id, p_partkey,
@@ -464,6 +479,10 @@ object SparkEntry {
          |           + CAST(0.85 AS DOUBLE) * COALESCE(s3.s, CAST(0 AS DOUBLE)) AS rank
          |       FROM nodes n LEFT JOIN s3 ON s3.id = n.id)
          |SELECT id AS entity_id, rank FROM r3 ORDER BY entity_id""".stripMargin,
+    // qkg11: the same 3-iteration PageRank through the TWO-LEVEL salted
+    // fold (head-in-degree-proof at 100 TB); the oracle replays the
+    // identical fold tree, so the 800 ranks are again BIT-identical.
+    "qkg11_pagerank_salted" -> KgOps.saltedPageRankOracle,
     // Dedup oracles rebuild the copy corpus and recompute pair ground
     // truth relationally (integer Jaccard threshold — no floating point).
     "qdd1_exact_dedup" ->

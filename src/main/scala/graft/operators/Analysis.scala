@@ -85,29 +85,116 @@ object Analysis {
     }
   }
 
-  private val policyGlobs: Seq[(String, String, String)] = Seq(
+  private[graft] val policyGlobs: Seq[(String, String, String)] = Seq(
     ("pol_a", "allow", "*widget*"), ("pol_a", "deny", "small*"),
     ("pol_b", "allow", "l*"), ("pol_b", "deny", "*bolt"),
     ("pol_c", "allow", "*"), ("pol_c", "deny", "*widget*"),
     ("pol_d", "allow", "?o*"))
 
-  /** q17: evaluate each policy's allow/deny glob patterns against every
-    * part name; a part is allowed iff ≥1 allow matches and no deny
-    * matches (Deny precedence, permission_relationships.py:21-184).
-    * The tiny policy table is broadcast against the big resource side —
-    * the only sane join shape at 100 TB.
+  /** Evaluate allow/deny glob policies against a resource table: a
+    * resource is allowed by a policy iff ≥1 of its allow globs matches
+    * the resource's `nameCol` and NO deny glob does (Deny precedence,
+    * permission_relationships.py:21-184). Returns one (policy_id,
+    * `idCol`) row per allowed pair — the reference's principal→resource
+    * permission edges. The tiny policy table is broadcast against the
+    * big resource side — the only sane join shape at 100 TB.
     */
-  def q17Wildcard(spark: SparkSession, sfDir: String): DataFrame = {
+  def wildcardAllowed(spark: SparkSession, resources: DataFrame,
+                      idCol: String, nameCol: String,
+                      globs: Seq[(String, String, String)]): DataFrame = {
     import spark.implicits._
-    val pats = policyGlobs
+    require(globs.nonEmpty, "policy mapping declares no globs")
+    val pats = globs
       .map { case (p, k, g) => (p, k, globToLike(g)) }
       .toDF("policy_id", "kind", "pattern")
-    val parts = table(spark, sfDir, "part").select("p_partkey", "p_name")
-    parts.join(broadcast(pats), expr("p_name LIKE pattern"))
-      .groupBy(col("policy_id"), col("p_partkey"))
+    resources.join(broadcast(pats), expr(s"`$nameCol` LIKE pattern"))
+      .groupBy(col("policy_id"), col(idCol))
       .agg(max(when(col("kind") === "allow", 1).otherwise(0)).as("a"),
         max(when(col("kind") === "deny", 1).otherwise(0)).as("d"))
       .filter(col("a") === 1 && col("d") === 0)
+      .select(col("policy_id"), col(idCol))
+  }
+
+  /** Load a policy mapping FILE — the user-editable
+    * `permission_relationships.yaml` analog
+    * (cartography/intel/aws/permission_relationships.py:335-374, CLI
+    * `permission_relationships_file`), as JSON (this environment ships
+    * no YAML parser; the structure is the same):
+    * {{{
+    * {"policies": [
+    *   {"policy_id": "pol_a", "allow": ["*widget*"], "deny": ["small*"]},
+    *   ...]}
+    * }}}
+    * Validation is fail-fast with the offending entry named — a typo'd
+    * mapping must abort before any evaluation runs.
+    */
+  def loadPolicyMapping(path: String): Seq[(String, String, String)] = {
+    val root = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)))
+    val pols = root.get("policies")
+    require(pols != null && pols.isArray && pols.size() > 0,
+      s"$path: expected a non-empty 'policies' array")
+    (0 until pols.size()).flatMap { i =>
+      val p = pols.get(i)
+      require(p.hasNonNull("policy_id"),
+        s"$path: policies[$i] is missing 'policy_id'")
+      val id = p.get("policy_id").asText()
+      def globsOf(kind: String): Seq[(String, String, String)] =
+        Option(p.get(kind)).toSeq.flatMap { arr =>
+          require(arr.isArray, s"$path: policies[$i].$kind must be an array")
+          (0 until arr.size()).map(j => (id, kind, arr.get(j).asText()))
+        }
+      val gs = globsOf("allow") ++ globsOf("deny")
+      require(gs.exists(_._2 == "allow"),
+        s"$path: policy '$id' declares no allow globs — it can never match")
+      gs
+    }
+  }
+
+  /** Serialize a glob set in [[loadPolicyMapping]]'s format. */
+  def policyMappingJson(globs: Seq[(String, String, String)]): String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("policies")
+    globs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (id, gs) =>
+      val p = arr.addObject()
+      p.put("policy_id", id): Unit
+      Seq("allow", "deny").foreach { kind =>
+        val ofKind = gs.filter(_._2 == kind)
+        if (ofKind.nonEmpty) {
+          val a = p.putArray(kind)
+          ofKind.foreach(g => a.add(g._3): Unit)
+        }
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** q17: per-policy allowed-part counts over the inline default policy
+    * set ([[wildcardAllowed]] for the semantics).
+    */
+  def q17Wildcard(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = table(spark, sfDir, "part").select("p_partkey", "p_name")
+    wildcardAllowed(spark, parts, "p_partkey", "p_name", policyGlobs)
+      .groupBy(col("policy_id"))
+      .agg(count(lit(1)).as("n_allowed"))
+      .orderBy(col("policy_id"))
+  }
+
+  /** q33: the q17 evaluation driven from a policy-mapping FILE — the
+    * reference's primary wildcard-policy workflow (user drops in a
+    * mapping file; the engine evaluates it). The default policy set is
+    * serialized to JSON, re-loaded through [[loadPolicyMapping]], and
+    * must produce exactly q17's answer (same oracle), proving the
+    * file round-trip changes nothing.
+    */
+  def q33PolicyFile(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = java.nio.file.Files.createTempFile("policy_mapping", ".json")
+    java.nio.file.Files.writeString(f, policyMappingJson(policyGlobs))
+    val loaded = loadPolicyMapping(f.toString)
+    val parts = table(spark, sfDir, "part").select("p_partkey", "p_name")
+    wildcardAllowed(spark, parts, "p_partkey", "p_name", loaded)
       .groupBy(col("policy_id"))
       .agg(count(lit(1)).as("n_allowed"))
       .orderBy(col("policy_id"))

@@ -215,6 +215,61 @@ object KgOps {
       .orderBy("entity_id")
   }
 
+  /** Same PageRank as qkg10 but through the TWO-LEVEL salted fold
+    * ([[graft.graph.Analytics.pageRankSalted]], 8 salt buckets on the
+    * entity id's numeric suffix) — the operator shape that survives a
+    * 10^8-in-degree Zipf head, value-hash-checked end to end: the DuckDB
+    * oracle replays the identical two-level fold tree (per-bucket
+    * contributor-ordered fold, then bucket-ordered fold of the
+    * partials), so all 800 double ranks must again match BIT-for-bit.
+    * The salt is an engine-portable pure function of the contributor id,
+    * never a random salt — reproducibility is the contract.
+    */
+  def qkg11PageRankSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    graft.graph.Analytics.pageRankSalted(edges, nodes, iterations = 3,
+      damping = 0.85, u => pmod(substring(u, 2, 10).cast("int"), lit(8)))
+      .select(col("id").as("entity_id"), col("rank"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg11: the qkg10 unrolled 3-iteration PageRank
+    * with each iteration's summation replaced by the same two-level
+    * salted fold the Spark operator uses (salt = numeric id suffix % 8;
+    * level 1 folds {'u','c'} structs sorted by contributor inside each
+    * (dst, salt) group, level 2 folds {'b','p'} partials sorted by salt).
+    * list_reduce's first-element init equals the operator's 0.0 init
+    * because 0.0 + x == x for every finite positive x.
+    */
+  def saltedPageRankOracle: String = {
+    val iters = (1 to 3).map { k =>
+      s"""s${k}a AS (SELECT e.dst AS id, CAST(substr(e.src, 2) AS INT) % 8 AS b,
+         |    list_reduce(list_transform(list_sort(
+         |      list({'u': e.src, 'c': r.rank/od.outdeg})), x -> x.c),
+         |      (a, c2) -> a + c2) AS p
+         |  FROM e JOIN r${k - 1} r ON r.id = e.src JOIN od ON od.src = e.src
+         |  GROUP BY 1, 2),
+         |s$k AS (SELECT id, list_reduce(list_transform(list_sort(
+         |      list({'b': b, 'p': p})), x -> x.p), (a, c2) -> a + c2) AS s
+         |  FROM s${k}a GROUP BY 1),
+         |r$k AS (SELECT n.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/800
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(s$k.s, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes n LEFT JOIN s$k ON s$k.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$tripleCte,
+       |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+       |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k)),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1 AS DOUBLE)/800 AS rank FROM nodes),
+       |$iters
+       |SELECT id AS entity_id, rank FROM r3 ORDER BY entity_id""".stripMargin
+  }
+
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +
     * maxFilesPerTrigger=1 (so the run takes MULTIPLE micro-batches), and

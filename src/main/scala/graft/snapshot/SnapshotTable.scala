@@ -348,9 +348,9 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     * NEVER touches version directories numbered above the latest
     * retained manifest — those belong to a writer that has not committed
     * yet (Iceberg's `expire_snapshots` likewise never deletes files it
-    * cannot prove expired; collecting ABANDONED in-flight dirs is a
-    * separate concern, and they are swept here only once a later commit
-    * has moved the version number past them). Orphans ≤ the retained
+    * cannot prove expired; collecting ABANDONED in-flight dirs is
+    * [[removeOrphans]]' job, with an age guard this method does not
+    * need). Orphans ≤ the retained
     * ceiling (from earlier interrupted expiries or superseded commits)
     * are collected as before.
     *
@@ -397,6 +397,49 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
       }
     }
     (expired, deleted.toSeq.sorted)
+  }
+
+  /** Newest last-modified time anywhere under `p` — the liveness signal
+    * for the orphan sweep (a writer still streaming files keeps touching
+    * something under its version dir).
+    */
+  private def newestMtime(p: Path): Long = {
+    val self = Files.getLastModifiedTime(p).toMillis
+    if (!Files.isDirectory(p)) self
+    else (self +: listDir(p).map(newestMtime)).max
+  }
+
+  /** Iceberg `remove_orphan_files` analog for ABANDONED IN-FLIGHT
+    * commits. A writer creates `data/v{N+1}` first and moves its
+    * manifest last; if it crashes in between, the data directory
+    * lingers — [[expireVersions]] deliberately never touches version
+    * dirs above the latest retained manifest because it cannot tell an
+    * abandoned writer from a live one. This separate, AGE-GUARDED sweep
+    * can: an uncommitted version dir whose newest file is older than
+    * `olderThanMillis` has no live writer (a streaming write keeps
+    * touching files), so it is collected. Committed versions are never
+    * candidates regardless of age. Size the guard comfortably above the
+    * longest plausible commit (Iceberg's default for the same knob is
+    * 3 days). Returns deleted dirs relative to root.
+    */
+  def removeOrphans(olderThanMillis: Long,
+                    now: Long = System.currentTimeMillis()): Seq[String] = {
+    require(olderThanMillis > 0, "olderThanMillis must be positive")
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return Nil
+    val ceiling = latestVersion.getOrElse(0L)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    listDir(dataRoot).foreach { vdir =>
+      val vname = vdir.getFileName.toString
+      val vNum = vname.stripPrefix("v").toLongOption
+      // only recognizably-versioned dirs ABOVE the committed ceiling are
+      // orphan candidates; everything else is expireVersions' territory
+      if (vNum.exists(_ > ceiling) && newestMtime(vdir) < now - olderThanMillis) {
+        deleteTree(vdir)
+        deleted += s"data/$vname": Unit
+      }
+    }
+    deleted.toSeq.sorted
   }
 
   /** Commit scoped to LOGICAL partitions: every bucket of a touched

@@ -36,6 +36,9 @@ object GraftCli {
       |            --update-tag N [--selected-modules s1,s2,..]
       |            [--analysis-job-dir JOBS --out DIR] [--graph-buckets N] [--cores N]
       |  expire    --work-dir DIR --keep N
+      |  remove-orphans --work-dir DIR --older-than-hours H
+      |  permissions --input RES.parquet --id-col COL --name-col COL
+      |            --mapping FILE.json --out DIR [--cores N]
       |  analysis  --work-dir DIR --job-dir JOBS --out DIR
       |            [--params K=V,K2=V2,..] [--update-tag N] [--cores N]
       |  analytics --work-dir DIR --out DIR [--rel-labels L1,L2,..]
@@ -76,6 +79,8 @@ object GraftCli {
   def main(args: Array[String]): Unit = args.toSeq match {
     case "sync" +: rest => sync(parseFlags(rest))
     case "expire" +: rest => expire(parseFlags(rest))
+    case "remove-orphans" +: rest => removeOrphans(parseFlags(rest))
+    case "permissions" +: rest => permissions(parseFlags(rest))
     case "analysis" +: rest => analysis(parseFlags(rest))
     case "analytics" +: rest => analytics(parseFlags(rest))
     case "get-state" +: rest => getState(parseFlags(rest))
@@ -131,16 +136,23 @@ object GraftCli {
     * tables only ever need their latest version (resume reads the last
     * commit per tag), so they expire to `keep` as well.
     */
+  /** Every snapshot table living under a work dir — the shared target
+    * list of the two maintenance subcommands.
+    */
+  private def workDirTables(spark: SparkSession, workDir: String)
+      : Seq[(String, graft.snapshot.SnapshotTable)] =
+    Seq("graph/nodes" -> GraphTables.nodes(spark, s"$workDir/graph"),
+      "graph/edges" -> GraphTables.edges(spark, s"$workDir/graph"),
+      "graph/edge_index" -> graft.snapshot.SnapshotTable(spark,
+        s"$workDir/graph/edge_index", Some("endpoint_label"))) ++
+      KgPipeline.StageNames.map(s =>
+        s"stage_$s" -> graft.snapshot.SnapshotTable(spark, s"$workDir/stage_$s", None))
+
   private def expire(flags: Map[String, String]): Unit = {
     val spark = session(flags, "graft-cli-expire")
     val workDir = req(flags, "work-dir")
     val keep = req(flags, "keep").toInt
-    val tables =
-      Seq("graph/nodes" -> GraphTables.nodes(spark, s"$workDir/graph"),
-        "graph/edges" -> GraphTables.edges(spark, s"$workDir/graph")) ++
-        KgPipeline.StageNames.map(s =>
-          s"stage_$s" -> graft.snapshot.SnapshotTable(spark, s"$workDir/stage_$s", None))
-    tables.foreach { case (name, t) =>
+    workDirTables(spark, workDir).foreach { case (name, t) =>
       if (t.exists) {
         val (expired, deleted) = t.expireVersions(keep)
         System.err.println(
@@ -148,6 +160,48 @@ object GraftCli {
             s"deleted ${deleted.size} data dirs")
       }
     }
+  }
+
+  /** Collect ABANDONED in-flight version dirs (crashed writers) under a
+    * work dir — the Iceberg `remove_orphan_files` analog
+    * ([[graft.snapshot.SnapshotTable.removeOrphans]]); `expire` cannot
+    * touch them because it must assume a dir above the committed ceiling
+    * belongs to a live writer. The age guard is the only safety needed:
+    * pick hours comfortably above the longest plausible commit.
+    */
+  private def removeOrphans(flags: Map[String, String]): Unit = {
+    val spark = session(flags, "graft-cli-remove-orphans")
+    val workDir = req(flags, "work-dir")
+    val ageMs = req(flags, "older-than-hours").toDouble * 3600 * 1000
+    workDirTables(spark, workDir).foreach { case (name, t) =>
+      if (t.exists) {
+        val deleted = t.removeOrphans(ageMs.toLong)
+        if (deleted.nonEmpty)
+          System.err.println(s"[remove-orphans] $name: deleted " +
+            deleted.mkString(", "))
+      }
+    }
+  }
+
+  /** Evaluate a user-supplied wildcard policy-mapping FILE against a
+    * resource table and write the allowed (policy_id, resource) pairs —
+    * the reference's `permission_relationships_file` workflow
+    * (cartography/intel/aws/permission_relationships.py:335-374): the
+    * mapping is DATA a user edits, not code.
+    */
+  private def permissions(flags: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    // load + validate the mapping BEFORE paying for the session/scan
+    val globs = graft.operators.Analysis.loadPolicyMapping(req(flags, "mapping"))
+    val spark = session(flags, "graft-cli-permissions")
+    val (idCol, nameCol) = (req(flags, "id-col"), req(flags, "name-col"))
+    val resources = spark.read.parquet(req(flags, "input"))
+      .select(col(idCol), col(nameCol))
+    graft.operators.Analysis
+      .wildcardAllowed(spark, resources, idCol, nameCol, globs)
+      .write.mode("overwrite").parquet(req(flags, "out"))
+    System.err.println(s"[permissions] evaluated ${globs.map(_._1).distinct.size} " +
+      s"policies; wrote ${req(flags, "out")}")
   }
 
   /** Run every *.json analysis job under --job-dir against the synced

@@ -131,6 +131,95 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  /** Local reference for the TWO-LEVEL salted fold: per receiver, fold
+    * each salt bucket's contributors in id order, then fold the bucket
+    * partials in bucket order — both with 0.0 init, like the operator.
+    */
+  private def refRanksSalted(edges: Seq[(String, String)], nodes: Seq[String],
+                             iters: Int, d: Double,
+                             saltFn: String => Int): Map[String, Double] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2)
+      r = nodes.map { v =>
+        val s = in.getOrElse(v, Nil).map(_._1)
+          .groupBy(saltFn).toSeq.sortBy(_._1)
+          .map { case (_, us) =>
+            us.sorted.foldLeft(0.0)((acc, u) => acc + r(u) / out(u)) }
+          .foldLeft(0.0)(_ + _)
+        v -> ((1.0 - d) / n + d * s)
+      }.toMap
+    }
+    r
+  }
+
+  /** vNN ids → numeric suffix mod B, expressed identically as a Column
+    * (what pageRankSalted gets) and as a Scala function (the reference).
+    */
+  private def saltCol(b: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    u => pmod(substring(u, 2, 10).cast("int"), lit(b))
+  private def saltFn(b: Int): String => Int = id => id.drop(1).toInt % b
+
+  test("pageRankSalted: random graphs match the two-level reference bit-for-bit (12 cases)") {
+    val rnd = new scala.util.Random(19)
+    (0 until 12).foreach { k =>
+      val n = 3 + rnd.nextInt(10)
+      val ids = (0 until n).map(i => s"v%02d".format(i))
+      val edges = (for {
+        a <- ids; b <- ids
+        if a != b && rnd.nextDouble() < 0.35
+      } yield (a, b)).toVector
+      val iters = 1 + rnd.nextInt(3)
+      val buckets = 1 + rnd.nextInt(4)
+      val got = Analytics.pageRankSalted(edges.toDF("src", "dst"),
+        ids.toDF("id"), iters, 0.85, saltCol(buckets))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = refRanksSalted(edges, ids, iters, 0.85, saltFn(buckets))
+      ids.foreach { v =>
+        assert(java.lang.Double.doubleToLongBits(got(v)) ===
+          java.lang.Double.doubleToLongBits(want(v)),
+          s"case $k node $v (n=$n, m=${edges.size}, iters=$iters, b=$buckets)")
+      }
+    }
+  }
+
+  test("pageRankSalted with ONE bucket degenerates to pageRank bit-for-bit") {
+    // one salt bucket -> level 1 folds every contributor in id order and
+    // level 2 folds a single partial with 0.0 init (0.0 + p == p), so the
+    // two operators must agree to the last bit
+    val nodes = (0 until 40).map(i => s"v%02d".format(i))
+    val edges = (0 until 160).map(i => (s"v%02d".format(i % 40), s"v%02d".format((i * 11 + 5) % 40)))
+    val plain = Analytics.pageRank(edges.toDF("src", "dst"),
+      nodes.toDF("id"), iterations = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Analytics.pageRankSalted(edges.toDF("src", "dst"),
+      nodes.toDF("id"), iterations = 3, damping = 0.85, saltCol(1))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    nodes.foreach { v =>
+      assert(java.lang.Double.doubleToLongBits(plain(v)) ===
+        java.lang.Double.doubleToLongBits(salted(v)), s"node $v")
+    }
+  }
+
+  test("pageRankSalted: bit-stable across partitionings") {
+    val nodes = (0 until 50).map(i => s"v%02d".format(i))
+    val edges = (0 until 200).map(i => (s"v%02d".format(i % 50), s"v%02d".format((i * 7 + 3) % 50)))
+    def run(parts: Int): Array[(String, Double)] =
+      Analytics.pageRankSalted(edges.toDF("src", "dst").repartition(parts),
+        nodes.toDF("id"), iterations = 2, damping = 0.85, saltCol(8))
+        .orderBy("id").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val a = run(2)
+    val b = run(7)
+    a.zip(b).foreach { case ((ida, ra), (idb, rb)) =>
+      assert(ida === idb)
+      assert(java.lang.Double.doubleToLongBits(ra) ===
+        java.lang.Double.doubleToLongBits(rb), s"node $ida")
+    }
+  }
+
   test("co-mention cap drops over-cap pages whole, keeps under-cap pages untouched") {
     val pageEnt = (
       (1 to 5).map(k => ("spam", s"e$k")) ++     // 5 distinct entities

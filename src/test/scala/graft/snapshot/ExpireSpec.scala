@@ -110,4 +110,51 @@ class ExpireSpec extends SparkSpecBase {
       "abandoned dir is replaced by the next commit at that version")
     assert(t.read().select("k").as[Int].collect().toSeq === Seq(4))
   }
+
+  test("removeOrphans collects only AGED uncommitted version dirs, never live or committed ones") {
+    val root = tmp()
+    val t = SnapshotTable(spark, root, None)
+    t.commit(Seq((1, "a")).toDF("k", "v"), 100L)
+    t.commit(Seq((2, "b")).toDF("k", "v"), 200L) // committed ceiling: v2
+
+    def fakeInflight(v: Int, ageMs: Long): java.nio.file.Path = {
+      val d = Paths.get(root, "data", s"v$v", "all")
+      Files.createDirectories(d)
+      val f = d.resolve("part-0.parquet")
+      Files.writeString(f, "placeholder")
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ageMs)
+      // age every path component the sweep's mtime walk can see
+      Seq(f, d, d.getParent).foreach(p => Files.setLastModifiedTime(p, old))
+      d.getParent
+    }
+
+    val abandoned = fakeInflight(5, ageMs = 10 * 3600 * 1000L) // 10h old
+    val live = fakeInflight(6, ageMs = 0L)                     // just written
+
+    val deleted = t.removeOrphans(olderThanMillis = 3600 * 1000L) // 1h guard
+    assert(deleted === Seq("data/v5"))
+    assert(!Files.exists(abandoned), "aged uncommitted dir must be collected")
+    assert(Files.exists(live), "recently-touched dir may be a live writer")
+
+    // committed versions are never candidates, no matter how old
+    val v2dir = Paths.get(root, "data", "v2")
+    Files.setLastModifiedTime(v2dir,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    Files.walk(v2dir).forEach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1000L)): Unit)
+    assert(t.removeOrphans(3600 * 1000L) === Nil)
+    assert(t.read().select("k").as[Int].collect().toSeq === Seq(2))
+
+    // a recently-touched NESTED file keeps the whole dir alive even if
+    // the dir mtimes are old (the newest-mtime walk, not the dir stat)
+    val mixed = Paths.get(root, "data", "v7", "all")
+    Files.createDirectories(mixed)
+    Files.writeString(mixed.resolve("fresh.parquet"), "x")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10 * 3600 * 1000L)
+    Seq(mixed, mixed.getParent).foreach(p => Files.setLastModifiedTime(p, old))
+    assert(t.removeOrphans(3600 * 1000L) === Nil)
+    assert(Files.exists(mixed.resolve("fresh.parquet")))
+  }
 }

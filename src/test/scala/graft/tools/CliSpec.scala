@@ -244,4 +244,64 @@ class CliSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotTri === wantTri)
   }
+
+  test("cli: permissions — mapping-file evaluation writes allowed pairs; bad mapping fails before the scan") {
+    val in = tmp("cliin6")
+    val out = tmp("cliout6")
+    Seq((1L, "large widget"), (2L, "small widget"), (3L, "loose bolt"),
+      (4L, "long rope"), (5L, "rope"))
+      .toDF("res_id", "res_name").write.parquet(s"$in/res")
+    val mapping = s"$in/mapping.json"
+    Files.writeString(java.nio.file.Paths.get(mapping),
+      """{"policies": [
+        | {"policy_id": "p_widget", "allow": ["*widget*"], "deny": ["small*"]},
+        | {"policy_id": "p_l", "allow": ["l*"], "deny": ["*bolt"]}
+        |]}""".stripMargin)
+    GraftCli.main(Array("permissions", "--input", s"$in/res",
+      "--id-col", "res_id", "--name-col", "res_name",
+      "--mapping", mapping, "--out", s"$out/allowed"))
+    val got = spark.read.parquet(s"$out/allowed")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // p_widget: widgets 1,2 match allow; 2 denied by small* -> {1}
+    // p_l: l-names 1,3,4 match allow; 3 denied by *bolt -> {1,4}
+    assert(got === Set(("p_widget", 1L), ("p_l", 1L), ("p_l", 4L)))
+
+    // a policy with no allow glob is rejected while PARSING the mapping,
+    // before any parquet path is even resolved
+    Files.writeString(java.nio.file.Paths.get(mapping),
+      """{"policies": [{"policy_id": "p_bad", "deny": ["x*"]}]}""")
+    val e1 = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("permissions", "--input", "/does/not/exist",
+        "--id-col", "res_id", "--name-col", "res_name",
+        "--mapping", mapping, "--out", s"$out/never"))
+    }
+    assert(e1.getMessage.contains("no allow globs"), e1.getMessage)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/never")))
+  }
+
+  test("cli: remove-orphans collects an aged abandoned version dir, spares committed state") {
+    val in = tmp("cliin7")
+    val work = tmp("cliwork7")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100"))
+    val nodes = GraphTables.nodes(spark, s"$work/graph")
+    val before = nodes.read().count()
+
+    // fake a crashed writer: an uncommitted version dir, aged 10 hours
+    val v = nodes.latestVersion.get + 7
+    val dead = java.nio.file.Paths.get(s"$work/graph/nodes/data/v$v/orphan")
+    Files.createDirectories(dead)
+    Files.writeString(dead.resolve("part-0.parquet"), "x")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10 * 3600 * 1000L)
+    Seq(dead.resolve("part-0.parquet"), dead, dead.getParent)
+      .foreach(p => Files.setLastModifiedTime(p, old))
+
+    GraftCli.main(Array("remove-orphans", "--work-dir", work,
+      "--older-than-hours", "1"))
+    assert(!Files.exists(dead.getParent), "aged orphan dir must be collected")
+    assert(nodes.read().count() === before, "committed state untouched")
+  }
 }
