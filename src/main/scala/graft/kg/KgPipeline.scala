@@ -31,18 +31,27 @@ import graft.snapshot.SnapshotTable
   * aggregate per (url, entity) BEFORE any wider join, which is the
   * map-side-combine-style defusal of head-entity skew.
   */
+/** `graphRoot` decouples the GRAPH tables from the stage/lineage work
+  * dir: multi-tenant orchestration gives each tenant its own stage dir
+  * (independent checkpoint/resume per tenant) while every tenant merges
+  * into ONE shared graph — the reference's per-account sync loop over a
+  * single Neo4j instance (`_sync_multiple_accounts`).
+  */
 final class KgPipeline(spark: SparkSession, workRoot: String,
-                       graphBuckets: Int = GraphTables.DefaultBuckets) {
+                       graphBuckets: Int = GraphTables.DefaultBuckets,
+                       graphRoot: Option[String] = None) {
   import spark.implicits._
 
   private def stageTable(name: String): SnapshotTable =
     SnapshotTable(spark, s"$workRoot/stage_$name", None)
 
+  private val graphDir: String = graphRoot.getOrElse(s"$workRoot/graph")
+
   // graphBuckets is deployment-sized (SnapshotTable scaladoc): 8 at test
   // scale, hundreds+ at corpus scale so an incremental merge's touched
   // fraction stays proportional to the batch
-  val nodes: SnapshotTable = GraphTables.nodes(spark, s"$workRoot/graph", graphBuckets)
-  val edges: SnapshotTable = GraphTables.edges(spark, s"$workRoot/graph", graphBuckets)
+  val nodes: SnapshotTable = GraphTables.nodes(spark, graphDir, graphBuckets)
+  val edges: SnapshotTable = GraphTables.edges(spark, graphDir, graphBuckets)
 
   /** True if `name` already committed for this updateTag (resume). */
   def stageDone(name: String, updateTag: Long): Boolean = {

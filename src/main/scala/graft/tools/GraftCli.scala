@@ -34,6 +34,8 @@ object GraftCli {
     """usage:
       |  sync      --input PAGES.parquet --dict ALIASES.parquet --work-dir DIR
       |            --update-tag N [--selected-modules s1,s2,..]
+      |            [--tenants T1,T2,.. [--best-effort true]]
+      |            (with --tenants, --input is a template containing {tenant})
       |            [--analysis-job-dir JOBS --out DIR] [--graph-buckets N] [--cores N]
       |  expire    --work-dir DIR --keep N
       |  remove-orphans --work-dir DIR --older-than-hours H
@@ -102,21 +104,50 @@ object GraftCli {
     postJobDir.foreach { _ => parseParams(flags): Unit }
     val buckets = flags.getOrElse("graph-buckets",
       GraphTables.DefaultBuckets.toString).toInt
-    val pipe = new KgPipeline(spark, workDir, buckets)
-    val pages = spark.read.parquet(req(flags, "input")).as[Page]
     val dict = spark.read.parquet(req(flags, "dict")).as[AliasRow]
-    flags.get("selected-modules") match {
-      case Some(sel) => pipe.runStages(pages, dict, tag, sel)
-      case None => pipe.run(pages, dict, tag, mergeGraph = true): Unit
-    }
     // The reference's sync runs its analysis-job corpus as the FINAL
     // stage (cartography/sync.py stage list ends with 'analysis',
     // intel/analysis.py:12-42) — mirror that when a job dir is given.
-    postJobDir.foreach { jd =>
+    def runPost(): Unit = postJobDir.foreach { jd =>
       analysis(Map("work-dir" -> workDir, "job-dir" -> jd,
         "out" -> postOut.get, "update-tag" -> tag.toString)
         ++ flags.get("params").map("params" -> _)
         ++ flags.get("cores").map("cores" -> _))
+    }
+    flags.get("tenants") match {
+      case Some(ts) =>
+        // Multi-tenant orchestration — the `--aws-sync-all-profiles` /
+        // `_sync_multiple_accounts` loop (cartography/cli.py;
+        // intel/aws/__init__.py:142-206): each tenant syncs its own input
+        // table (the per-profile credentials analog: an --input template
+        // with a {tenant} hole) into the SHARED graph, with per-tenant
+        // stage dirs so resume is tenant-scoped. `--best-effort true` is
+        // the reference's aws_best_effort_mode: a tenant's failure is
+        // recorded and the loop continues; failures aggregate into one
+        // exception at the end and the post-sync analysis stage runs
+        // ONLY when every tenant succeeded.
+        val tenants = ts.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        require(tenants.nonEmpty, s"--tenants names no tenants\n$usage")
+        val bestEffort = flags.get("best-effort").exists(_.toBoolean)
+        val tpl = req(flags, "input")
+        require(tpl.contains("{tenant}"),
+          s"multi-tenant sync needs an --input template containing {tenant}\n$usage")
+        require(!flags.contains("selected-modules"),
+          s"--selected-modules and --tenants cannot be combined\n$usage")
+        graft.jobs.MultiTenant.syncAndThen(tenants, bestEffort) { t =>
+          val pipe = new KgPipeline(spark, s"$workDir/tenants/$t", buckets,
+            graphRoot = Some(s"$workDir/graph"))
+          val pages = spark.read.parquet(tpl.replace("{tenant}", t)).as[Page]
+          pipe.run(pages, dict, tag, mergeGraph = true): Unit
+        } { runPost() }: Unit
+      case None =>
+        val pipe = new KgPipeline(spark, workDir, buckets)
+        val pages = spark.read.parquet(req(flags, "input")).as[Page]
+        flags.get("selected-modules") match {
+          case Some(sel) => pipe.runStages(pages, dict, tag, sel)
+          case None => pipe.run(pages, dict, tag, mergeGraph = true): Unit
+        }
+        runPost()
     }
   }
 

@@ -279,6 +279,73 @@ class CliSpec extends SparkSpecBase {
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/never")))
   }
 
+  test("cli: multi-tenant sync — shared graph, per-tenant stages, best-effort aggregation gates the post stage") {
+    val in = tmp("cliin9")
+    val work = tmp("cliwork9")
+    val jobs = tmp("clijobs9")
+    val out = tmp("cliout9")
+    // tenant inputs via the {tenant} template (the per-profile analog);
+    // tenant b's corpus is a superset of a's — MERGE semantics unify them
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/tenant_a/pages")
+    Corpus.pages(spark, sf, 2, 0).write.parquet(s"$in/tenant_b/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    Files.writeString(java.nio.file.Paths.get(jobs, "label_counts.json"),
+      """{"name": "label counts", "statements": [
+        | {"query": "SELECT label, count(*) AS n FROM nodes GROUP BY label ORDER BY label"}
+        |]}""".stripMargin)
+    val tpl = s"$in/{tenant}/pages"
+
+    // all-green round: both tenants land in ONE graph; post stage runs
+    GraftCli.main(Array("sync", "--input", tpl, "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100",
+      "--tenants", "tenant_a,tenant_b", "--best-effort", "true",
+      "--analysis-job-dir", jobs, "--out", out))
+    val nodes = GraphTables.nodes(spark, s"$work/graph")
+    assert(nodes.read().filter(col("label") === "Page").count() === 1000L,
+      "both tenants' pages must merge into the shared graph")
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$work/tenants/tenant_a")) &&
+      Files.isDirectory(java.nio.file.Paths.get(s"$work/tenants/tenant_b")),
+      "each tenant keeps its own stage dir")
+    val counts = spark.read.parquet(s"$out/label_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts("Page") === 1000L, "post-sync analysis saw the full graph")
+
+    // failing round: tenant_c's input does not exist. Best-effort must
+    // finish tenant_a, aggregate the failure, and SKIP the post stage.
+    val out2 = tmp("cliout9b")
+    val e = intercept[graft.jobs.MultiTenant.MultiTenantSyncException] {
+      GraftCli.main(Array("sync", "--input", tpl, "--dict", s"$in/dict",
+        "--work-dir", work, "--update-tag", "200",
+        "--tenants", "tenant_a,tenant_c", "--best-effort", "true",
+        "--analysis-job-dir", jobs, "--out", out2))
+    }
+    assert(e.report.succeeded === Seq("tenant_a"))
+    assert(e.report.failed.map(_.tenantId) === Seq("tenant_c"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out2/label_counts")),
+      "post stage must not run on a partially-synced round")
+    // tenant_a's tag-200 refresh still committed before the aggregation
+    assert(nodes.read().filter(col("label") === "Page" &&
+      col("lastupdated") === 200L).count() === 500L)
+
+    // without best-effort the first failure propagates as-is
+    intercept[Exception] {
+      GraftCli.main(Array("sync", "--input", tpl, "--dict", s"$in/dict",
+        "--work-dir", work, "--update-tag", "300",
+        "--tenants", "tenant_c,tenant_a"))
+    } match {
+      case _: graft.jobs.MultiTenant.MultiTenantSyncException =>
+        fail("fail-fast mode must not aggregate")
+      case _ => ()
+    }
+    // missing {tenant} hole fails before anything runs
+    val bad = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("sync", "--input", s"$in/tenant_a/pages",
+        "--dict", s"$in/dict", "--work-dir", work, "--update-tag", "400",
+        "--tenants", "tenant_a"))
+    }
+    assert(bad.getMessage.contains("{tenant}"), bad.getMessage)
+  }
+
   test("cli: remove-orphans collects an aged abandoned version dir, spares committed state") {
     val in = tmp("cliin7")
     val work = tmp("cliwork7")
