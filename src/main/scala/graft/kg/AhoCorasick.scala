@@ -69,17 +69,41 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
   }
 
   /** Occurrences that sit on word boundaries (neither neighbor char is a
+    * letter/digit), WITHOUT the leftmost-longest reduction. This is the
+    * per-shard emission of the sharded scan ([[Extract.factsSharded]]):
+    * greedy tiling is NOT compositional across dictionary shards (a
+    * shard-local winner can consume a span that a longer alias from
+    * another shard claims globally), so shards must surface every
+    * boundary match and the tiling runs once over the union.
+    */
+  def findBoundaryMatches(text: String): IndexedSeq[(Int, Int, Int)] =
+    findAll(text).filter { case (s, e, _) =>
+      (s == 0 || !Character.isLetterOrDigit(text.charAt(s - 1))) &&
+      (e == text.length || !Character.isLetterOrDigit(text.charAt(e)))
+    }
+
+  /** Occurrences that sit on word boundaries (neither neighbor char is a
     * letter/digit), reduced to non-overlapping leftmost-longest spans —
     * so "shared widget 1" never fires inside "shared widget 10" and a
     * longer alias wins over a prefix alias at the same start.
     */
-  def findMentions(text: String): IndexedSeq[(Int, Int, Int)] = {
-    val ok = findAll(text).filter { case (s, e, _) =>
-      (s == 0 || !Character.isLetterOrDigit(text.charAt(s - 1))) &&
-      (e == text.length || !Character.isLetterOrDigit(text.charAt(e)))
-    }
-    val sorted = ok.sortBy { case (s, e, idx) => (s, -(e - s), idx) }
-    val kept = mutable.ArrayBuffer[(Int, Int, Int)]()
+  def findMentions(text: String): IndexedSeq[(Int, Int, Int)] =
+    AhoCorasick.leftmostLongest(findBoundaryMatches(text))
+}
+
+object AhoCorasick {
+  /** Leftmost-longest tiling over boundary-filtered candidate spans:
+    * sort by (start, -length), then keep each span whose start is not
+    * inside an already-kept span. Exposed separately so the sharded scan
+    * can apply the IDENTICAL selection to the union of per-shard
+    * candidates that [[AhoCorasick.findMentions]] applies to a single
+    * automaton's matches (the `A` tiebreak is unreachable for distinct
+    * patterns — two distinct patterns cannot share both start and
+    * length — but keeps the sort total).
+    */
+  def leftmostLongest[A: Ordering](ms: IndexedSeq[(Int, Int, A)]): IndexedSeq[(Int, Int, A)] = {
+    val sorted = ms.sortBy { case (s, e, a) => (s, -(e - s), a) }
+    val kept = mutable.ArrayBuffer[(Int, Int, A)]()
     var lastEnd = -1
     sorted.foreach { m =>
       if (m._1 >= lastEnd) { kept += m; lastEnd = m._2 }

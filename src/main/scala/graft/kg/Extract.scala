@@ -1,6 +1,7 @@
 package graft.kg
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 final case class PageText(url: String, text: String, lang: String)
 final case class MentionRow(url: String, start: Int, end: Int, alias: String)
@@ -164,6 +165,133 @@ object Extract {
         linkRows ++ tripleRows
       }
     }
+  }
+
+  /** Over-cap dictionaries: the same facts as [[facts]], computed in
+    * automaton SHARDS so no single broadcast ever exceeds
+    * `maxAliasesPerShard` patterns (the reference's CONTAINS matcher has
+    * no dictionary ceiling — querybuilder.py:124 — this is the Spark
+    * recast that removes ours). The plan:
+    *
+    *  1. hash-shard the distinct lowered aliases into k groups; for each
+    *     shard, build + broadcast ONE automaton, scan the corpus emitting
+    *     every word-boundary candidate match (NO leftmost-longest tiling
+    *     — tiling is not compositional across shards), write the shard's
+    *     candidates to scratch parquet, then destroy the broadcast so
+    *     peak executor memory is one shard's automaton;
+    *  2. cogroup the candidate union with the texts by url and run the
+    *     IDENTICAL leftmost-longest tiling + sentence/predicate logic as
+    *     [[facts]], emitting alias-keyed proto facts;
+    *  3. substitute entities via a distributed join with the (alias →
+    *     entity) table — the alias→entities map is never driver-resident.
+    *
+    * Cost vs the broadcast path: k corpus scans instead of 1, one
+    * url-shuffle of texts + candidates, and two alias joins — the price
+    * of a dictionary that cannot fit one executor heap. Scratch files
+    * stay under `scratchDir` (inside the work dir; re-runs overwrite).
+    * Output is multiset-equal to [[facts]] run with the whole dictionary
+    * (pinned by ExtractShardSpec).
+    */
+  def factsSharded(spark: SparkSession, texts: Dataset[PageText],
+                   dict: Dataset[AliasRow],
+                   predicatePhrases: Seq[(String, String)],
+                   scratchDir: String,
+                   maxAliasesPerShard: Long): Dataset[FactRow] = {
+    import spark.implicits._
+    val aliasesLc = dict.map(r => asciiLower(r.alias)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = aliasesLc.count()
+    // fill shards to ~4/5 of the cap so hash imbalance has headroom,
+    // then VALIDATE the split (one tiny aggregation — ≤k counts) and
+    // double k until every shard fits; escalation before any corpus
+    // scan, so an unlucky hash split never wastes scan work
+    val target = math.max(1L, maxAliasesPerShard * 4 / 5)
+    var k = math.max(1L, (n + target - 1) / target).toInt
+    def maxShardSize(kk: Int): Long =
+      aliasesLc.map(a => Math.floorMod(a.hashCode, kk))
+        .groupByKey(identity).count().map(_._2)
+        .reduce((a, b) => math.max(a, b))
+    while (maxShardSize(k) > maxAliasesPerShard) {
+      require(k <= 64 * n,
+        s"cannot split $n aliases into shards of <= $maxAliasesPerShard " +
+          "(hash-collision pathology)")
+      k *= 2
+    }
+    System.err.println(s"[kg] dictionary has $n distinct aliases " +
+      s"(cap $maxAliasesPerShard per automaton) — scanning in $k shards")
+    (0 until k).foreach { i =>
+      val shard = aliasesLc
+        .filter(a => Math.floorMod(a.hashCode, k) == i)
+        .collect()
+      val acB = spark.sparkContext.broadcast(new AhoCorasick(shard.sorted))
+      texts.mapPartitions { it =>
+        val ac = acB.value
+        it.flatMap { pt =>
+          val lower = asciiLower(pt.text)
+          ac.findBoundaryMatches(lower).iterator.map { case (s, e, idx) =>
+            MentionRow(pt.url, s, e, ac.patterns(idx))
+          }
+        }
+      }.write.mode("overwrite").parquet(s"$scratchDir/shard_$i")
+      acB.destroy()
+    }
+    aliasesLc.unpersist()
+    val cands = spark.read
+      .parquet((0 until k).map(i => s"$scratchDir/shard_$i"): _*)
+      .as[MentionRow]
+    val bPred = spark.sparkContext.broadcast(
+      predicatePhrases.map { case (id, phrase) => asciiLower(phrase) -> id }.toMap)
+    val sentRe = java.util.regex.Pattern.compile(sentenceSplit)
+    // proto facts carry ALIASES in the entity slots (kind 0: a = alias;
+    // kind 1: a/obj = subj/obj alias); the joins below substitute ids
+    val proto = texts.groupByKey(_.url).cogroup(cands.groupByKey(_.url)) {
+      (url, txIt, cIt) =>
+        val raw = cIt.map(c => (c.start, c.end, c.alias)).toIndexedSeq
+        txIt.flatMap { pt =>
+          val lower = asciiLower(pt.text)
+          val ms = AhoCorasick.leftmostLongest(raw)
+          val linkRows = ms.iterator.map { case (s, e, alias) =>
+            FactRow(0, url, s, e, alias, null, null)
+          }
+          val m = sentRe.matcher(lower)
+          val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+          val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (m.find()) { ends += m.start(); cuts += m.end() }
+          ends += lower.length
+          val tripleRows = cuts.iterator.zip(ends.iterator).flatMap {
+            case (bs, be) =>
+              val in = ms.filter(mm => mm._1 >= bs && mm._2 <= be)
+              if (in.length < 2) Iterator.empty
+              else {
+                val (_, e1, a1) = in(0)
+                val (s2, _, a2) = in(1)
+                val between = stripArticles(lower.substring(e1, s2))
+                bPred.value.get(between) match {
+                  case Some(predId) =>
+                    Iterator.single(FactRow(1, url, 0, 0, a1, predId, a2))
+                  case None => Iterator.empty
+                }
+              }
+          }
+          linkRows ++ tripleRows
+        }
+    }.toDF().localCheckpoint(false) // two consumers below; evaluate once
+    // distributed alias→entity substitution (distinct sorted per-alias
+    // entity lists in the broadcast path == distinct join rows here)
+    val dictNorm = dict.map(r => (asciiLower(r.alias), r.entity_id))
+      .toDF("alias_lc", "ent").distinct()
+    val links = proto.filter(col("kind") === 0)
+      .join(dictNorm, col("a") === col("alias_lc"))
+      .select(col("kind"), col("url"), col("start"), col("end"),
+        col("ent").as("a"), col("pred"), col("obj"))
+    val trips = proto.filter(col("kind") === 1)
+      .join(dictNorm.select(col("alias_lc").as("subj_lc"), col("ent").as("subj_ent")),
+        col("a") === col("subj_lc"))
+      .join(dictNorm.select(col("alias_lc").as("obj_lc"), col("ent").as("obj_ent")),
+        col("obj") === col("obj_lc"))
+      .select(col("kind"), col("url"), col("start"), col("end"),
+        col("subj_ent").as("a"), col("pred"), col("obj_ent").as("obj"))
+    links.unionByName(trips).as[FactRow]
   }
 
   def triples(spark: SparkSession, texts: Dataset[PageText],

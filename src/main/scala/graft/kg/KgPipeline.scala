@@ -39,7 +39,8 @@ import graft.snapshot.SnapshotTable
   */
 final class KgPipeline(spark: SparkSession, workRoot: String,
                        graphBuckets: Int = GraphTables.DefaultBuckets,
-                       graphRoot: Option[String] = None) {
+                       graphRoot: Option[String] = None,
+                       maxBroadcastAliases: Long = KgPipeline.MaxBroadcastAliases) {
   import spark.implicits._
 
   private def stageTable(name: String): SnapshotTable =
@@ -132,22 +133,35 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
 
   /** Table-native dictionary entrypoint — the 100 TB shape: the alias
     * dictionary arrives as a (parquet/Iceberg-backed) Dataset, not a
-    * driver Seq. Only the bounded Aho–Corasick broadcast is
-    * driver-materialized (size-checked against
-    * [[KgPipeline.MaxBroadcastAliases]] — the automaton must fit in one
-    * executor heap regardless of where the rows come from); blocking +
-    * CC candidate generation stays on the Dataset above the local bound.
+    * driver Seq. At or under [[KgPipeline.MaxBroadcastAliases]] rows the
+    * dictionary is driver-materialized and the single-automaton broadcast
+    * path runs; ABOVE the cap the pipeline automatically switches to the
+    * sharded scan ([[Extract.factsSharded]] — hash-sharded automatons,
+    * union + global leftmost-longest resolution, distributed alias→entity
+    * joins) and the distributed blocking/CC path, so no dictionary size
+    * is a hard input limit.
     */
   def run(pagesIn: Dataset[Page], dict: Dataset[AliasRow], updateTag: Long,
           mergeGraph: Boolean): Result =
-    runWith(pagesIn, KgPipeline.boundedCollect(dict), Some(dict), updateTag,
-      mergeGraph)
+    KgPipeline.boundedCollectOpt(dict, maxBroadcastAliases) match {
+      case Some(rows) => runWith(pagesIn, rows, Some(dict), updateTag, mergeGraph)
+      case None => runCore(pagesIn, updateTag, mergeGraph,
+        texts => factsShardedCompute(texts, dict),
+        () => canonicalDistributed(dict))
+    }
 
-  /** Stage-subset run from a table-backed dictionary (the CLI path). */
+  /** Stage-subset run from a table-backed dictionary (the CLI path).
+    * Over-cap dictionaries take the sharded facts + distributed
+    * canonicalization paths, as in [[run]].
+    */
   def runStages(pagesIn: Dataset[Page], dict: Dataset[AliasRow],
                 updateTag: Long, selectedModules: String): Unit =
-    runStages(pagesIn, KgPipeline.boundedCollect(dict), updateTag,
-      selectedModules)
+    KgPipeline.boundedCollectOpt(dict, maxBroadcastAliases) match {
+      case Some(rows) => runStages(pagesIn, rows, updateTag, selectedModules)
+      case None => runStagesCore(pagesIn, updateTag, selectedModules,
+        texts => factsShardedCompute(texts, dict),
+        () => canonicalDistributed(dict))
+    }
 
   /** links view over the committed facts table (kind 0 rows). */
   private def linksView(facts: DataFrame): DataFrame =
@@ -174,6 +188,17 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
     Extract.facts(spark, en, dict, Corpus.predicates).toDF()
   }
 
+  /** Over-cap facts: k-sharded automaton scan (scratch under the work
+    * dir so re-runs overwrite; the committed stage output is what
+    * downstream reads).
+    */
+  private def factsShardedCompute(textsDf: DataFrame,
+                                  dict: Dataset[AliasRow]): DataFrame = {
+    val en = textsDf.filter(col("lang") === "en").as[PageText]
+    Extract.factsSharded(spark, en, dict, Corpus.predicates,
+      s"$workRoot/facts_scratch", maxBroadcastAliases).toDF()
+  }
+
   /** Blocking + CC live in entity space (≪ corpus size). Below the
     * local bound the candidate generation runs on the driver (same
     * semantics, pinned by tests); above it the distributed Dataset/LSH
@@ -182,17 +207,23 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
     */
   private def canonicalCompute(dict: Seq[AliasRow],
                                dictDs: Option[Dataset[AliasRow]]): DataFrame = {
-    val dupEdges =
-      if (dict.sizeIs <= KgPipeline.LocalBlockingBound)
-        Blocking.duplicateEntityEdgesLocal(dict).map(p => (p.a, p.b))
-          .toDF("u", "v")
-      else
-        Blocking.duplicateEntityEdges(spark, dictDs.getOrElse(dict.toDS()))
-          .toDF("u", "v")
-    val allEntities = dictDs match {
-      case Some(ds) => ds.select(col("entity_id").as("id")).distinct()
-      case None => dict.map(_.entity_id).distinct.toDF("id")
-    }
+    if (dict.sizeIs <= KgPipeline.LocalBlockingBound) {
+      val dupEdges = Blocking.duplicateEntityEdgesLocal(dict)
+        .map(p => (p.a, p.b)).toDF("u", "v")
+      val allEntities = dictDs match {
+        case Some(ds) => ds.select(col("entity_id").as("id")).distinct()
+        case None => dict.map(_.entity_id).distinct.toDF("id")
+      }
+      ConnectedComponents.run(spark, dupEdges, allEntities)
+    } else canonicalDistributed(dictDs.getOrElse(dict.toDS()))
+  }
+
+  /** Dataset-native blocking + CC — the only canonicalization shape an
+    * over-cap dictionary can take (it never round-trips the driver).
+    */
+  private def canonicalDistributed(ds: Dataset[AliasRow]): DataFrame = {
+    val dupEdges = Blocking.duplicateEntityEdges(spark, ds).toDF("u", "v")
+    val allEntities = ds.select(col("entity_id").as("id")).distinct()
     ConnectedComponents.run(spark, dupEdges, allEntities)
   }
 
@@ -223,7 +254,15 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
     * error shape.
     */
   def runStages(pagesIn: Dataset[Page], dict: Seq[AliasRow], updateTag: Long,
-                selectedModules: String): Unit = {
+                selectedModules: String): Unit =
+    runStagesCore(pagesIn, updateTag, selectedModules,
+      texts => factsCompute(texts, dict),
+      () => canonicalCompute(dict, None))
+
+  private def runStagesCore(pagesIn: Dataset[Page], updateTag: Long,
+                            selectedModules: String,
+                            factsFn: DataFrame => DataFrame,
+                            canonFn: () => DataFrame): Unit = {
     val selected = graft.jobs.Sync.parseAndValidateSelectedModules(
       selectedModules, KgPipeline.StageNames)
     def need(dep: String, forStage: String): DataFrame = {
@@ -242,10 +281,10 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
         val texts = need("extract", "facts")
         stage("facts", updateTag,
           (committed, _) => linksLineage(committed, updateTag)) {
-          factsCompute(texts, dict)
+          factsFn(texts)
         }: Unit
       case "canonical" =>
-        stage("canonical", updateTag)(canonicalCompute(dict, None)): Unit
+        stage("canonical", updateTag)(canonFn()): Unit
       case "triples" =>
         val facts = need("facts", "triples")
         val canon = need("canonical", "triples")
@@ -265,7 +304,15 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
 
   private def runWith(pagesIn: Dataset[Page], dict: Seq[AliasRow],
                       dictDs: Option[Dataset[AliasRow]], updateTag: Long,
-                      mergeGraph: Boolean): Result = {
+                      mergeGraph: Boolean): Result =
+    runCore(pagesIn, updateTag, mergeGraph,
+      texts => factsCompute(texts, dict),
+      () => canonicalCompute(dict, dictDs))
+
+  private def runCore(pagesIn: Dataset[Page], updateTag: Long,
+                      mergeGraph: Boolean,
+                      factsFn: DataFrame => DataFrame,
+                      canonFn: () => DataFrame): Result = {
     // The pages table is the pipeline's INPUT — in production an
     // immutable Iceberg table that already exists; it is never committed
     // as a stage (a pipeline reads its input, it does not rewrite it).
@@ -283,12 +330,12 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
 
     val factsDf = stage("facts", updateTag,
       (committed, _) => linksLineage(committed, updateTag)) {
-      factsCompute(textsDf, dict)
+      factsFn(textsDf)
     }
     val linksDf = linksView(factsDf)
 
     val canonicalDf = stage("canonical", updateTag) {
-      canonicalCompute(dict, dictDs)
+      canonFn()
     }
 
     val triplesDf = stage("triples", updateTag) {
@@ -385,8 +432,11 @@ object KgPipeline {
   /** Upper bound on driver-materialized dictionary rows: the AC automaton
     * and alias→entity map are broadcast to every executor, so they must
     * fit in one heap no matter how the rows arrive. ~5M aliases ≈ low
-    * hundreds of MB of automaton — the practical ceiling for a broadcast;
-    * beyond it, shard the dictionary across runs (or automaton shards).
+    * hundreds of MB of automaton — the practical ceiling for a broadcast.
+    * A dictionary above the cap no longer fails: the pipeline switches to
+    * the k-sharded automaton scan ([[Extract.factsSharded]]), which keeps
+    * per-executor memory at one shard's automaton and substitutes
+    * entities via distributed joins.
     */
   val MaxBroadcastAliases: Long = 5000000L
 
@@ -400,14 +450,12 @@ object KgPipeline {
     * broadcast bound enforced IN the scan: `limit(cap+1)` collects at
     * most cap+1 rows (one job, bounded driver memory — a count-then-
     * collect pair would scan twice and an unguarded collect of an
-    * over-cap dictionary would OOM the driver before any check ran),
-    * and anything over the cap fails fast.
+    * over-cap dictionary would OOM the driver before any check ran).
+    * None = over the cap; the caller switches to the sharded scan.
     */
-  def boundedCollect(dict: Dataset[AliasRow]): Seq[AliasRow] = {
-    val rows = dict.limit(MaxBroadcastAliases.toInt + 1).collect()
-    require(rows.length <= MaxBroadcastAliases,
-      s"alias dictionary is too large; the AC broadcast is capped at " +
-        s"$MaxBroadcastAliases rows — shard the dictionary across runs")
-    rows.toSeq
+  def boundedCollectOpt(dict: Dataset[AliasRow],
+                        cap: Long = MaxBroadcastAliases): Option[Seq[AliasRow]] = {
+    val rows = dict.limit(cap.toInt + 1).collect()
+    if (rows.length <= cap) Some(rows.toSeq) else None
   }
 }
