@@ -117,4 +117,48 @@ class StreamingSpec extends SparkSpecBase {
       .collect().sorted.toSeq
     assert(urls == Seq("u1", "u3", "u5"))
   }
+
+  test("firstSeenOnly runs on the RocksDB state store (the deployment-scale provider)") {
+    // The documented 100 TB deployment claim for the stateful dedup is
+    // "state lives in RocksDB, not executor heap" — evidence it: the
+    // same query, same semantics, under RocksDBStateStoreProvider
+    // (ships in Spark 4; no extra jars).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Page]
+      val q = StreamingSync.firstSeenOnly(in.toDS())
+        .writeStream.format("memory").queryName("firstseen_rocksdb")
+        .outputMode("append").start()
+      try {
+        in.addData(
+          page("u1", "2026-01-01 10:00:00", "hello world"),
+          page("u2", "2026-01-01 10:01:00", "hello world"),
+          page("u3", "2026-01-01 10:02:00", "something unique"))
+        q.processAllAvailable()
+        in.addData(
+          page("u4", "2026-01-01 11:00:00", "hello world"),
+          page("u5", "2026-01-01 11:01:00", "fresh content"))
+        q.processAllAvailable()
+        // the provider actually engaged for this query: the state
+        // operator reports rocksdb-prefixed custom metrics
+        import scala.jdk.CollectionConverters._
+        val stateOps = q.recentProgress.flatMap(_.stateOperators)
+        assert(stateOps.nonEmpty)
+        assert(stateOps.exists(_.customMetrics.keySet().asScala
+          .exists(_.toLowerCase.contains("rocksdb"))),
+          "state operator must report RocksDB metrics")
+      } finally q.stop()
+      val urls = spark.table("firstseen_rocksdb").select("url").as[String]
+        .collect().sorted.toSeq
+      assert(urls == Seq("u1", "u3", "u5"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
