@@ -133,22 +133,26 @@ object Dedup {
   private def cappedBucketPairs(df0: DataFrame, keys: Seq[String],
                                 payload: Seq[String]): DataFrame = {
     // The input (typically the banded minhash/simhash flatMap — the
-    // dominant dedup cost) feeds THREE branches below (counts, small
-    // self-join, chain window); localCheckpoint (lazy) evaluates it once
-    // per action and cuts lineage. Unlike persist(), the blocks are NOT
-    // pinned by the CacheManager — the ContextCleaner frees them when
-    // the plan is garbage-collected, so repeated invocations (bench
-    // loops) cannot leak session-lifetime cache entries. Trade-off: the
-    // blocks are unreplicated, so an executor loss fails (and retries)
-    // the job instead of recomputing the branch — acceptable for a
-    // candidate-generation pass.
+    // dominant dedup cost) feeds three branches below; localCheckpoint
+    // (lazy) evaluates it once per action and cuts lineage. Unlike
+    // persist(), the blocks are NOT pinned by the CacheManager — the
+    // ContextCleaner frees them when the plan is garbage-collected, so
+    // repeated invocations (bench loops) cannot leak session-lifetime
+    // cache entries. Trade-off: the blocks are unreplicated, so an
+    // executor loss fails (and retries) the job instead of recomputing
+    // the branch — acceptable for a candidate-generation pass.
     val df = df0.localCheckpoint(eager = false)
     val idA = s"${payload.head}_a"
     val idB = s"${payload.head}_b"
-    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-    val small = df.join(
-      counts.filter(col("_n") <= MaxBandBucket).select(keys.map(col): _*),
-      keys, "left_semi")
+    // ONLY the oversized-key set is materialized (checkpointed once —
+    // it gates two branches) and BROADCAST: band keys are near-distinct,
+    // so the r3 shape's semi-join against the small-bucket key set
+    // shuffled a key table the size of the input. The anti-join against
+    // the tiny (usually empty) oversized set is equivalent and map-side.
+    val bigKeys = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > MaxBandBucket).select(keys.map(col): _*)
+      .localCheckpoint(eager = false)
+    val small = df.join(broadcast(bigKeys), keys, "left_anti")
     val l = small.select(keys.map(col) ++ payload.map(p => col(p).as(s"${p}_a")): _*)
     val r = small.select(keys.map(col) ++ payload.map(p => col(p).as(s"${p}_b")): _*)
     val smallPairs = l.join(r, keys)
@@ -158,8 +162,7 @@ object Dedup {
     // ascending sort makes prev < current, so ordering is preserved
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(payload.head))
     val chained = payload.foldLeft(
-        df.join(counts.filter(col("_n") > MaxBandBucket).select(keys.map(col): _*),
-          keys, "left_semi")) {
+        df.join(broadcast(bigKeys), keys, "left_semi")) {
         (acc, p) => acc.withColumn(s"_prev_$p", lag(col(p), 1).over(w))
       }
       .filter(col(s"_prev_${payload.head}").isNotNull)
@@ -196,7 +199,10 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, corpus: DataFrame): DataFrame = {
     import spark.implicits._
-    val sh = shingleRows(corpus)
+    // shingle rows feed the signatures AND verification's a/b/sizes —
+    // without the (lazy, non-pinning) checkpoint the distinct shuffle
+    // re-runs four times per action, which dominated the r3 qdd4 time
+    val sh = shingleRows(corpus).localCheckpoint(eager = false)
     val grouped = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("shingles"))
       .as[(Long, Seq[String])]
@@ -271,7 +277,8 @@ object Dedup {
     */
   def simhashVerifiedPairs(spark: SparkSession, corpus: DataFrame,
                            maxHamming: Int = 20): DataFrame = {
-    val sh = shingleRows(corpus)
+    // one evaluation for signatures + verification (see minhashLshPairs)
+    val sh = shingleRows(corpus).localCheckpoint(eager = false)
     verifyPairs(spark, simhashCandidates(spark, sh, maxHamming), sh)
   }
 
