@@ -37,10 +37,18 @@ import graft.snapshot.SnapshotTable
   * into ONE shared graph — the reference's per-account sync loop over a
   * single Neo4j instance (`_sync_multiple_accounts`).
   */
+/** `maintainEdgeIndex` attaches the reverse endpoint index
+  * ([[graft.merge.EdgeEndpointIndex]]) to every edge commit this
+  * pipeline makes, which is what keeps index-backed DETACH sound — the
+  * index must see every commit from the graph's FIRST edge write (or a
+  * `rebuild` must run). Built on the same graph dir + bucket count as
+  * the edge table so bucket arithmetic can never drift.
+  */
 final class KgPipeline(spark: SparkSession, workRoot: String,
                        graphBuckets: Int = GraphTables.DefaultBuckets,
                        graphRoot: Option[String] = None,
-                       maxBroadcastAliases: Long = KgPipeline.MaxBroadcastAliases) {
+                       maxBroadcastAliases: Long = KgPipeline.MaxBroadcastAliases,
+                       maintainEdgeIndex: Boolean = false) {
   import spark.implicits._
 
   private def stageTable(name: String): SnapshotTable =
@@ -53,6 +61,15 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
   // fraction stays proportional to the batch
   val nodes: SnapshotTable = GraphTables.nodes(spark, graphDir, graphBuckets)
   val edges: SnapshotTable = GraphTables.edges(spark, graphDir, graphBuckets)
+
+  /** The endpoint index this pipeline maintains (None unless
+    * `maintainEdgeIndex`); hand it to [[graft.merge.Cleanup.run]] for
+    * the batch-proportional DETACH sweep.
+    */
+  val edgeIndex: Option[graft.merge.EdgeEndpointIndex] =
+    if (maintainEdgeIndex)
+      Some(graft.merge.EdgeEndpointIndex(spark, graphDir, graphBuckets))
+    else None
 
   /** True if `name` already committed for this updateTag (resume). */
   def stageDone(name: String, updateTag: Long): Boolean = {
@@ -418,7 +435,7 @@ final class KgPipeline(spark: SparkSession, workRoot: String,
     // skip the batch-dedup shuffle
     subTimed("merge.edges")(GraphMerge.upsertEdgeBatch(spark,
       mentionEdges.unionByName(tripleEdges), updateTag, edges,
-      collectStats = false, dedupBatch = false))
+      collectStats = false, dedupBatch = false, edgeIndex = edgeIndex))
   }
 }
 

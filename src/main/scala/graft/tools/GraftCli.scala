@@ -36,7 +36,9 @@ object GraftCli {
       |            --update-tag N [--selected-modules s1,s2,..]
       |            [--tenants T1,T2,.. [--best-effort true]]
       |            (with --tenants, --input is a template containing {tenant})
-      |            [--analysis-job-dir JOBS --out DIR] [--graph-buckets N] [--cores N]
+      |            [--analysis-job-dir JOBS --out DIR] [--graph-buckets N]
+      |            [--edge-index true] [--cores N]
+      |  index-rebuild --work-dir DIR --update-tag N [--graph-buckets N]
       |  expire    --work-dir DIR --keep N
       |  remove-orphans --work-dir DIR --older-than-hours H
       |  permissions --input RES.parquet --id-col COL --name-col COL
@@ -80,6 +82,7 @@ object GraftCli {
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case "sync" +: rest => sync(parseFlags(rest))
+    case "index-rebuild" +: rest => indexRebuild(parseFlags(rest))
     case "expire" +: rest => expire(parseFlags(rest))
     case "remove-orphans" +: rest => removeOrphans(parseFlags(rest))
     case "permissions" +: rest => permissions(parseFlags(rest))
@@ -104,6 +107,10 @@ object GraftCli {
     postJobDir.foreach { _ => parseParams(flags): Unit }
     val buckets = flags.getOrElse("graph-buckets",
       GraphTables.DefaultBuckets.toString).toInt
+    // --edge-index true maintains the reverse endpoint index on every
+    // edge commit (index-backed DETACH needs coverage from the graph's
+    // FIRST edge write; adopt an existing graph with `index-rebuild`)
+    val edgeIndexOn = flags.get("edge-index").exists(_.toBoolean)
     val dict = spark.read.parquet(req(flags, "dict")).as[AliasRow]
     // The reference's sync runs its analysis-job corpus as the FINAL
     // stage (cartography/sync.py stage list ends with 'analysis',
@@ -136,12 +143,14 @@ object GraftCli {
           s"--selected-modules and --tenants cannot be combined\n$usage")
         graft.jobs.MultiTenant.syncAndThen(tenants, bestEffort) { t =>
           val pipe = new KgPipeline(spark, s"$workDir/tenants/$t", buckets,
-            graphRoot = Some(s"$workDir/graph"))
+            graphRoot = Some(s"$workDir/graph"),
+            maintainEdgeIndex = edgeIndexOn)
           val pages = spark.read.parquet(tpl.replace("{tenant}", t)).as[Page]
           pipe.run(pages, dict, tag, mergeGraph = true): Unit
         } { runPost() }: Unit
       case None =>
-        val pipe = new KgPipeline(spark, workDir, buckets)
+        val pipe = new KgPipeline(spark, workDir, buckets,
+          maintainEdgeIndex = edgeIndexOn)
         val pages = spark.read.parquet(req(flags, "input")).as[Page]
         flags.get("selected-modules") match {
           case Some(sel) => pipe.runStages(pages, dict, tag, sel)
@@ -149,6 +158,24 @@ object GraftCli {
         }
         runPost()
     }
+  }
+
+  /** Rebuild (or adopt) the reverse endpoint index from the current edge
+    * state — one full edge scan that re-establishes DETACH coverage on a
+    * graph whose edge commits predate the index (EdgeEndpointIndex
+    * scaladoc: "attaching mid-life requires rebuild") or compacts
+    * superset drift after many cleanups.
+    */
+  private def indexRebuild(flags: Map[String, String]): Unit = {
+    val spark = session(flags, "graft-cli-index-rebuild")
+    val workDir = req(flags, "work-dir")
+    val buckets = flags.getOrElse("graph-buckets",
+      GraphTables.DefaultBuckets.toString).toInt
+    val tag = req(flags, "update-tag").toLong
+    val idx = graft.merge.EdgeEndpointIndex(spark, s"$workDir/graph", buckets)
+    idx.rebuild(tag)
+    System.err.println(s"[index-rebuild] covered edge version: " +
+      idx.coveredEdgeVersion.getOrElse(-1L))
   }
 
   /** Parse `--params K=V,K2=V2` — shared by sync (up-front validation)

@@ -346,6 +346,30 @@ class CliSpec extends SparkSpecBase {
     assert(bad.getMessage.contains("{tenant}"), bad.getMessage)
   }
 
+  test("cli: sync --edge-index maintains DETACH coverage; a bypassing sync breaks it; index-rebuild restores it") {
+    val in = tmp("cliin10")
+    val work = tmp("cliwork10")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+
+    // indexed from the FIRST edge commit -> sound for DETACH
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100", "--edge-index", "true"))
+    val idx = graft.merge.EdgeEndpointIndex(spark, s"$work/graph")
+    assert(idx.table.exists, "sync --edge-index must materialize the index")
+    assert(idx.soundForDetach, "index attached from first commit must cover")
+
+    // a sync WITHOUT the flag commits un-indexed edges -> coverage broken
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "200"))
+    assert(!idx.soundForDetach, "bypassing commit must freeze coverage")
+
+    // rebuild re-establishes coverage at the current edge state
+    GraftCli.main(Array("index-rebuild", "--work-dir", work,
+      "--update-tag", "300"))
+    assert(idx.soundForDetach, "rebuild must restore DETACH coverage")
+  }
+
   test("cli: remove-orphans collects an aged abandoned version dir, spares committed state") {
     val in = tmp("cliin7")
     val work = tmp("cliwork7")
