@@ -145,24 +145,33 @@ object Dedup {
     val idA = s"${payload.head}_a"
     val idB = s"${payload.head}_b"
     // ONLY the oversized-key set is materialized (checkpointed once —
-    // it gates two branches) and BROADCAST: band keys are near-distinct,
-    // so the r3 shape's semi-join against the small-bucket key set
-    // shuffled a key table the size of the input. The anti-join against
-    // the tiny (usually empty) oversized set is equivalent and map-side.
+    // it gates two branches): band keys are near-distinct, so the r3
+    // shape's semi-join against the small-bucket key set shuffled a key
+    // table the size of the input. The anti-join against the (usually
+    // empty) oversized set is equivalent — and its one count() job makes
+    // the routing explicit: zero oversized keys skips both the anti-join
+    // and the whole chain branch; a small set broadcasts (map-side
+    // anti/semi); a LARGE set (mass-duplication regime: one oversized
+    // key per ~MaxBandBucket input rows, potentially millions) falls
+    // back to shuffle joins — a forced broadcast there would OOM the
+    // driver at exactly the scale the cap exists for.
     val bigKeys = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > MaxBandBucket).select(keys.map(col): _*)
       .localCheckpoint(eager = false)
-    val small = df.join(broadcast(bigKeys), keys, "left_anti")
+    val nBig = bigKeys.count()
+    val hint = if (nBig <= BroadcastKeyLimit) broadcast(bigKeys) else bigKeys
+    val small = if (nBig == 0L) df else df.join(hint, keys, "left_anti")
     val l = small.select(keys.map(col) ++ payload.map(p => col(p).as(s"${p}_a")): _*)
     val r = small.select(keys.map(col) ++ payload.map(p => col(p).as(s"${p}_b")): _*)
     val smallPairs = l.join(r, keys)
       .filter(col(idA) < col(idB))
       .select(payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
+    if (nBig == 0L) return smallPairs
     // oversized buckets: predecessor pairs along the id sort order — the
     // ascending sort makes prev < current, so ordering is preserved
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(payload.head))
     val chained = payload.foldLeft(
-        df.join(broadcast(bigKeys), keys, "left_semi")) {
+        df.join(hint, keys, "left_semi")) {
         (acc, p) => acc.withColumn(s"_prev_$p", lag(col(p), 1).over(w))
       }
       .filter(col(s"_prev_${payload.head}").isNotNull)
@@ -170,6 +179,13 @@ object Dedup {
       Seq(col(s"_prev_$p").as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
     smallPairs.unionByName(chainPairs)
   }
+
+  /** Above this many oversized-bucket keys the anti/semi joins in
+    * [[cappedBucketPairs]] stop broadcasting and shuffle instead — a
+    * forced broadcast of a mass-duplication corpus's key set (one key
+    * per ~[[MaxBandBucket]] input rows) would OOM the driver.
+    */
+  private val BroadcastKeyLimit = 1000000L
 
   private val NumHashes = 64
   // 32 bands of r=2 rows: candidate probability at the Jaccard-0.5

@@ -74,7 +74,11 @@ object Analytics {
       // while the inputs are cached, the lineage is cut, and the blocks
       // are freed by the ContextCleaner when the plan is GC'd — a
       // persist() here pinned one CacheManager entry per invocation for
-      // the session lifetime unless every caller remembered to unpersist
+      // the session lifetime unless every caller remembered to unpersist.
+      // Trade-off: the blocks are unreplicated and the lineage is gone,
+      // so an executor lost AFTER return makes the handle unrecoverable
+      // (re-run the operator) instead of silently recomputing — on a
+      // long-lived cluster, write the result to a table promptly
       tri.select(explode(array(col("src"), col("x"), col("y"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("n_triangles"))
         .localCheckpoint(true)
@@ -198,7 +202,8 @@ object Analytics {
         i += 1
       }
       // eager localCheckpoint — see triangleCounts: materialized while
-      // the inputs are cached, blocks auto-freed when the plan is GC'd
+      // the inputs are cached, blocks auto-freed when the plan is GC'd;
+      // same trade-off: unrecoverable after a post-return executor loss
       ranks.localCheckpoint(true)
     } finally {
       e.unpersist(); ids.unpersist()

@@ -2,6 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
+import scala.util.hashing.MurmurHash3
 
 final case class PageText(url: String, text: String, lang: String)
 final case class MentionRow(url: String, start: Int, end: Int, alias: String)
@@ -14,6 +15,15 @@ final case class TripleRow(url: String, subj: String, pred: String, obj: String)
   */
 final case class FactRow(kind: Int, url: String, start: Int, end: Int,
                          a: String, pred: String, obj: String)
+
+/** Sharded-scan scratch row ([[Extract.factsSharded]]): one raw
+  * word-boundary candidate. `tkey` fingerprints the page TEXT (not just
+  * the url) so resolution groups by (url, tkey) — duplicate urls with
+  * different texts must not pool their candidates, or tiling one text
+  * against another's spans would diverge from [[Extract.facts]].
+  */
+final case class ShardCand(url: String, tkey: Long, start: Int, end: Int,
+                           alias: String)
 
 /** Stage-1 transforms: deterministic HTML→text, dictionary mention
   * detection, and OpenIE-style pattern triple extraction — all narrow
@@ -179,9 +189,11 @@ object Extract {
     *     — tiling is not compositional across shards), write the shard's
     *     candidates to scratch parquet, then destroy the broadcast so
     *     peak executor memory is one shard's automaton;
-    *  2. cogroup the candidate union with the texts by url and run the
-    *     IDENTICAL leftmost-longest tiling + sentence/predicate logic as
-    *     [[facts]], emitting alias-keyed proto facts;
+    *  2. cogroup the candidate union with the texts by (url, text
+    *     fingerprint) — duplicate urls with different texts resolve
+    *     independently, as facts() scans rows independently — and run
+    *     the IDENTICAL leftmost-longest tiling + sentence/predicate
+    *     logic as [[facts]], emitting alias-keyed proto facts;
     *  3. substitute entities via a distributed join with the (alias →
     *     entity) table — the alias→entities map is never driver-resident.
     *
@@ -192,6 +204,15 @@ object Extract {
     * Output is multiset-equal to [[facts]] run with the whole dictionary
     * (pinned by ExtractShardSpec).
     */
+  /** 64-bit text fingerprint for the sharded-scan resolution grouping:
+    * (length << 32) | murmur32. A collision is only relevant between two
+    * DIFFERENT texts under the SAME url with equal length and equal
+    * murmur — negligible, and its blast radius is one url's candidates.
+    */
+  private[kg] def textKey(text: String): Long =
+    (text.length.toLong << 32) |
+      (MurmurHash3.stringHash(text).toLong & 0xffffffffL)
+
   def factsSharded(spark: SparkSession, texts: Dataset[PageText],
                    dict: Dataset[AliasRow],
                    predicatePhrases: Seq[(String, String)],
@@ -201,6 +222,10 @@ object Extract {
     val aliasesLc = dict.map(r => asciiLower(r.alias)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = aliasesLc.count()
+    if (n == 0L) { // empty dictionary: no mentions, no triples — same as facts()
+      aliasesLc.unpersist()
+      return spark.emptyDataset[FactRow]
+    }
     // fill shards to ~4/5 of the cap so hash imbalance has headroom,
     // then VALIDATE the split (one tiny aggregation — ≤k counts) and
     // double k until every shard fits; escalation before any corpus
@@ -228,8 +253,9 @@ object Extract {
         val ac = acB.value
         it.flatMap { pt =>
           val lower = asciiLower(pt.text)
+          val tk = Extract.textKey(pt.text)
           ac.findBoundaryMatches(lower).iterator.map { case (s, e, idx) =>
-            MentionRow(pt.url, s, e, ac.patterns(idx))
+            ShardCand(pt.url, tk, s, e, ac.patterns(idx))
           }
         }
       }.write.mode("overwrite").parquet(s"$scratchDir/shard_$i")
@@ -238,14 +264,21 @@ object Extract {
     aliasesLc.unpersist()
     val cands = spark.read
       .parquet((0 until k).map(i => s"$scratchDir/shard_$i"): _*)
-      .as[MentionRow]
+      .as[ShardCand]
     val bPred = spark.sparkContext.broadcast(
       predicatePhrases.map { case (id, phrase) => asciiLower(phrase) -> id }.toMap)
     val sentRe = java.util.regex.Pattern.compile(sentenceSplit)
     // proto facts carry ALIASES in the entity slots (kind 0: a = alias;
-    // kind 1: a/obj = subj/obj alias); the joins below substitute ids
-    val proto = texts.groupByKey(_.url).cogroup(cands.groupByKey(_.url)) {
-      (url, txIt, cIt) =>
+    // kind 1: a/obj = subj/obj alias); the joins below substitute ids.
+    // Grouping key is (url, textKey): facts() scans each input ROW
+    // independently, so two rows sharing a url but carrying different
+    // texts must resolve against their OWN candidates (identical
+    // duplicates pool identical candidate sets, which tiling dedups —
+    // each duplicate row still emits its own facts, preserving
+    // multiplicity)
+    val proto = texts.groupByKey(pt => (pt.url, Extract.textKey(pt.text)))
+      .cogroup(cands.groupByKey(c => (c.url, c.tkey))) {
+      case ((url, _), txIt, cIt) =>
         val raw = cIt.map(c => (c.start, c.end, c.alias)).toIndexedSeq
         txIt.flatMap { pt =>
           val lower = asciiLower(pt.text)

@@ -35,13 +35,18 @@ import graft.snapshot.{BucketSpec, SnapshotTable}
   *    index over-approximating (extra reads), never missing edges.
   *  - that contract is ENFORCED, not just documented: the index keeps a
   *    `coverage.json` marker recording the highest edge-table version it
-  *    is guaranteed to cover. [[update]] advances it only when the chain
-  *    is contiguous (every prior edge version already covered), so an
-  *    edge commit that bypassed the index freezes the marker, and
-  *    [[Cleanup.run]] checks [[soundForDetach]] and falls back to the
-  *    full-scan sweep (loudly) instead of silently missing edges.
-  *    `rebuild` re-establishes coverage at the scanned version; delete-
-  *    only commits (Cleanup's own rewrites) advance it via
+  *    is guaranteed to cover, advanced in TWO phases — [[update]] (before
+  *    the edge commit) records the destination version as PENDING when
+  *    the chain is contiguous, and [[confirmCoverage]] (after the edge
+  *    commit, from the GraphMerge commit sites) promotes it to covered
+  *    iff the commit actually took that version. Pending is never
+  *    trusted by [[soundForDetach]]: after a crash its version number
+  *    could be taken by a later UN-indexed commit, which must read as
+  *    unsound. An edge commit that bypassed the index freezes the
+  *    marker, and [[Cleanup.run]] checks [[soundForDetach]] and falls
+  *    back to the full-scan sweep (loudly) instead of silently missing
+  *    edges. `rebuild` re-establishes coverage at the scanned version;
+  *    delete-only commits (Cleanup's own rewrites) advance it via
   *    [[coverDeleteCommit]] because removing edges cannot break a
   *    superset.
   *  - index rows are a pure set — no freshness tags; update is
@@ -58,15 +63,24 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * the index has been attached from the graph's first edge commit or
     * `rebuild` has run.
     */
-  def coveredEdgeVersion: Option[Long] = {
-    if (!Files.isRegularFile(coveragePath)) return None
+  def coveredEdgeVersion: Option[Long] =
+    readCoverage._1
+
+  /** (covered, pending) — pending is the version the NEXT indexed edge
+    * commit will take, recorded by [[update]] before that commit and
+    * promoted to covered by [[confirmCoverage]] after it.
+    */
+  private def readCoverage: (Option[Long], Option[Long]) = {
+    if (!Files.isRegularFile(coveragePath)) return (None, None)
     val root = EdgeEndpointIndex.mapper.readTree(Files.readString(coveragePath))
-    Option(root.get("covered_edge_version")).map(_.asLong())
+    (Option(root.get("covered_edge_version")).map(_.asLong()),
+      Option(root.get("pending_edge_version")).map(_.asLong()))
   }
 
-  private def writeCoverage(v: Long): Unit = {
+  private def writeCoverage(covered: Option[Long], pending: Option[Long]): Unit = {
     val root = EdgeEndpointIndex.mapper.createObjectNode()
-    root.put("covered_edge_version", v): Unit
+    covered.foreach(v => root.put("covered_edge_version", v): Unit)
+    pending.foreach(v => root.put("pending_edge_version", v): Unit)
     Files.createDirectories(coveragePath.getParent)
     val tmp = Files.createTempFile(coveragePath.getParent, ".coverage.", ".tmp")
     Files.writeString(tmp, EdgeEndpointIndex.mapper.writeValueAsString(root))
@@ -75,35 +89,50 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
   }
 
   /** True iff the index provably covers every committed edge version —
-    * the gate for index-backed DETACH. The marker may run one AHEAD of
-    * the edge table (update() writes before the edge commit; a crash
-    * between the two leaves a harmless over-approximation), hence >=.
+    * the gate for index-backed DETACH. Pending claims are deliberately
+    * NOT trusted: a pending marker only says "the next commit SHOULD be
+    * the one just indexed" — after a crash the version it names may be
+    * taken by an un-indexed commit, which is exactly the silent
+    * under-approximation this marker exists to prevent. The cost is a
+    * conservative window (crash between the edge commit and
+    * [[confirmCoverage]] reads as unsound until `rebuild`), never a
+    * missed DETACH.
     */
   def soundForDetach: Boolean =
     coveredEdgeVersion.exists(_ >= edges.latestVersion.getOrElse(0L))
 
-  /** Advance coverage for the edge commit `update` precedes: sound only
-    * when the chain is contiguous (all versions up to the current edge
-    * latest already covered). First attach is sound only on a graph with
-    * NO pre-existing edge commits — attaching mid-life requires
-    * `rebuild` to establish coverage.
+  /** Record that the batch just folded into the index is destined for
+    * edge version latest+1 — sound to note only when the chain is
+    * contiguous (everything up to the CURRENT latest already covered).
+    * Coverage itself advances in [[confirmCoverage]], AFTER the edge
+    * commit exists: claiming latest+1 here would mark a version covered
+    * that a crash could hand to a later un-indexed commit.
     */
-  private def advanceCoverage(): Unit = {
+  private def markPending(): Unit = {
     val ev = edges.latestVersion.getOrElse(0L)
-    coveredEdgeVersion match {
-      case Some(c) if c >= ev => writeCoverage(math.max(c, ev + 1))
-      case Some(_) => () // gap: an edge commit bypassed the index
-      case None if ev == 0L => writeCoverage(1L)
-      case None => () // attached to a pre-existing graph without rebuild
-    }
+    val (covered, _) = readCoverage
+    val contiguous = covered.exists(_ >= ev) || (covered.isEmpty && ev == 0L)
+    if (contiguous) writeCoverage(covered, Some(ev + 1))
+    // else: gap — an edge commit bypassed the index; only rebuild heals
+  }
+
+  /** Promote the pending claim to covered iff the edge table's latest
+    * version is exactly the one [[update]] indexed for. Called by the
+    * GraphMerge commit sites immediately after the edge commit.
+    */
+  def confirmCoverage(): Unit = {
+    val ev = edges.latestVersion.getOrElse(0L)
+    val (covered, pending) = readCoverage
+    if (pending.contains(ev)) writeCoverage(Some(ev), None)
+    else if (pending.exists(_ < ev)) writeCoverage(covered, None) // stale claim
   }
 
   /** Record a delete-only edge commit (version `v`): removing edges
     * preserves the superset property, so coverage advances across it
     * when the chain was contiguous up to the commit's predecessor.
     */
-  def coverDeleteCommit(v: Long): Unit = coveredEdgeVersion match {
-    case Some(c) if c >= v - 1 => writeCoverage(math.max(c, v))
+  def coverDeleteCommit(v: Long): Unit = readCoverage match {
+    case (Some(c), p) if c >= v - 1 => writeCoverage(Some(math.max(c, v)), p)
     case _ => ()
   }
 
@@ -130,7 +159,7 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
       if (!table.exists) {
         if (!fresh.isEmpty) {
           table.commit(fresh, updateTag)
-          advanceCoverage()
+          markPending()
         }
         return
       }
@@ -141,7 +170,7 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
         case None => fresh
       }
       table.commitPhysical(merged, updateTag, touched)
-      advanceCoverage()
+      markPending()
     } finally fresh.unpersist(): Unit
   }
 
@@ -172,7 +201,7 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     if (edges.exists) {
       table.commit(indexRows(edges.read()), updateTag)
       // a full rescan covers every committed version by construction
-      writeCoverage(edges.latestVersion.getOrElse(0L))
+      writeCoverage(Some(edges.latestVersion.getOrElse(0L)), None)
     }
 }
 

@@ -209,9 +209,11 @@ object GraphMerge {
         val n = if (collectStats) fresh.count() else -1L
         // index FIRST: a crash between the two commits must leave the
         // index over-approximating (harmless extra reads), never under-
-        // approximating (missed DETACHes) — its documented contract
+        // approximating (missed DETACHes) — its documented contract.
+        // Coverage is only CONFIRMED after the commit exists.
         edgeIndex.foreach(_.update(fresh, updateTag))
         edges.commit(fresh, updateTag)
+        edgeIndex.foreach(_.confirmCoverage())
         return n
       }
       // bucket-precise: only the physical partitions the batch hashes
@@ -226,6 +228,7 @@ object GraphMerge {
       val n = if (collectStats) fresh.count() else -1L
       edgeIndex.foreach(_.update(fresh, updateTag)) // before the edge commit (see above)
       edges.commitPhysical(merged, updateTag, touched)
+      edgeIndex.foreach(_.confirmCoverage())
       n
     } finally fresh.unpersist()
   }
@@ -406,6 +409,7 @@ object GraphMerge {
             // index first — crash safety must err toward over-approximation
             edgeIndex.foreach(_.update(e, updateTag))
             edges.commit(e, updateTag) // first commit: the batch IS the table
+            edgeIndex.foreach(_.confirmCoverage())
             n
           } else {
             val touchedE = edges.physicalValuesOf(e)
@@ -417,6 +421,7 @@ object GraphMerge {
             val n = if (collectStats) e.count() else -1L
             edgeIndex.foreach(_.update(e, updateTag)) // before the edge commit
             edges.commitPhysical(mergedE, updateTag, touchedE)
+            edgeIndex.foreach(_.confirmCoverage())
             n
           }
         } finally e.unpersist()

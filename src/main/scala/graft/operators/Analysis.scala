@@ -104,15 +104,21 @@ object Analysis {
                       globs: Seq[(String, String, String)]): DataFrame = {
     import spark.implicits._
     require(globs.nonEmpty, "policy mapping declares no globs")
+    // the output claims the name `policy_id`; an idCol of the same name
+    // would make the result ambiguous no matter how we alias internally
+    require(idCol != "policy_id",
+      "the resource id column may not be named 'policy_id' (output column clash)")
+    // internal helper columns use reserved names so a resource table
+    // with columns called policy_id/kind/pattern cannot collide
     val pats = globs
       .map { case (p, k, g) => (p, k, globToLike(g)) }
-      .toDF("policy_id", "kind", "pattern")
-    resources.join(broadcast(pats), expr(s"`$nameCol` LIKE pattern"))
-      .groupBy(col("policy_id"), col(idCol))
-      .agg(max(when(col("kind") === "allow", 1).otherwise(0)).as("a"),
-        max(when(col("kind") === "deny", 1).otherwise(0)).as("d"))
-      .filter(col("a") === 1 && col("d") === 0)
-      .select(col("policy_id"), col(idCol))
+      .toDF("__pol_id", "__pol_kind", "__pol_pattern")
+    resources.join(broadcast(pats), expr(s"`$nameCol` LIKE __pol_pattern"))
+      .groupBy(col("__pol_id"), col(idCol))
+      .agg(max(when(col("__pol_kind") === "allow", 1).otherwise(0)).as("__pol_a"),
+        max(when(col("__pol_kind") === "deny", 1).otherwise(0)).as("__pol_d"))
+      .filter(col("__pol_a") === 1 && col("__pol_d") === 0)
+      .select(col("__pol_id").as("policy_id"), col(idCol))
   }
 
   /** Load a policy mapping FILE — the user-editable

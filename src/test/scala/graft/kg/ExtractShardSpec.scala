@@ -71,6 +71,39 @@ class ExtractShardSpec extends SparkSpecBase {
     }
   }
 
+  test("duplicate urls resolve against their OWN text: different texts never pool candidates, identical rows keep multiplicity") {
+    val dict = Seq(AliasRow("w x", "e1"), AliasRow("x a", "e2"),
+      AliasRow("a b", "e3"), AliasRow("york", "e5"))
+    // u1 appears twice with DIFFERENT texts (a re-crawl in one batch):
+    // pooled candidates would tile text A against text B's spans.
+    // u2 appears twice IDENTICALLY: each row must still emit its facts.
+    val texts = Seq(
+      PageText("u1", "w x a b", "en"),
+      PageText("u1", "york x a then", "en"),
+      PageText("u2", "york and york", "en"),
+      PageText("u2", "york and york", "en")).toDS()
+    val preds = Seq("rel_meets" -> "meets")
+    val whole = Extract.facts(spark, texts, dict, preds).collect().toSeq
+    val scratch = Files.createTempDirectory("sharddup").toString
+    val sharded = Extract.factsSharded(spark, texts, dict.toDS(), preds,
+      scratch, maxAliasesPerShard = 2L).collect().toSeq
+    assert(multiset(sharded) === multiset(whole))
+    // and the single-automaton semantics themselves: row 1 of u1 keeps
+    // {w x, a b}; row 2 keeps {york, x a} — no cross-row suppression
+    val u1 = whole.filter(f => f.url == "u1" && f.kind == 0).map(_.a)
+    assert(u1.sorted === Seq("e1", "e2", "e3", "e5"))
+    // identical u2 rows each emit 2 york mentions -> 4 with multiplicity
+    assert(whole.count(f => f.url == "u2" && f.kind == 0) === 4)
+  }
+
+  test("empty dictionary: sharded path returns empty like facts(), no crash") {
+    val texts = Seq(PageText("u1", "anything at all", "en")).toDS()
+    val scratch = Files.createTempDirectory("shardempty").toString
+    val out = Extract.factsSharded(spark, texts,
+      Seq.empty[AliasRow].toDS(), Seq("r" -> "meets"), scratch, 5L)
+    assert(out.isEmpty)
+  }
+
   test("pipeline auto-shards an over-cap Dataset dictionary and emits identical triples") {
     val work = Files.createTempDirectory("kgshardpipe").toString
     // cap 300 < 1400 dictionary rows -> run() must take the sharded path

@@ -131,6 +131,37 @@ class EdgeIndexSpec extends SparkSpecBase {
     assert(ix.soundForDetach)
   }
 
+  test("a crashed indexed write cannot pre-claim a version a later un-indexed commit takes") {
+    val root = Files.createTempDirectory("ixf").toString
+    val (_, edges, Some(ix)) = buildGraph(root, withIndex = true): @unchecked
+    assert(ix.soundForDetach)
+    // CRASH SIMULATION: the index is updated for an edge commit that
+    // never happens (the writer died between the two non-atomic steps).
+    // The pending claim names version latest+1 — which the next,
+    // UN-indexed sync will take.
+    val doomed = Seq(("Ghost", "g1", "LINKED", "Customer", "c1"))
+      .toDF("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+      .withColumn("props", map().cast("map<string,string>"))
+      .withColumn("firstseen", lit(150L)).withColumn("lastupdated", lit(150L))
+    ix.update(doomed, 150L) // ... and no edge commit follows
+    assert(ix.soundForDetach, "a stale pending claim alone must not flip soundness")
+    val rogue = Seq(("Extra", "x1", "LINKED", "Customer", "c2"))
+      .toDF("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+      .withColumn("props", map().cast("map<string,string>"))
+      .withColumn("firstseen", lit(160L)).withColumn("lastupdated", lit(160L))
+    GraphMerge.upsertEdgeBatch(spark, rogue, 160L, edges,
+      collectStats = false, edgeIndex = None)
+    assert(!ix.soundForDetach,
+      "the un-indexed commit took the pre-claimed version — coverage must NOT count it")
+    // an indexed commit after the crash re-establishes nothing (the gap
+    // stands); only rebuild heals
+    GraphMerge.upsertEdgeBatch(spark, rogue, 170L, edges,
+      collectStats = false, edgeIndex = Some(ix))
+    assert(!ix.soundForDetach)
+    ix.rebuild(300L)
+    assert(ix.soundForDetach)
+  }
+
   test("attaching an index to a graph with pre-existing edge commits is unsound until rebuild") {
     val root = Files.createTempDirectory("ixe").toString
     // graph built WITHOUT the index
