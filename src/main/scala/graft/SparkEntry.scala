@@ -60,6 +60,7 @@ object SparkEntry {
     "qkg9_triangles" -> (KgOps.qkg9Triangles _),
     "qkg10_pagerank" -> (KgOps.qkg10PageRank _),
     "qkg11_pagerank_salted" -> (KgOps.qkg11PageRankSalted _),
+    "qkg12_components" -> (KgOps.qkg12Components _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "qtx6_chunks" -> (DataOps.qtx6Chunks _),
     "qtx7_redact" -> (DataOps.qtx7Redact _),
     "qtx8_bigram_support" -> (DataOps.qtx8BigramSupport _),
+    "qtx9_distinctive_terms" -> (DataOps.qtx9DistinctiveTerms _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qann1_topk" -> (DataOps.qann1TopK _),
@@ -483,6 +485,22 @@ object SparkEntry {
     // fold (head-in-degree-proof at 100 TB); the oracle replays the
     // identical fold tree, so the 800 ranks are again BIT-identical.
     "qkg11_pagerank_salted" -> KgOps.saltedPageRankOracle,
+    // qkg12: weakly-connected components of the canonical triple graph,
+    // oracle = recursive-CTE label propagation to the min entity id
+    // (the qdd3/qann5 pattern over the qkg10 edge set)
+    "qkg12_components" ->
+      s"""${KgOps.tripleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS u,
+         |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS v FROM cz),
+         |edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+         |          FROM range(800) t(k)),
+         |lbl(n, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT eg.v, lbl.l FROM lbl JOIN edges eg ON eg.u = lbl.n)
+         |SELECT n AS entity_id, MIN(l) AS component FROM lbl
+         |GROUP BY n ORDER BY entity_id""".stripMargin,
     // Dedup oracles rebuild the copy corpus and recompute pair ground
     // truth relationally (integer Jaccard threshold — no floating point).
     "qdd1_exact_dedup" ->
@@ -605,6 +623,22 @@ object SparkEntry {
         |   / CAST(COUNT(*) AS DOUBLE) AS support_ratio
         |FROM b JOIN df_ USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // qtx9: top-3 distinctive terms per doc by the INTEGER-EXACT score
+    // tf * 10^6 // df (integral division — the log-free tf·idf ranking);
+    // ties break by term, so the top-3 set is engine-independent
+    "qtx9_distinctive_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |      WHERE length(term) > 0 GROUP BY 1, 2),
+        |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+        |s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |        t.tf * CAST(1000000 AS BIGINT) // d.df AS score
+        |      FROM t JOIN d USING (term)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, term""".stripMargin,
     // 0x40000000 / 2^32 = 0.25: lexicographic hex compare, engine-portable
     "qsp1_hash_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -95,6 +95,12 @@ object DataOps {
   def qtx8BigramSupport(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.bigramSupport(TextStats.docs(spark, sfDir))
 
+  /** Top-3 distinctive terms per document by the integer-exact
+    * tf·(10⁶ div df) score — log-free TF-IDF ranking, value-checkable.
+    */
+  def qtx9DistinctiveTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.distinctiveTerms(TextStats.docs(spark, sfDir))
+
   /** Deterministic Bernoulli sample (rate 0.25) by content hash — the
     * reproducible training-data subsampling primitive.
     */

@@ -235,6 +235,25 @@ object KgOps {
       .orderBy("entity_id")
   }
 
+  /** Weakly-connected components of the canonical triple graph — the
+    * third whole-graph analytics family member (communities of entities
+    * joined by ANY predicate edge). Runs the same driver-free
+    * large-star/small-star CC as canonicalization
+    * ([[graft.link.ConnectedComponents]]), over edges instead of alias
+    * blocks; value-checked against a recursive-CTE label-propagation
+    * oracle. Component label = min entity id (fixed-width ids make
+    * string min == numeric min in both engines).
+    */
+  def qkg12Components(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj").as("u"), col("obj").as("v"))
+      .distinct()
+    val nodes = res.canonical.select(col("canonical_id").as("id")).distinct()
+    graft.link.ConnectedComponents.run(spark, edges, nodes)
+      .select(col("id").as("entity_id"), col("canonical_id").as("component"))
+      .orderBy("entity_id")
+  }
+
   /** DuckDB oracle for qkg11: the qkg10 unrolled 3-iteration PageRank
     * with each iteration's summation replaced by the same two-level
     * salted fold the Spark operator uses (salt = numeric id suffix % 8;

@@ -174,6 +174,37 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF-style distinctive-term extraction: the top-`k` terms per
+    * document by an INTEGER-EXACT score, `tf * 10^6 div df` (integral
+    * division). For a fixed corpus size N this ranks identically to
+    * classic tf·idf = tf·log(N/df) wherever the ranking is decided by
+    * tf/df — and unlike the log spelling it is bit-reproducible across
+    * engines, so the driver can value-hash it (the same reasoning as
+    * [[bigramSupport]]'s integer support counts). Ties break by term.
+    *
+    * Two-pass corpus statistic: per-(doc, term) counts (one shuffle),
+    * term document-frequency over that output (second, much smaller
+    * shuffle), join back, per-doc top-k window. The window partitions by
+    * doc_id — per-reducer state is one document's vocabulary, never the
+    * corpus's.
+    */
+  def distinctiveTerms(d: DataFrame, k: Int = 3): DataFrame = {
+    val toks = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are (doc, term)-unique, so a plain count IS document freq
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", expr("tf * CAST(1000000 AS BIGINT) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "term")
+  }
+
   /** 61-bit Rabin–Karp rolling polynomial hash over the char stream —
     * the streaming fingerprint used at scale (content-defined chunking
     * base). Pure Scala, deterministic.

@@ -8,6 +8,25 @@ import graft.SparkSpecBase
   * behavior, and masking semantics (order, idempotence, boundaries).
   */
 class ChunkRedactSpec extends SparkSpecBase {
+
+  test("distinctiveTerms: integer-exact top-k by tf*(10^6 div df), ties by term") {
+    import spark.implicits._
+    // df: "rare"->1, "shared"->2, "common"->3; doc 1 has tf(rare)=2
+    val docs = Seq(
+      (1L, "rare rare shared common"),
+      (2L, "shared common x y"),
+      (3L, "common z")).toDF("doc_id", "text")
+    val got = graft.text.TextStats.distinctiveTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc1: rare tf=2 df=1 -> 2_000_000; shared tf=1 df=2 -> 500_000
+    // doc2: x/y tf=1 df=1 -> 1_000_000 each (tie -> both, term order)
+    // doc3: z 1_000_000; common tf=1 df=3 -> 333_333 (integral division)
+    assert(got === Set(
+      (1L, "rare", 2L, 1L, 2000000L), (1L, "shared", 1L, 2L, 500000L),
+      (2L, "x", 1L, 1L, 1000000L), (2L, "y", 1L, 1L, 1000000L),
+      (3L, "z", 1L, 1L, 1000000L), (3L, "common", 1L, 3L, 333333L)))
+  }
   import spark.implicits._
 
   test("chunking covers every token; stride/overlap arithmetic holds; short docs yield one chunk") {
