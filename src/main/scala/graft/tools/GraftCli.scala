@@ -343,8 +343,13 @@ object GraftCli {
       .write.mode("overwrite").parquet(s"$outDir/pagerank")
     graft.graph.Analytics.triangleCounts(e)
       .write.mode("overwrite").parquet(s"$outDir/triangles")
+    graft.link.ConnectedComponents.run(spark,
+        e.select(col("src").as("u"), col("dst").as("v")).distinct(), nodes)
+      .select(col("id"), col("canonical_id").as("component"))
+      .write.mode("overwrite").parquet(s"$outDir/components")
     System.err.println(s"[analytics] wrote $outDir/pagerank ($iters " +
-      s"iterations, damping $damping) and $outDir/triangles")
+      s"iterations, damping $damping), $outDir/triangles and " +
+      s"$outDir/components")
   }
 
   private def graphViews(spark: SparkSession, workDir: String): Unit = {

@@ -243,6 +243,13 @@ class CliSpec extends SparkSpecBase {
     val wantTri = graft.graph.Analytics.triangleCounts(e)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotTri === wantTri)
+
+    val gotCc = spark.read.parquet(s"$out/components")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val wantCc = graft.link.ConnectedComponents.run(spark,
+        e.select(col("src").as("u"), col("dst").as("v")).distinct(), nodes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotCc === wantCc)
   }
 
   test("cli: permissions — mapping-file evaluation writes allowed pairs; bad mapping fails before the scan") {
