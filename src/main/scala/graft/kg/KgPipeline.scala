@@ -30,19 +30,18 @@ import graft.snapshot.SnapshotTable
   * per graph partition. Mention links against a Zipf-headed entity space
   * aggregate per (url, entity) BEFORE any wider join, which is the
   * map-side-combine-style defusal of head-entity skew.
-  */
-/** `graphRoot` decouples the GRAPH tables from the stage/lineage work
-  * dir: multi-tenant orchestration gives each tenant its own stage dir
-  * (independent checkpoint/resume per tenant) while every tenant merges
-  * into ONE shared graph — the reference's per-account sync loop over a
-  * single Neo4j instance (`_sync_multiple_accounts`).
-  */
-/** `maintainEdgeIndex` attaches the reverse endpoint index
-  * ([[graft.merge.EdgeEndpointIndex]]) to every edge commit this
-  * pipeline makes, which is what keeps index-backed DETACH sound — the
-  * index must see every commit from the graph's FIRST edge write (or a
-  * `rebuild` must run). Built on the same graph dir + bucket count as
-  * the edge table so bucket arithmetic can never drift.
+  *
+  * @param graphRoot decouples the GRAPH tables from the stage/lineage
+  *   work dir: multi-tenant orchestration gives each tenant its own
+  *   stage dir (independent checkpoint/resume per tenant) while every
+  *   tenant merges into ONE shared graph — the reference's per-account
+  *   sync loop over a single Neo4j instance (`_sync_multiple_accounts`).
+  * @param maintainEdgeIndex attaches the reverse endpoint index
+  *   ([[graft.merge.EdgeEndpointIndex]]) to every edge commit this
+  *   pipeline makes, which is what keeps index-backed DETACH sound — the
+  *   index must see every commit from the graph's FIRST edge write (or a
+  *   `rebuild` must run). Built on the same graph dir + bucket count as
+  *   the edge table so bucket arithmetic can never drift.
   */
 final class KgPipeline(spark: SparkSession, workRoot: String,
                        graphBuckets: Int = GraphTables.DefaultBuckets,

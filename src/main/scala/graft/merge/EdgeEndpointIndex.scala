@@ -77,10 +77,35 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
       Option(root.get("pending_edge_version")).map(_.asLong()))
   }
 
+  private def myBuckets: Int = edges.bucket.map(_.n).getOrElse(0)
+
+  /** Bucket count recorded in coverage.json — BucketSpec is caller-
+    * supplied and never persisted by SnapshotTable, so the index records
+    * the count its pv arithmetic used; a later open with a different
+    * count (a mistyped `index-rebuild --graph-buckets`) would compute
+    * partition names that don't match the files on disk, and an
+    * index-backed DETACH would silently read nothing.
+    */
+  private def recordedBuckets: Option[Int] = {
+    if (!Files.isRegularFile(coveragePath)) return None
+    val root = EdgeEndpointIndex.mapper.readTree(Files.readString(coveragePath))
+    Option(root.get("graph_buckets")).map(_.asInt())
+  }
+
+  private def requireBucketsMatch(): Unit =
+    recordedBuckets.foreach { r =>
+      require(r == myBuckets,
+        s"edge index at ${table.root} was built with $r graph buckets " +
+          s"but this instance uses $myBuckets — pass the graph's true " +
+          "--graph-buckets (a mis-bucketed index computes partition " +
+          "names that do not exist and DETACH would silently miss edges)")
+    }
+
   private def writeCoverage(covered: Option[Long], pending: Option[Long]): Unit = {
     val root = EdgeEndpointIndex.mapper.createObjectNode()
     covered.foreach(v => root.put("covered_edge_version", v): Unit)
     pending.foreach(v => root.put("pending_edge_version", v): Unit)
+    root.put("graph_buckets", myBuckets): Unit
     Files.createDirectories(coveragePath.getParent)
     val tmp = Files.createTempFile(coveragePath.getParent, ".coverage.", ".tmp")
     Files.writeString(tmp, EdgeEndpointIndex.mapper.writeValueAsString(root))
@@ -99,7 +124,8 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * missed DETACH.
     */
   def soundForDetach: Boolean =
-    coveredEdgeVersion.exists(_ >= edges.latestVersion.getOrElse(0L))
+    recordedBuckets.forall(_ == myBuckets) &&
+      coveredEdgeVersion.exists(_ >= edges.latestVersion.getOrElse(0L))
 
   /** Record that the batch just folded into the index is destined for
     * edge version latest+1 — sound to note only when the chain is
@@ -154,6 +180,7 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * hash into are read and rewritten).
     */
   def update(edgeBatch: DataFrame, updateTag: Long): Unit = {
+    requireBucketsMatch()
     val fresh = indexRows(edgeBatch).persist()
     try {
       if (!table.exists) {
@@ -196,12 +223,40 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
   /** Recompute the index from the current edge state — compaction for
     * superset drift after many cleanups, or adoption on a graph that
     * predates the index. One full edge scan, by design.
+    *
+    * A rebuild is where a WRONG bucket count would first take hold
+    * (adoption has no recorded count yet), so the claimed layout is
+    * validated against the disk BOTH ways before anything commits:
+    * every on-disk bucket index must be < n (catches claiming fewer
+    * buckets than the graph has), and every RECOMPUTED edge_pv must name
+    * an on-disk partition (catches claiming more — rows would hash to
+    * partition names that don't exist).
     */
   def rebuild(updateTag: Long): Unit =
     if (edges.exists) {
-      table.commit(indexRows(edges.read()), updateTag)
-      // a full rescan covers every committed version by construction
-      writeCoverage(Some(edges.latestVersion.getOrElse(0L)), None)
+      requireBucketsMatch()
+      val rows = indexRows(edges.read()).persist()
+      try {
+        val onDisk = edges.partitionsOf(edges.latestVersion.get).keySet
+        def idxOf(pv: String): Option[Int] = {
+          val i = pv.lastIndexOf("~b")
+          if (i < 0) None else pv.substring(i + 2).toIntOption
+        }
+        val overIndex = onDisk.flatMap(idxOf).filter(_ >= myBuckets)
+        require(overIndex.isEmpty,
+          s"edge layout has bucket indices ${overIndex.toSeq.sorted.take(3).mkString(",")}… " +
+            s"but this index claims only $myBuckets buckets — pass the " +
+            "graph's true --graph-buckets")
+        val ghosts = rows.select(col("edge_pv")).distinct()
+          .collect().map(_.getString(0)).filterNot(onDisk)
+        require(ghosts.isEmpty,
+          s"recomputed edge partitions ${ghosts.sorted.take(3).mkString(",")}… " +
+            s"do not exist on disk — the claimed $myBuckets graph buckets " +
+            "disagree with the edge layout; pass the true --graph-buckets")
+        table.commit(rows, updateTag)
+        // a full rescan covers every committed version by construction
+        writeCoverage(Some(edges.latestVersion.getOrElse(0L)), None)
+      } finally rows.unpersist(): Unit
     }
 }
 

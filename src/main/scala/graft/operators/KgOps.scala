@@ -237,12 +237,14 @@ object KgOps {
 
   /** Weakly-connected components of the canonical triple graph — the
     * third whole-graph analytics family member (communities of entities
-    * joined by ANY predicate edge). Runs the same driver-free
-    * large-star/small-star CC as canonicalization
-    * ([[graft.link.ConnectedComponents]]), over edges instead of alias
-    * blocks; value-checked against a recursive-CTE label-propagation
-    * oracle. Component label = min entity id (fixed-width ids make
-    * string min == numeric min in both engines).
+    * joined by ANY predicate edge). Routes through
+    * [[graft.link.ConnectedComponents.run]]'s size-dispatched entry —
+    * driver union-find below the edge bound (which this fixture-scale
+    * graph takes), the distributed large-star/small-star loop above it;
+    * the two paths are pinned equal by KgSpec. Value-checked against a
+    * recursive-CTE label-propagation oracle. Component label = min
+    * entity id (fixed-width ids make string min == numeric min in both
+    * engines).
     */
   def qkg12Components(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, res) = pipelineFor(spark, sfDir)

@@ -180,6 +180,9 @@ object GraftCli {
     val buckets = flags.getOrElse("graph-buckets",
       GraphTables.DefaultBuckets.toString).toInt
     val tag = req(flags, "update-tag").toLong
+    // a typo'd --work-dir must fail, not read as a successful repair
+    require(GraphTables.edges(spark, s"$workDir/graph", buckets).exists,
+      s"no edge table under $workDir/graph — check --work-dir\n$usage")
     val idx = graft.merge.EdgeEndpointIndex(spark, s"$workDir/graph", buckets)
     idx.rebuild(tag)
     System.err.println(s"[index-rebuild] covered edge version: " +
@@ -336,17 +339,24 @@ object GraftCli {
         all.filter(col("rel_label").isin(ls.split(',').toSeq: _*))
       case None => all
     }
+    // three whole-graph operators share the projected edge set and the
+    // endpoint distinct — cache both once instead of re-scanning the
+    // edge table per operator (the same shared-input caching Analytics
+    // applies internally per operator)
     val e = selected.select(col("src_id").as("src"), col("dst_id").as("dst"))
+      .persist()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    graft.graph.Analytics.pageRank(e, nodes, iters, damping)
-      .write.mode("overwrite").parquet(s"$outDir/pagerank")
-    graft.graph.Analytics.triangleCounts(e)
-      .write.mode("overwrite").parquet(s"$outDir/triangles")
-    graft.link.ConnectedComponents.run(spark,
-        e.select(col("src").as("u"), col("dst").as("v")).distinct(), nodes)
-      .select(col("id"), col("canonical_id").as("component"))
-      .write.mode("overwrite").parquet(s"$outDir/components")
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    try {
+      graft.graph.Analytics.pageRank(e, nodes, iters, damping)
+        .write.mode("overwrite").parquet(s"$outDir/pagerank")
+      graft.graph.Analytics.triangleCounts(e)
+        .write.mode("overwrite").parquet(s"$outDir/triangles")
+      graft.link.ConnectedComponents.run(spark,
+          e.select(col("src").as("u"), col("dst").as("v")).distinct(), nodes)
+        .select(col("id"), col("canonical_id").as("component"))
+        .write.mode("overwrite").parquet(s"$outDir/components")
+    } finally { e.unpersist(); nodes.unpersist(): Unit }
     System.err.println(s"[analytics] wrote $outDir/pagerank ($iters " +
       s"iterations, damping $damping), $outDir/triangles and " +
       s"$outDir/components")

@@ -131,6 +131,29 @@ class EdgeIndexSpec extends SparkSpecBase {
     assert(ix.soundForDetach)
   }
 
+  test("a mis-bucketed index is rejected: rebuild fails fast both directions, recorded count gates soundness") {
+    val root = Files.createTempDirectory("ixg").toString
+    val (_, _, _) = buildGraph(root, withIndex = false) // layout: 64 buckets
+    // claiming FEWER buckets than the layout: on-disk indices >= 8 exist
+    val tooFew = EdgeEndpointIndex(spark, root, 8)
+    val e1 = intercept[IllegalArgumentException](tooFew.rebuild(200L))
+    assert(e1.getMessage.contains("graph-buckets"), e1.getMessage)
+    // claiming MORE: recomputed pvs name partitions that don't exist
+    val tooMany = EdgeEndpointIndex(spark, root, 256)
+    val e2 = intercept[IllegalArgumentException](tooMany.rebuild(200L))
+    assert(e2.getMessage.contains("graph-buckets"), e2.getMessage)
+    // the true count rebuilds, records itself, and a later open with a
+    // different count reads unsound and cannot mutate
+    val right = EdgeEndpointIndex(spark, root, buckets)
+    right.rebuild(200L)
+    assert(right.soundForDetach)
+    val wrong = EdgeEndpointIndex(spark, root, 8)
+    assert(!wrong.soundForDetach,
+      "a bucket-count mismatch must read as unsound, never silently miss")
+    intercept[IllegalArgumentException](wrong.rebuild(300L))
+    assert(right.soundForDetach, "the correctly-bucketed index is untouched")
+  }
+
   test("a crashed indexed write cannot pre-claim a version a later un-indexed commit takes") {
     val root = Files.createTempDirectory("ixf").toString
     val (_, edges, Some(ix)) = buildGraph(root, withIndex = true): @unchecked
