@@ -156,10 +156,17 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
   /** Record a delete-only edge commit (version `v`): removing edges
     * preserves the superset property, so coverage advances across it
     * when the chain was contiguous up to the commit's predecessor.
+    * A bucket-count-mismatched instance (Cleanup's full-scan fallback
+    * still calls this) must not touch the marker — rewriting
+    * graph_buckets with the wrong count would corrupt the record the
+    * correctly-bucketed owner relies on.
     */
-  def coverDeleteCommit(v: Long): Unit = readCoverage match {
-    case (Some(c), p) if c >= v - 1 => writeCoverage(Some(math.max(c, v)), p)
-    case _ => ()
+  def coverDeleteCommit(v: Long): Unit = {
+    if (recordedBuckets.exists(_ != myBuckets)) return
+    readCoverage match {
+      case (Some(c), p) if c >= v - 1 => writeCoverage(Some(math.max(c, v)), p)
+      case _ => ()
+    }
   }
 
   /** Distinct (endpoint_label, endpoint_id, edge_pv) rows for a batch of
