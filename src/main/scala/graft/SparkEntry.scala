@@ -61,6 +61,7 @@ object SparkEntry {
     "qkg10_pagerank" -> (KgOps.qkg10PageRank _),
     "qkg11_pagerank_salted" -> (KgOps.qkg11PageRankSalted _),
     "qkg12_components" -> (KgOps.qkg12Components _),
+    "qkg13_ppr" -> (KgOps.qkg13Ppr _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
@@ -485,6 +486,9 @@ object SparkEntry {
     // fold (head-in-degree-proof at 100 TB); the oracle replays the
     // identical fold tree, so the 800 ranks are again BIT-identical.
     "qkg11_pagerank_salted" -> KgOps.saltedPageRankOracle,
+    // qkg13: personalized PageRank (teleport restricted to the 16 seed
+    // entities); fold tree identical to qkg10's, so bit-identical ranks
+    "qkg13_ppr" -> KgOps.pprOracle,
     // qkg12: weakly-connected components of the canonical triple graph,
     // oracle = recursive-CTE label propagation to the min entity id
     // (the qdd3/qann5 pattern over the qkg10 edge set)

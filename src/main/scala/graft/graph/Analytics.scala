@@ -163,6 +163,72 @@ object Analytics {
           lit(0.0), (acc, x) => acc + x.getField("p")).as("s"))
     }
 
+  /** Personalized PageRank: random walks TELEPORT back to the seed set
+    * instead of the whole graph, so ranks measure relevance *to the
+    * seeds* (the "related entities" primitive a KG serves for
+    * recommendation/expansion queries):
+    *
+    *   rank_0(v) = 1/|S| if v ∈ S else 0
+    *   rank_i(v) = (1-d)·[v ∈ S]/|S| + d · Σ_{u→v} rank_{i-1}(u)/outdeg(u)
+    *
+    * Same deterministic contributor-ordered fold as [[pageRank]]
+    * (bit-identical across partitionings/engines — qkg13 value-hashes
+    * every rank against a DuckDB oracle replaying the fold); dangling
+    * nodes leak mass as in the fixed-iteration simplification. Seeds not
+    * present in `nodes` are ignored. Scale shape identical to
+    * [[pageRank]]: the rank table is node-space-sized, one join + one
+    * aggregation per iteration.
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+                           seeds: DataFrame, iterations: Int,
+                           damping: Double): DataFrame = {
+    require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
+    val e = edges.toDF("src", "dst").distinct().persist()
+    val ids = nodes.toDF("id").persist()
+    val seedIds = seeds.toDF("id").distinct()
+      .join(ids, Seq("id"), "left_semi").persist()
+    var outdeg: DataFrame = null
+    try {
+      val s = seedIds.count()
+      require(s > 0, "personalizedPageRank needs at least one seed in the node set")
+      outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      val seedFlag = seedIds.withColumn("_seed", lit(true))
+      def withBase(summed: Option[DataFrame]): DataFrame = {
+        val baseRank = when(col("_seed").isNotNull && col("_seed"),
+          lit((1.0 - damping) / s)).otherwise(lit(0.0))
+        val joined = ids.join(seedFlag, Seq("id"), "left")
+        summed match {
+          case None => // rank_0: all mass on the seeds
+            joined.select(col("id"),
+              when(col("_seed").isNotNull && col("_seed"), lit(1.0 / s))
+                .otherwise(lit(0.0)).as("rank"))
+          case Some(sm) =>
+            joined.join(sm, Seq("id"), "left")
+              .select(col("id"),
+                (baseRank + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        }
+      }
+      var ranks = withBase(None)
+      var i = 0
+      while (i < iterations) {
+        val contribs = e
+          .join(ranks.select(col("id").as("src"), col("rank")), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("id"), col("src").as("u"),
+            (col("rank") / col("outdeg")).as("c"))
+        val summed = contribs.groupBy("id")
+          .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("s"))
+        ranks = withBase(Some(summed))
+        i += 1
+      }
+      // eager localCheckpoint — see pageRankCore
+      ranks.localCheckpoint(true)
+    } finally {
+      e.unpersist(); ids.unpersist(); seedIds.unpersist()
+      if (outdeg != null) outdeg.unpersist(): Unit
+    }
+  }
+
   /** Left-to-right fold of a struct array's LAST field in array-sort
     * order — the deterministic summation both PageRank variants build on.
     */

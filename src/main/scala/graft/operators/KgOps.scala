@@ -256,6 +256,59 @@ object KgOps {
       .orderBy("entity_id")
   }
 
+  /** Personalized PageRank seeded on every 50th canonical entity (16
+    * seeds of 800): the "entities related to THESE" primitive. Same
+    * bit-reproducible contributor-ordered fold as qkg10/qkg11; the
+    * oracle replays it with the seed-restricted teleport, so every rank
+    * (including the exact 0.0 of seed-unreachable nodes) hash-matches.
+    */
+  def qkg13Ppr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    val seeds = nodes.filter(
+      pmod(substring(col("canonical_id"), 2, 10).cast("int"), lit(50)) === 0)
+    graft.graph.Analytics.personalizedPageRank(edges, nodes, seeds,
+      iterations = 3, damping = 0.85)
+      .select(col("id").as("entity_id"), col("rank"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg13: the qkg10 unrolled shape with rank_0 and
+    * the per-iteration base restricted to the 16 seeds; fold tree
+    * identical, so all 800 doubles are bit-identical (zero-rank
+    * contributors add exact 0.0 on both sides).
+    */
+  def pprOracle: String = {
+    val base = "CASE WHEN sd.id IS NOT NULL THEN " +
+      "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/16 ELSE CAST(0 AS DOUBLE) END"
+    val iters = (1 to 3).map { k =>
+      s"""s$k AS (SELECT e.dst AS id,
+         |    list_reduce(list_transform(list_sort(
+         |      list({'u': e.src, 'c': r.rank/od.outdeg})), x -> x.c),
+         |      (a, b) -> a + b) AS s
+         |  FROM e JOIN r${k - 1} r ON r.id = e.src JOIN od ON od.src = e.src
+         |  GROUP BY 1),
+         |r$k AS (SELECT n.id, $base
+         |    + CAST(0.85 AS DOUBLE) * COALESCE(s$k.s, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id
+         |  LEFT JOIN s$k ON s$k.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$tripleCte,
+       |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+       |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k)),
+       |seeds AS (SELECT id FROM nodes WHERE CAST(substr(id, 2) AS INT) % 50 = 0),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT n.id,
+       |    CASE WHEN sd.id IS NOT NULL THEN CAST(1 AS DOUBLE)/16
+       |         ELSE CAST(0 AS DOUBLE) END AS rank
+       |  FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id),
+       |$iters
+       |SELECT id AS entity_id, rank FROM r3 ORDER BY entity_id""".stripMargin
+  }
+
   /** DuckDB oracle for qkg11: the qkg10 unrolled 3-iteration PageRank
     * with each iteration's summation replaced by the same two-level
     * salted fold the Spark operator uses (salt = numeric id suffix % 8;

@@ -131,6 +131,54 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  /** Local reference personalized PageRank — seed-restricted teleport,
+    * same sorted-fold summation.
+    */
+  private def refPpr(edges: Seq[(String, String)], nodes: Seq[String],
+                     seeds: Set[String], iters: Int, d: Double): Map[String, Double] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val s = nodes.count(seeds)
+    var r = nodes.map(v => v -> (if (seeds(v)) 1.0 / s else 0.0)).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2)
+      r = nodes.map { v =>
+        val sum = in.getOrElse(v, Nil).map(_._1).sorted
+          .foldLeft(0.0)((acc, u) => acc + r(u) / out(u))
+        v -> ((if (seeds(v)) (1.0 - d) / s else 0.0) + d * sum)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: random seeded graphs match the reference bit-for-bit (10 cases)") {
+    val rnd = new scala.util.Random(11)
+    (0 until 10).foreach { k =>
+      val n = 4 + rnd.nextInt(9)
+      val ids = (0 until n).map(i => s"v%02d".format(i))
+      val edges = (for {
+        a <- ids; b <- ids
+        if a != b && rnd.nextDouble() < 0.3
+      } yield (a, b)).toVector
+      val seeds0 = ids.filter(_ => rnd.nextDouble() < 0.4).toSet
+      val seeds = if (seeds0.isEmpty) Set(ids.head) else seeds0
+      val iters = 1 + rnd.nextInt(4)
+      val got = Analytics.personalizedPageRank(edges.toDF("src", "dst"),
+        ids.toDF("id"), seeds.toSeq.toDF("id"), iters, 0.85)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = refPpr(edges, ids, seeds, iters, 0.85)
+      ids.foreach { v =>
+        assert(java.lang.Double.doubleToLongBits(got(v)) ===
+          java.lang.Double.doubleToLongBits(want(v)),
+          s"case $k node $v (n=$n, seeds=${seeds.size}, iters=$iters)")
+      }
+      // teleport is seed-restricted: an unreachable non-seed has rank 0
+      val unreachable = ids.filterNot(seeds)
+        .filterNot(v => edges.exists(_._2 == v))
+      unreachable.foreach(v => assert(got(v) === 0.0, s"case $k: $v"))
+    }
+  }
+
   /** Local reference for the TWO-LEVEL salted fold: per receiver, fold
     * each salt bucket's contributors in id order, then fold the bucket
     * partials in bucket order — both with 0.0 init, like the operator.
