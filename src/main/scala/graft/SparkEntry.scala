@@ -78,6 +78,7 @@ object SparkEntry {
     "qtx7_redact" -> (DataOps.qtx7Redact _),
     "qtx8_bigram_support" -> (DataOps.qtx8BigramSupport _),
     "qtx9_distinctive_terms" -> (DataOps.qtx9DistinctiveTerms _),
+    "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qann1_topk" -> (DataOps.qann1TopK _),
@@ -643,6 +644,31 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin,
+    // qtx10: the oracle recomputes both the planted messy URL and the
+    // EXPECTED canonical form from doc_id arithmetic — the normalizer's
+    // rules (fragment/case/port/utm/root-slash) are proved, not mirrored
+    "qtx10_url_canon" ->
+      """WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+        |m AS (SELECT d,
+        |  CASE WHEN d % 2 = 0 THEN 'HTTP' ELSE 'https' END AS scheme_m,
+        |  'ExAmple' || CAST(d % 100 AS VARCHAR) || '.CoM' AS host_m,
+        |  CASE WHEN d % 3 = 0 THEN (CASE WHEN d % 2 = 0 THEN ':80' ELSE ':443' END)
+        |       WHEN d % 3 = 1 THEN ':8080' ELSE '' END AS port_m,
+        |  CASE WHEN d % 7 = 0 THEN '' WHEN d % 7 = 1 THEN '/'
+        |       ELSE '/P' || CAST(d AS VARCHAR) END AS path_m,
+        |  CASE WHEN d % 4 = 0 THEN '?utm_source=x&id=' || CAST(d AS VARCHAR)
+        |       WHEN d % 4 = 1 THEN '?utm_a=1&utm_b=2'
+        |       WHEN d % 4 = 2 THEN '?id=' || CAST(d AS VARCHAR) ELSE '' END AS query_m,
+        |  CASE WHEN d % 5 = 0 THEN '#Frag' ELSE '' END AS frag_m
+        | FROM d0)
+        |SELECT d AS doc_id,
+        |  scheme_m || '://' || host_m || port_m || path_m || query_m || frag_m AS raw_url,
+        |  lower(scheme_m) || '://example' || CAST(d % 100 AS VARCHAR) || '.com'
+        |    || (CASE WHEN d % 3 = 1 THEN ':8080' ELSE '' END)
+        |    || (CASE WHEN d % 7 IN (0, 1) THEN '' ELSE '/P' || CAST(d AS VARCHAR) END)
+        |    || (CASE WHEN d % 4 IN (0, 2) THEN '?id=' || CAST(d AS VARCHAR) ELSE '' END)
+        |  AS url
+        |FROM m ORDER BY doc_id""".stripMargin,
     // 0x40000000 / 2^32 = 0.25: lexicographic hex compare, engine-portable
     "qsp1_hash_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -101,6 +101,33 @@ object DataOps {
   def qtx9DistinctiveTerms(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.distinctiveTerms(TextStats.docs(spark, sfDir))
 
+  /** URL canonicalization over planted messy URLs (case/port/utm/
+    * fragment/root-slash variants by doc_id arithmetic); the oracle
+    * recomputes the EXPECTED canonical form from the same arithmetic —
+    * it never re-implements the normalizer, so the value check proves
+    * [[TextStats.canonicalizeUrl]]'s rules, not SQL parity.
+    */
+  def qtx10UrlCanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val scheme = when(d % 2 === 0, "HTTP").otherwise("https")
+    val host = concat(lit("ExAmple"), (d % 100).cast("string"), lit(".CoM"))
+    val port = when(d % 3 === 0, when(d % 2 === 0, ":80").otherwise(":443"))
+      .when(d % 3 === 1, ":8080").otherwise("")
+    val path = when(d % 7 === 0, "").when(d % 7 === 1, "/")
+      .otherwise(concat(lit("/P"), ds))
+    val query = when(d % 4 === 0, concat(lit("?utm_source=x&id="), ds))
+      .when(d % 4 === 1, "?utm_a=1&utm_b=2")
+      .when(d % 4 === 2, concat(lit("?id="), ds))
+      .otherwise("")
+    val frag = when(d % 5 === 0, "#Frag").otherwise("")
+    val raw = concat(scheme, lit("://"), host, port, path, query, frag)
+    TextStats.docs(spark, sfDir)
+      .select(col("doc_id"), raw.as("raw_url"),
+        TextStats.canonicalizeUrl(raw).as("url"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic Bernoulli sample (rate 0.25) by content hash — the
     * reproducible training-data subsampling primitive.
     */

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: token
@@ -203,6 +203,44 @@ object TextStats {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "term")
+  }
+
+  /** URL canonicalization — the web-corpus dedup primitive (a crawl
+    * sees the same page under fragment/tracking-param/case/port
+    * variants; URL-level dedup needs ONE canonical spelling before any
+    * content hash). Rules, in order:
+    *
+    *  1. strip the `#fragment`;
+    *  2. lowercase scheme + authority (host:port) — the path and query
+    *     stay case-SENSITIVE, per RFC 3986 §6.2.2.1;
+    *  3. drop scheme-default ports (`http…:80`, `https…:443`);
+    *  4. drop `utm_*` tracking params (exact split/filter/rejoin over
+    *     `&`, not regex passes — adjacent params need no fixpoint), and
+    *     the `?` itself when nothing survives;
+    *  5. drop a bare root-path trailing slash (`host/` → `host`,
+    *     `host/?q` → `host?q`); deeper trailing slashes are meaningful
+    *     and kept.
+    *
+    * Pure codegen column expression (regex + string HOFs, no UDF); a
+    * schemeless input passes through unchanged. qtx10 value-checks it
+    * against planted expectations recomputed from doc_id arithmetic —
+    * the oracle never re-implements the normalizer.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val f = regexp_replace(u, "#.*", "")
+    val prefix = regexp_extract(f, "^([^/]*://[^/?#]*)", 1)
+    val lowered = concat(lower(prefix), f.substr(length(prefix) + 1, length(f)))
+    val p1 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2")
+    val p2 = regexp_replace(p1, "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    val qpos = instr(p2, "?")
+    val base = p2.substr(lit(1), qpos - 1)
+    val q = p2.substr(qpos + 1, length(p2))
+    val kept = filter(split(q, "&"),
+      p => !(p.startsWith("utm_") || p === ""))
+    val noUtm = when(qpos === 0, p2)
+      .when(size(kept) > 0, concat(base, lit("?"), array_join(kept, "&")))
+      .otherwise(base)
+    regexp_replace(noUtm, "(://[^/?#]*)/($|\\?)", "$1$2")
   }
 
   /** 61-bit Rabin–Karp rolling polynomial hash over the char stream —

@@ -29,6 +29,32 @@ class ChunkRedactSpec extends SparkSpecBase {
   }
   import spark.implicits._
 
+  test("canonicalizeUrl: fragment/case/port/utm/root-slash rules, path case preserved") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment + case + default port + utm, path case kept
+      ("HTTP://ExAmple.CoM:80/Path?utm_source=a&id=1#frag",
+        "http://example.com/Path?id=1"),
+      ("https://X.com:443/", "https://x.com"),
+      // non-default port kept; https default on http scheme NOT stripped
+      ("https://x.com:8443/A", "https://x.com:8443/A"),
+      ("http://x.com:443/a", "http://x.com:443/a"),
+      // all-utm query drops the '?'; root slash drops too
+      ("http://x.com/?utm_a=1&utm_b=2", "http://x.com"),
+      // deeper trailing slash is meaningful and kept
+      ("http://x.com/a/", "http://x.com/a/"),
+      // adjacent utm params (no regex-fixpoint trap), mid-list survivor
+      ("http://x.com/p?utm_a=1&utm_b=2&keep=3&utm_c=4", "http://x.com/p?keep=3"),
+      // schemeless input passes through
+      ("example.com/X?utm_a=1", "example.com/X"),
+      // query case preserved
+      ("HTTPS://A.B/p?ID=Q", "https://a.b/p?ID=Q"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.text.TextStats.canonicalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("chunking covers every token; stride/overlap arithmetic holds; short docs yield one chunk") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
