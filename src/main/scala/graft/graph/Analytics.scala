@@ -128,7 +128,8 @@ object Analytics {
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int,
                damping: Double): DataFrame =
-    pageRankCore(edges, nodes, iterations, damping) { contribs =>
+    pageRankCore(edges, nodes, iterations, damping,
+                 uniformBase(damping)) { contribs =>
       contribs.groupBy("id")
         .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("s"))
     }
@@ -154,7 +155,8 @@ object Analytics {
     */
   def pageRankSalted(edges: DataFrame, nodes: DataFrame, iterations: Int,
                      damping: Double, saltOf: Column => Column): DataFrame =
-    pageRankCore(edges, nodes, iterations, damping) { contribs =>
+    pageRankCore(edges, nodes, iterations, damping,
+                 uniformBase(damping)) { contribs =>
       val partial = contribs
         .groupBy(col("id"), saltOf(col("u")).as("b"))
         .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("p"))
@@ -181,52 +183,29 @@ object Analytics {
     */
   def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
                            seeds: DataFrame, iterations: Int,
-                           damping: Double): DataFrame = {
-    require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
-    val e = edges.toDF("src", "dst").distinct().persist()
-    val ids = nodes.toDF("id").persist()
-    val seedIds = seeds.toDF("id").distinct()
-      .join(ids, Seq("id"), "left_semi").persist()
-    var outdeg: DataFrame = null
-    try {
-      val s = seedIds.count()
+                           damping: Double): DataFrame =
+    pageRankCore(edges, nodes, iterations, damping, mkBase = { ids =>
+      val seedFlag = seeds.toDF("id").distinct()
+        .join(ids, Seq("id"), "left_semi").withColumn("_seed", lit(true))
+      val s = seedFlag.count()
       require(s > 0, "personalizedPageRank needs at least one seed in the node set")
-      outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-      val seedFlag = seedIds.withColumn("_seed", lit(true))
-      def withBase(summed: Option[DataFrame]): DataFrame = {
-        val baseRank = when(col("_seed").isNotNull && col("_seed"),
-          lit((1.0 - damping) / s)).otherwise(lit(0.0))
-        val joined = ids.join(seedFlag, Seq("id"), "left")
-        summed match {
-          case None => // rank_0: all mass on the seeds
-            joined.select(col("id"),
-              when(col("_seed").isNotNull && col("_seed"), lit(1.0 / s))
-                .otherwise(lit(0.0)).as("rank"))
-          case Some(sm) =>
-            joined.join(sm, Seq("id"), "left")
-              .select(col("id"),
-                (baseRank + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        }
-      }
-      var ranks = withBase(None)
-      var i = 0
-      while (i < iterations) {
-        val contribs = e
-          .join(ranks.select(col("id").as("src"), col("rank")), "src")
-          .join(outdeg, "src")
-          .select(col("dst").as("id"), col("src").as("u"),
-            (col("rank") / col("outdeg")).as("c"))
-        val summed = contribs.groupBy("id")
-          .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("s"))
-        ranks = withBase(Some(summed))
-        i += 1
-      }
-      // eager localCheckpoint — see pageRankCore
-      ranks.localCheckpoint(true)
-    } finally {
-      e.unpersist(); ids.unpersist(); seedIds.unpersist()
-      if (outdeg != null) outdeg.unpersist(): Unit
+      ids.join(seedFlag, Seq("id"), "left")
+        .select(col("id"),
+          when(col("_seed").isNotNull, lit(1.0 / s))
+            .otherwise(lit(0.0)).as("rank0"),
+          when(col("_seed").isNotNull, lit((1.0 - damping) / s))
+            .otherwise(lit(0.0)).as("base0"))
+    }) { contribs =>
+      contribs.groupBy("id")
+        .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("s"))
     }
+
+  /** Uniform teleport base: rank_0 = 1/n, base = (1-d)/n for every node. */
+  private def uniformBase(damping: Double)(ids: DataFrame): DataFrame = {
+    val n = ids.count()
+    require(n > 0, "pageRank needs a non-empty node set")
+    ids.select(col("id"), lit(1.0 / n).as("rank0"),
+      lit((1.0 - damping) / n).as("base0"))
   }
 
   /** Left-to-right fold of a struct array's LAST field in array-sort
@@ -235,24 +214,30 @@ object Analytics {
   private def sortedFold(uc: Column): Column =
     aggregate(sort_array(uc), lit(0.0), (acc, x) => acc + x.getField("c"))
 
-  /** Shared PageRank driver: `sumContribs` receives the per-iteration
+  /** Shared PageRank driver for every variant (uniform, salted fold,
+    * personalized). `mkBase` receives the persisted node table and
+    * returns one `(id, rank0, base0)` row per node — the initial rank
+    * and the per-node teleport term (the uniform default is constant
+    * `1/n` / `(1-d)/n`; personalization concentrates both on the seed
+    * set); the table is persisted for the loop, since every iteration
+    * references it. `sumContribs` receives the per-iteration
     * contribution table (id = dst, u = contributor, c = rank/outdeg) and
     * must return one (id, s) row per receiving node with a DETERMINISTIC
-    * summation (the variants differ only in the fold tree).
+    * summation (the fold-tree variants differ only here).
     */
   private def pageRankCore(edges: DataFrame, nodes: DataFrame,
-                           iterations: Int, damping: Double)
+                           iterations: Int, damping: Double,
+                           mkBase: DataFrame => DataFrame)
                           (sumContribs: DataFrame => DataFrame): DataFrame = {
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
     val e = edges.toDF("src", "dst").distinct().persist()
     val ids = nodes.toDF("id").persist()
     var outdeg: DataFrame = null
+    var baseTbl: DataFrame = null
     try {
-      val n = ids.count()
-      require(n > 0, "pageRank needs a non-empty node set")
-      val base = (1.0 - damping) / n
+      baseTbl = mkBase(ids).persist()
       outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-      var ranks = ids.select(col("id"), (lit(1.0) / n).as("rank"))
+      var ranks = baseTbl.select(col("id"), col("rank0").as("rank"))
       var i = 0
       while (i < iterations) {
         val contribs = e
@@ -261,10 +246,10 @@ object Analytics {
           .select(col("dst").as("id"), col("src").as("u"),
             (col("rank") / col("outdeg")).as("c"))
         val summed = sumContribs(contribs)
-        ranks = ids
+        ranks = baseTbl
           .join(summed, Seq("id"), "left")
           .select(col("id"),
-            (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+            (col("base0") + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         i += 1
       }
       // eager localCheckpoint — see triangleCounts: materialized while
@@ -273,7 +258,8 @@ object Analytics {
       ranks.localCheckpoint(true)
     } finally {
       e.unpersist(); ids.unpersist()
-      if (outdeg != null) outdeg.unpersist(): Unit
+      if (outdeg != null) outdeg.unpersist()
+      if (baseTbl != null) baseTbl.unpersist(): Unit
     }
   }
 }

@@ -64,36 +64,32 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * `rebuild` has run.
     */
   def coveredEdgeVersion: Option[Long] =
-    readCoverage._1
+    readCoverage.covered
 
-  /** (covered, pending) — pending is the version the NEXT indexed edge
-    * commit will take, recorded by [[update]] before that commit and
-    * promoted to covered by [[confirmCoverage]] after it.
+  /** One parse of coverage.json: `covered` / `pending` edge versions
+    * (pending is the version the NEXT indexed edge commit will take,
+    * recorded by [[update]] before that commit and promoted to covered
+    * by [[confirmCoverage]] after it) plus the recorded bucket count —
+    * BucketSpec is caller-supplied and never persisted by SnapshotTable,
+    * so the index records the count its pv arithmetic used; a later open
+    * with a different count (a mistyped `index-rebuild --graph-buckets`)
+    * would compute partition names that don't match the files on disk,
+    * and an index-backed DETACH would silently read nothing.
     */
-  private def readCoverage: (Option[Long], Option[Long]) = {
-    if (!Files.isRegularFile(coveragePath)) return (None, None)
+  private def readCoverage: EdgeEndpointIndex.Coverage = {
+    if (!Files.isRegularFile(coveragePath))
+      return EdgeEndpointIndex.Coverage(None, None, None)
     val root = EdgeEndpointIndex.mapper.readTree(Files.readString(coveragePath))
-    (Option(root.get("covered_edge_version")).map(_.asLong()),
-      Option(root.get("pending_edge_version")).map(_.asLong()))
+    EdgeEndpointIndex.Coverage(
+      Option(root.get("covered_edge_version")).map(_.asLong()),
+      Option(root.get("pending_edge_version")).map(_.asLong()),
+      Option(root.get("graph_buckets")).map(_.asInt()))
   }
 
   private def myBuckets: Int = edges.bucket.map(_.n).getOrElse(0)
 
-  /** Bucket count recorded in coverage.json — BucketSpec is caller-
-    * supplied and never persisted by SnapshotTable, so the index records
-    * the count its pv arithmetic used; a later open with a different
-    * count (a mistyped `index-rebuild --graph-buckets`) would compute
-    * partition names that don't match the files on disk, and an
-    * index-backed DETACH would silently read nothing.
-    */
-  private def recordedBuckets: Option[Int] = {
-    if (!Files.isRegularFile(coveragePath)) return None
-    val root = EdgeEndpointIndex.mapper.readTree(Files.readString(coveragePath))
-    Option(root.get("graph_buckets")).map(_.asInt())
-  }
-
   private def requireBucketsMatch(): Unit =
-    recordedBuckets.foreach { r =>
+    readCoverage.buckets.foreach { r =>
       require(r == myBuckets,
         s"edge index at ${table.root} was built with $r graph buckets " +
           s"but this instance uses $myBuckets — pass the graph's true " +
@@ -123,9 +119,11 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * [[confirmCoverage]] reads as unsound until `rebuild`), never a
     * missed DETACH.
     */
-  def soundForDetach: Boolean =
-    recordedBuckets.forall(_ == myBuckets) &&
-      coveredEdgeVersion.exists(_ >= edges.latestVersion.getOrElse(0L))
+  def soundForDetach: Boolean = {
+    val c = readCoverage
+    c.buckets.forall(_ == myBuckets) &&
+      c.covered.exists(_ >= edges.latestVersion.getOrElse(0L))
+  }
 
   /** Record that the batch just folded into the index is destined for
     * edge version latest+1 — sound to note only when the chain is
@@ -136,7 +134,7 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     */
   private def markPending(): Unit = {
     val ev = edges.latestVersion.getOrElse(0L)
-    val (covered, _) = readCoverage
+    val covered = readCoverage.covered
     val contiguous = covered.exists(_ >= ev) || (covered.isEmpty && ev == 0L)
     if (contiguous) writeCoverage(covered, Some(ev + 1))
     // else: gap — an edge commit bypassed the index; only rebuild heals
@@ -148,9 +146,9 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     */
   def confirmCoverage(): Unit = {
     val ev = edges.latestVersion.getOrElse(0L)
-    val (covered, pending) = readCoverage
-    if (pending.contains(ev)) writeCoverage(Some(ev), None)
-    else if (pending.exists(_ < ev)) writeCoverage(covered, None) // stale claim
+    val c = readCoverage
+    if (c.pending.contains(ev)) writeCoverage(Some(ev), None)
+    else if (c.pending.exists(_ < ev)) writeCoverage(c.covered, None) // stale claim
   }
 
   /** Record a delete-only edge commit (version `v`): removing edges
@@ -162,9 +160,10 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * correctly-bucketed owner relies on.
     */
   def coverDeleteCommit(v: Long): Unit = {
-    if (recordedBuckets.exists(_ != myBuckets)) return
-    readCoverage match {
-      case (Some(c), p) if c >= v - 1 => writeCoverage(Some(math.max(c, v)), p)
+    val c = readCoverage
+    if (c.buckets.exists(_ != myBuckets)) return
+    c.covered match {
+      case Some(cv) if cv >= v - 1 => writeCoverage(Some(math.max(cv, v)), c.pending)
       case _ => ()
     }
   }
@@ -269,6 +268,11 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
 
 object EdgeEndpointIndex {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** One parsed coverage.json — see [[EdgeEndpointIndex.readCoverage]]. */
+  private final case class Coverage(covered: Option[Long],
+                                    pending: Option[Long],
+                                    buckets: Option[Int])
 
   /** Standard location: alongside the graph's nodes/edges tables. */
   def apply(spark: SparkSession, graphRoot: String,

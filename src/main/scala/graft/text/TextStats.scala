@@ -216,31 +216,37 @@ object TextStats {
     *  3. drop scheme-default ports (`http…:80`, `https…:443`);
     *  4. drop `utm_*` tracking params (exact split/filter/rejoin over
     *     `&`, not regex passes — adjacent params need no fixpoint), and
-    *     the `?` itself when nothing survives;
+    *     the `?` itself when nothing but empty segments survives; empty
+    *     segments (`a=1&&b=2`, trailing `&`) are otherwise preserved
+    *     verbatim;
     *  5. drop a bare root-path trailing slash (`host/` → `host`,
     *     `host/?q` → `host?q`); deeper trailing slashes are meaningful
-    *     and kept.
+    *     and kept — the rule is anchored to the URL's OWN authority, so
+    *     a `://` embedded in the path or a query value is never touched.
     *
-    * Pure codegen column expression (regex + string HOFs, no UDF); a
-    * schemeless input passes through unchanged. qtx10 value-checks it
+    * The scheme is matched RFC-3986-shaped (`ALPHA *(ALPHA/DIGIT/+/-/.)`)
+    * so a schemeless input — including one whose query embeds a full
+    * URL — passes through rules 2/3/5 unchanged. Pure codegen column
+    * expression (regex + string HOFs, no UDF). qtx10 value-checks it
     * against planted expectations recomputed from doc_id arithmetic —
     * the oracle never re-implements the normalizer.
     */
   def canonicalizeUrl(u: Column): Column = {
+    val scheme = "[A-Za-z][A-Za-z0-9+.-]*"
     val f = regexp_replace(u, "#.*", "")
-    val prefix = regexp_extract(f, "^([^/]*://[^/?#]*)", 1)
+    val prefix = regexp_extract(f, s"^($scheme://[^/?#]*)", 1)
     val lowered = concat(lower(prefix), f.substr(length(prefix) + 1, length(f)))
     val p1 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2")
     val p2 = regexp_replace(p1, "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
     val qpos = instr(p2, "?")
     val base = p2.substr(lit(1), qpos - 1)
     val q = p2.substr(qpos + 1, length(p2))
-    val kept = filter(split(q, "&"),
-      p => !(p.startsWith("utm_") || p === ""))
+    val kept = filter(split(q, "&"), p => !p.startsWith("utm_"))
+    val nonEmpty = filter(kept, p => p =!= "")
     val noUtm = when(qpos === 0, p2)
-      .when(size(kept) > 0, concat(base, lit("?"), array_join(kept, "&")))
+      .when(size(nonEmpty) > 0, concat(base, lit("?"), array_join(kept, "&")))
       .otherwise(base)
-    regexp_replace(noUtm, "(://[^/?#]*)/($|\\?)", "$1$2")
+    regexp_replace(noUtm, s"^($scheme://[^/?#]*)/($$|\\?)", "$1$2")
   }
 
   /** 61-bit Rabin–Karp rolling polynomial hash over the char stream —

@@ -48,7 +48,19 @@ class ChunkRedactSpec extends SparkSpecBase {
       // schemeless input passes through
       ("example.com/X?utm_a=1", "example.com/X"),
       // query case preserved
-      ("HTTPS://A.B/p?ID=Q", "https://a.b/p?ID=Q"))
+      ("HTTPS://A.B/p?ID=Q", "https://a.b/p?ID=Q"),
+      // a '://' EMBEDDED in a query value is not the URL's own authority:
+      // the value keeps its case AND its deep trailing slash (rules 2/5
+      // are anchored to the real scheme+authority)
+      ("http://a.com/r?u=HTTP://B.com/", "http://a.com/r?u=HTTP://B.com/"),
+      // schemeless input whose query embeds a full URL: no authority to
+      // lowercase, nothing rewritten
+      ("EXAMPLE.com?u=HTTP://B.com/x", "EXAMPLE.com?u=HTTP://B.com/x"),
+      // '://' embedded in the PATH never triggers the root-slash drop
+      ("http://a.com/redirect/http://b.com/",
+        "http://a.com/redirect/http://b.com/"),
+      // empty query segments are preserved verbatim (only utm_* drops)
+      ("http://x.com/p?a=1&&b=2", "http://x.com/p?a=1&&b=2"))
     val got = cases.map(_._1).toDF("u")
       .select(graft.text.TextStats.canonicalizeUrl(col("u")))
       .as[String].collect().toSeq
