@@ -62,6 +62,7 @@ object SparkEntry {
     "qkg11_pagerank_salted" -> (KgOps.qkg11PageRankSalted _),
     "qkg12_components" -> (KgOps.qkg12Components _),
     "qkg13_ppr" -> (KgOps.qkg13Ppr _),
+    "qkg14_hits" -> (KgOps.qkg14Hits _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
@@ -490,6 +491,10 @@ object SparkEntry {
     // qkg13: personalized PageRank (teleport restricted to the 16 seed
     // entities); fold tree identical to qkg10's, so bit-identical ranks
     "qkg13_ppr" -> KgOps.pprOracle,
+    // qkg14: HITS hubs/authorities, 2 max-normalized iterations — the
+    // max is order-free and the sums are contributor-sorted folds, so
+    // both doubles per entity are bit-identical
+    "qkg14_hits" -> KgOps.hitsOracle,
     // qkg12: weakly-connected components of the canonical triple graph,
     // oracle = recursive-CTE label propagation to the min entity id
     // (the qdd3/qann5 pattern over the qkg10 edge set)

@@ -200,6 +200,74 @@ object Analytics {
         .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("s"))
     }
 
+  /** HITS hubs-and-authorities — the fourth whole-graph analytics family
+    * member (PageRank ranks global importance; HITS separates "points at
+    * good things" from "is pointed at by good things", the classic
+    * web-graph quality signal pair):
+    *
+    *   hub_0(v)  = 1
+    *   auth_i(v) = ( Σ_{u→v} hub_{i-1}(u) )  / max_w auth-sum_i(w)
+    *   hub_i(v)  = ( Σ_{v→w} auth_i(w) )     / max_w hub-sum_i(w)
+    *
+    * Normalization is by the MAX (a legitimate HITS stabilization,
+    * e.g. NetworkX's per-iteration scaling) rather than the L1/L2 norm
+    * deliberately: max over doubles is ORDER-FREE, so the only
+    * order-sensitive arithmetic is the per-node contribution sum, which
+    * uses the same contributor-sorted fold as [[pageRank]] — the whole
+    * result is bit-identical across partitionings, core counts and
+    * engines (qkg14 value-hashes every hub/auth double against a DuckDB
+    * oracle replaying the iterations). An L1 norm would need a global
+    * SUM, whose deterministic version costs a fold tree over all nodes
+    * per iteration; the max costs one scalar aggregation.
+    *
+    * Scale shape: per iteration, two edge⋈rank joins + two per-node
+    * sorted folds (reducer state bounded by in-/out-degree — the
+    * [[pageRankSalted]] two-level trick applies identically if a Zipf
+    * head demands it) + two scalar max aggregations. Each half-step is
+    * materialized via eager localCheckpoint BEFORE its max is read —
+    * the max action would otherwise recompute the whole iteration chain,
+    * and the checkpoint also cuts the 2T-deep lineage. Requires at least
+    * one edge between nodes (both maxes are then provably positive).
+    * Returns (id, hub, auth), eagerly computed; inputs are cached for
+    * the loop and released before returning, like [[pageRank]].
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val e = edges.toDF("src", "dst").distinct().persist()
+    val ids = nodes.toDF("id").persist()
+    try {
+      // one half-step: fold rank (on `from`) into each `to` node, then
+      // divide by the global max — contributions keyed by the far end
+      def halfStep(rank: DataFrame, rc: String, from: String, to: String,
+                   outCol: String): DataFrame = {
+        val contribs = e
+          .join(rank.select(col("id").as(from), col(rc)), from)
+          .select(col(to).as("id"), col(from).as("u"), col(rc).as("c"))
+        val summed = contribs.groupBy("id")
+          .agg(sortedFold(collect_list(struct(col("u"), col("c")))).as("s"))
+        val raw = ids.join(summed, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+          .localCheckpoint(true)
+        val mx = raw.agg(max(col("s"))).head.getDouble(0)
+        require(mx > 0.0, "hits needs at least one edge between the nodes")
+        raw.select(col("id"), (col("s") / mx).as(outCol))
+      }
+      var hub = ids.select(col("id"), lit(1.0).as("hub"))
+      var auth: DataFrame = null
+      var i = 0
+      while (i < iterations) {
+        auth = halfStep(hub, "hub", from = "src", to = "dst", outCol = "auth")
+        hub = halfStep(auth, "auth", from = "dst", to = "src", outCol = "hub")
+        i += 1
+      }
+      hub.join(auth, Seq("id"))
+        .select(col("id"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+    } finally {
+      e.unpersist(); ids.unpersist(): Unit
+    }
+  }
+
   /** Uniform teleport base: rank_0 = 1/n, base = (1-d)/n for every node. */
   private def uniformBase(damping: Double)(ids: DataFrame): DataFrame = {
     val n = ids.count()

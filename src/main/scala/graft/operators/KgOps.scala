@@ -344,6 +344,59 @@ object KgOps {
        |SELECT id AS entity_id, rank FROM r3 ORDER BY entity_id""".stripMargin
   }
 
+  /** HITS hubs-and-authorities over the canonical triple graph — the
+    * web-graph quality-signal pair (see [[graft.graph.Analytics.hits]]):
+    * subjects that point at well-cited objects score as hubs, entities
+    * cited by good hubs score as authorities. 2 iterations,
+    * max-normalized per half-step; every hub/auth double is
+    * BIT-identical to the DuckDB oracle's replay (the max is order-free,
+    * the sums are contributor-sorted folds).
+    */
+  def qkg14Hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    graft.graph.Analytics.hits(edges, nodes, iterations = 2)
+      .select(col("id").as("entity_id"), col("hub"), col("auth"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg14: 2 unrolled HITS iterations — each
+    * half-step is the qkg10 fold (contributor-sorted list_reduce, same
+    * 0.0-init equivalence) followed by a division by the half-step's
+    * MAX (order-free in both engines), so hub AND auth are bit-identical
+    * for all 800 entities.
+    */
+  def hitsOracle: String = {
+    val iters = (1 to 2).map { k =>
+      s"""a${k}s AS (SELECT e.dst AS id,
+         |    list_reduce(list_transform(list_sort(
+         |      list({'u': e.src, 'c': h.hub})), x -> x.c),
+         |      (a, c2) -> a + c2) AS s
+         |  FROM e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+         |a${k}r AS (SELECT n.id, COALESCE(a${k}s.s, CAST(0 AS DOUBLE)) AS s
+         |  FROM nodes n LEFT JOIN a${k}s ON a${k}s.id = n.id),
+         |a$k AS (SELECT id, s / (SELECT MAX(s) FROM a${k}r) AS auth FROM a${k}r),
+         |h${k}s AS (SELECT e.src AS id,
+         |    list_reduce(list_transform(list_sort(
+         |      list({'u': e.dst, 'c': t.auth})), x -> x.c),
+         |      (a, c2) -> a + c2) AS s
+         |  FROM e JOIN a$k t ON t.id = e.dst GROUP BY 1),
+         |h${k}r AS (SELECT n.id, COALESCE(h${k}s.s, CAST(0 AS DOUBLE)) AS s
+         |  FROM nodes n LEFT JOIN h${k}s ON h${k}s.id = n.id),
+         |h$k AS (SELECT id, s / (SELECT MAX(s) FROM h${k}r) AS hub FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""$tripleCte,
+       |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+       |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k)),
+       |h0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub FROM nodes),
+       |$iters
+       |SELECT h2.id AS entity_id, h2.hub, a2.auth
+       |FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY entity_id""".stripMargin
+  }
+
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +
     * maxFilesPerTrigger=1 (so the run takes MULTIPLE micro-batches), and

@@ -46,7 +46,7 @@ object GraftCli {
       |  analysis  --work-dir DIR --job-dir JOBS --out DIR
       |            [--params K=V,K2=V2,..] [--update-tag N] [--cores N]
       |  analytics --work-dir DIR --out DIR [--rel-labels L1,L2,..]
-      |            [--pagerank-iters N] [--damping D] [--cores N]
+      |            [--pagerank-iters N] [--damping D] [--hits-iters N] [--cores N]
       |  get-state --work-dir DIR --drift-dir DIR [--timestamp N] [--cores N]
       |            (legacy single-file mode: --name NAME --query SQL --out FILE)
       |  drift     --drift-dir DIR --query NAME [--start REF --end REF]
@@ -316,10 +316,11 @@ object GraftCli {
   }
 
   /** Whole-graph analytics over the synced graph
-    * ([[graft.graph.Analytics]]): fixed-iteration PageRank over the
-    * (optionally `--rel-labels`-restricted) directed edge table and
-    * triangle counts over its undirected view, written as parquet under
-    * `--out/pagerank` and `--out/triangles`. The node universe is the
+    * ([[graft.graph.Analytics]]): fixed-iteration PageRank and
+    * max-normalized HITS over the (optionally `--rel-labels`-restricted)
+    * directed edge table, triangle counts over its undirected view, and
+    * weakly-connected components, written as parquet under
+    * `--out/{pagerank,hits,triangles,components}`. The node universe is the
     * distinct endpoint set of the selected edges (so a label-restricted
     * run ranks exactly the subgraph it names); isolated nodes never
     * influence either metric. Runs post-sync, like the reference's
@@ -356,10 +357,13 @@ object GraftCli {
           e.select(col("src").as("u"), col("dst").as("v")).distinct(), nodes)
         .select(col("id"), col("canonical_id").as("component"))
         .write.mode("overwrite").parquet(s"$outDir/components")
+      graft.graph.Analytics.hits(e, nodes,
+          flags.getOrElse("hits-iters", "2").toInt)
+        .write.mode("overwrite").parquet(s"$outDir/hits")
     } finally { e.unpersist(); nodes.unpersist(): Unit }
     System.err.println(s"[analytics] wrote $outDir/pagerank ($iters " +
-      s"iterations, damping $damping), $outDir/triangles and " +
-      s"$outDir/components")
+      s"iterations, damping $damping), $outDir/triangles, " +
+      s"$outDir/components and $outDir/hits")
   }
 
   private def graphViews(spark: SparkSession, workDir: String): Unit = {

@@ -285,6 +285,82 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(graft.operators.KgOps.capComentionPages(repeated, 4).count() === 300L)
   }
 
+  /** Local reference HITS — max-normalized half-steps, contributor-sorted
+    * fold summation, mirroring [[Analytics.hits]] exactly.
+    */
+  private def refHits(edges: Seq[(String, String)], nodes: Seq[String],
+                      iters: Int): Map[String, (Double, Double)] = {
+    val e = edges.distinct
+    val in = e.groupBy(_._2)
+    val out = e.groupBy(_._1)
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[String, Double]
+    (1 to iters).foreach { _ =>
+      val h0 = hub
+      val aRaw = nodes.map { v =>
+        v -> in.getOrElse(v, Nil).map(_._1).sorted
+          .foldLeft(0.0)((acc, u) => acc + h0(u))
+      }.toMap
+      val amax = aRaw.values.max
+      auth = aRaw.view.mapValues(_ / amax).toMap
+      val hRaw = nodes.map { v =>
+        v -> out.getOrElse(v, Nil).map(_._2).sorted
+          .foldLeft(0.0)((acc, w) => acc + auth(w))
+      }.toMap
+      val hmax = hRaw.values.max
+      hub = hRaw.view.mapValues(_ / hmax).toMap
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits: random graphs match the max-normalized reference bit-for-bit (12 cases)") {
+    val rnd = new scala.util.Random(23)
+    (0 until 12).foreach { k =>
+      val n = 3 + rnd.nextInt(10)
+      val ids = (0 until n).map(i => s"v%02d".format(i))
+      val edges = (for {
+        a <- ids; b <- ids
+        if a != b && rnd.nextDouble() < 0.3
+      } yield (a, b)).toVector
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(3)
+        val got = Analytics.hits(edges.toDF("src", "dst"), ids.toDF("id"), iters)
+          .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+          .toMap
+        val want = refHits(edges, ids, iters)
+        ids.foreach { v =>
+          assert(java.lang.Double.doubleToLongBits(got(v)._1) ===
+            java.lang.Double.doubleToLongBits(want(v)._1),
+            s"case $k node $v hub (n=$n, m=${edges.size}, iters=$iters)")
+          assert(java.lang.Double.doubleToLongBits(got(v)._2) ===
+            java.lang.Double.doubleToLongBits(want(v)._2),
+            s"case $k node $v auth (n=$n, m=${edges.size}, iters=$iters)")
+        }
+      }
+    }
+  }
+
+  test("hits: bit-stable across partitionings; max hub and max auth are exactly 1.0") {
+    val nodes = (0 until 50).map(i => s"n$i")
+    val edges = (0 until 200).map(i => (s"n${i % 50}", s"n${(i * 7 + 3) % 50}"))
+    def run(parts: Int): Array[(String, Double, Double)] =
+      Analytics.hits(edges.toDF("src", "dst").repartition(parts),
+        nodes.toDF("id"), iterations = 2)
+        .orderBy("id").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val a = run(2)
+    val b = run(7)
+    a.zip(b).foreach { case ((ida, ha, aa), (idb, hb, ab)) =>
+      assert(ida === idb)
+      assert(java.lang.Double.doubleToLongBits(ha) ===
+        java.lang.Double.doubleToLongBits(hb), s"node $ida hub")
+      assert(java.lang.Double.doubleToLongBits(aa) ===
+        java.lang.Double.doubleToLongBits(ab), s"node $ida auth")
+    }
+    assert(a.map(_._2).max === 1.0)
+    assert(a.map(_._3).max === 1.0)
+  }
+
   test("pageRank: ranks form a probability-mass deficit only from dangling leaks") {
     // no dangling nodes -> total mass stays exactly-ish 1 (fp tolerance)
     val nodes = Seq("a", "b", "c")

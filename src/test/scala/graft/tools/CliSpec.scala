@@ -250,6 +250,20 @@ class CliSpec extends SparkSpecBase {
         e.select(col("src").as("u"), col("dst").as("v")).distinct(), nodes)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(gotCc === wantCc)
+
+    val gotHits = spark.read.parquet(s"$out/hits")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val wantHits = graft.graph.Analytics.hits(e, nodes, 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(gotHits.keySet === wantHits.keySet)
+    gotHits.foreach { case (id, (h, a)) =>
+      assert(java.lang.Double.doubleToLongBits(h) ===
+        java.lang.Double.doubleToLongBits(wantHits(id)._1), s"node $id hub")
+      assert(java.lang.Double.doubleToLongBits(a) ===
+        java.lang.Double.doubleToLongBits(wantHits(id)._2), s"node $id auth")
+    }
   }
 
   test("cli: permissions — mapping-file evaluation writes allowed pairs; bad mapping fails before the scan") {
