@@ -66,6 +66,7 @@ object SparkEntry {
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
+    "qdc1_contamination" -> (DataOps.qdc1Contamination _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
     "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
     "qdd4_minhash_lsh" -> (DataOps.qdd4MinhashLsh _),
@@ -513,6 +514,23 @@ object SparkEntry {
          |GROUP BY n ORDER BY entity_id""".stripMargin,
     // Dedup oracles rebuild the copy corpus and recompute pair ground
     // truth relationally (integer Jaccard threshold — no floating point).
+    // qdc1: decontamination ground truth — rebuild the planted eval set
+    // (words 11..60 of every 13th doc) and recompute shared-13-gram
+    // counts relationally; both engines shingle distinct per doc, so the
+    // join-row count IS the distinct shared-n-gram count
+    "qdc1_contamination" ->
+      """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ev AS (SELECT doc_id AS eval_id, ws[11:60] AS ws FROM tw
+        |       WHERE doc_id % 13 = 0),
+        |tsh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[r.i+1:r.i+13], ' ') AS g
+        |  FROM tw JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 13),
+        |esh AS (SELECT DISTINCT eval_id,
+        |    array_to_string(ws[r.i+1:r.i+13], ' ') AS g
+        |  FROM ev JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 13)
+        |SELECT t.doc_id AS train_id, e.eval_id, COUNT(*) AS shared_ngrams
+        |FROM tsh t JOIN esh e ON e.g = t.g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "qdd1_exact_dedup" ->
       s"""$dedupCorpusCte
          |SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,

@@ -60,6 +60,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: (train doc, eval doc) pairs sharing at
+    * least `minShared` DISTINCT word n-grams, with the shared count —
+    * the train-data hygiene pass that catches evaluation text leaking
+    * into a pre-training corpus (13-gram collision is the standard
+    * published criterion; both sides shingle through [[shingleRows]], so
+    * the n-gram definition is shared with the dedup family).
+    *
+    * `train` needs (doc_id, text); `evalDocs` needs (eval_id, text).
+    * Scale shape: the eval side is a benchmark (thousands of docs), the
+    * train side is the corpus — eval shingles are broadcast by default
+    * so the corpus-sized side never shuffles (a narrow map-side hash
+    * join per train partition); pass `broadcastEval = false` to
+    * shuffle-join on the n-gram when the eval side is itself
+    * corpus-sized. Counting joined rows IS counting distinct shared
+    * n-grams because [[shingleRows]] emits distinct (doc, shingle) rows.
+    */
+  def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                    minShared: Long = 1L,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val t = shingleRows(train.select(col("doc_id"), col("text")), n)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val e0 = shingleRows(
+        evalDocs.select(col("eval_id").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val e = if (broadcastEval) broadcast(e0) else e0
+    t.join(e, Seq("shingle"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Exact all-pairs Jaccard ≥ 1/2 via inverted-index self-join; integer
     * threshold arithmetic, no floating point.
     *

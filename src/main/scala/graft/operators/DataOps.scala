@@ -21,6 +21,21 @@ object DataOps {
   def qdd2NearDupAllPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.allPairsJaccard(spark, Dedup.corpusWithCopies(spark, sfDir))
 
+  /** Benchmark decontamination over a PLANTED leak: every 13th document
+    * donates words 11..60 as an "eval benchmark" item, so each eval doc
+    * must collide with (at least) its source document on 13-grams. The
+    * oracle rebuilds the same eval set and recomputes the shared-n-gram
+    * counts relationally — ground truth, not Spark parity.
+    */
+  def qdc1Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = TextStats.docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("eval_id"),
+        array_join(slice(split(col("text"), " "), 11, 50), " ").as("text"))
+    Dedup.contamination(docs, evalDocs, n = 13, minShared = 1L)
+      .orderBy("train_id", "eval_id")
+  }
+
   def qdd3DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Dedup.corpusWithCopies(spark, sfDir)
     val pairs = Dedup.allPairsJaccard(spark, corpus)

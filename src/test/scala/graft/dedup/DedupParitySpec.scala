@@ -77,4 +77,30 @@ class DedupParitySpec extends SparkSpecBase {
     assert(clusters.forall(_.getLong(1) == 0L),
       "chain pairs keep the whole group one connected component")
   }
+
+  test("contamination: planted eval excerpts hit their source docs with exact shared counts") {
+    // 30-word docs with disjoint vocabularies; eval items are word
+    // windows of docs 1 and 3, plus one clean item that matches nothing
+    def words(tag: String) = (0 until 30).map(i => s"$tag$i").mkString(" ")
+    val train = Seq((1L, words("a")), (2L, words("b")), (3L, words("c")))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (10L, (5 until 25).map(i => s"a$i").mkString(" ")), // 20 words of doc 1
+      (11L, (0 until 13).map(i => s"c$i").mkString(" ")), // exactly one 13-gram
+      (12L, words("z"))) // clean
+      .toDF("eval_id", "text")
+    val got = Dedup.contamination(train, evalDocs, n = 13, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 20-word excerpt -> 8 distinct 13-grams, all present in doc 1
+    assert(got === Map((1L, 10L) -> 8L, (3L, 11L) -> 1L))
+    // broadcast and shuffle paths agree
+    val shuffled = Dedup.contamination(train, evalDocs, n = 13,
+      minShared = 1L, broadcastEval = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shuffled === got)
+    // minShared gates: requiring 2 shared n-grams drops the single-hit pair
+    val gated = Dedup.contamination(train, evalDocs, n = 13, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated === Set((1L, 10L)))
+  }
 }
