@@ -97,10 +97,16 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Distinct physical partition values present in `df` (an action). */
-  def physicalValuesOf(df: DataFrame): Seq[String] =
+  /** Distinct physical partition values present in `df` (an action).
+    * Validates the instance's bucket count against the committed layout
+    * first — every scoped read/commit funnels through here or
+    * [[commitPhysical]].
+    */
+  def physicalValuesOf(df: DataFrame): Seq[String] = {
+    requireBucketsMatch()
     df.select(physicalValue.as(pvCol)).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+  }
 
   /** Physical values of logical partition `value` in version `v`. */
   private def physicalKeysOf(v: Long, logical: String): Seq[String] = {
@@ -121,6 +127,11 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     val root = SnapshotTable.mapper.createObjectNode()
     root.put("version", v)
     root.put("updateTag", updateTag)
+    // record the bucket arithmetic this version was laid out with —
+    // BucketSpec is caller-supplied per open, so without the record a
+    // mistyped count on a later open computes bucket names that don't
+    // match the files and scoped reads/commits silently miss data
+    bucket.foreach(b => root.put("buckets", b.n): Unit)
     val p = root.putObject("partitions")
     parts.toSeq.sortBy(_._1).foreach { case (k, d) => p.put(k, d): Unit }
     val tmp = manifestDir.resolve(s".v$v.json.tmp")
@@ -143,6 +154,34 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   def updateTagOf(v: Long): Long =
     SnapshotTable.mapper.readTree(Files.readString(manifestPath(v)))
       .get("updateTag").asLong()
+
+  /** Bucket count version `v` was committed with (None: unbucketed, or a
+    * legacy manifest that predates the record).
+    */
+  def recordedBuckets(v: Long): Option[Int] =
+    Option(SnapshotTable.mapper.readTree(Files.readString(manifestPath(v)))
+      .get("buckets")).map(_.asInt())
+
+  /** Fail fast when this instance's bucket arithmetic disagrees with the
+    * latest committed layout — guards every SCOPED path (pruned reads,
+    * bucket-scoped commits), where a wrong count computes partition
+    * names that don't exist and silently misses data. Full commits are
+    * exempt: they rewrite every partition under the instance's own
+    * arithmetic and re-record it, which is exactly how a table is
+    * re-bucketed (see GraftCli `rebucket`). Full reads are layout-blind
+    * (they follow manifest dirs, no arithmetic) and stay valid across a
+    * re-bucket for time travel.
+    */
+  private def requireBucketsMatch(): Unit =
+    latestVersion.flatMap(recordedBuckets).foreach { r =>
+      val mine = bucket.map(_.n).getOrElse(0)
+      require(mine == r,
+        s"snapshot table $root was laid out with $r buckets but this " +
+          s"instance uses $mine — scoped reads/commits would compute " +
+          "partition names that do not exist and silently miss data; " +
+          "pass the table's true bucket count (or re-bucket via a full " +
+          "commit / GraftCli rebucket)")
+    }
 
   // ---- reads -------------------------------------------------------------
 
@@ -285,6 +324,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
   def commitPhysical(df: DataFrame, updateTag: Long,
                      touched: Seq[String]): Long = {
     require(partitionCol.isDefined, "commitPhysical requires a partition column")
+    requireBucketsMatch()
     val v = latestVersion.getOrElse(0L) + 1
     val carried = latestVersion.map(partitionsOf).getOrElse(Map.empty) -- touched
     val fresh = writeDataPartitioned(df, v, Some(touched))

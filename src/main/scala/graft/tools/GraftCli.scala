@@ -39,6 +39,8 @@ object GraftCli {
       |            [--analysis-job-dir JOBS --out DIR] [--graph-buckets N]
       |            [--edge-index true] [--cores N]
       |  index-rebuild --work-dir DIR --update-tag N [--graph-buckets N]
+      |  rebucket  --work-dir DIR --new-buckets N --update-tag T
+      |            [--graph-buckets OLD] [--cores N]
       |  expire    --work-dir DIR --keep N
       |  remove-orphans --work-dir DIR --older-than-hours H
       |  permissions --input RES.parquet --id-col COL --name-col COL
@@ -83,6 +85,7 @@ object GraftCli {
   def main(args: Array[String]): Unit = args.toSeq match {
     case "sync" +: rest => sync(parseFlags(rest))
     case "index-rebuild" +: rest => indexRebuild(parseFlags(rest))
+    case "rebucket" +: rest => rebucket(parseFlags(rest))
     case "expire" +: rest => expire(parseFlags(rest))
     case "remove-orphans" +: rest => removeOrphans(parseFlags(rest))
     case "permissions" +: rest => permissions(parseFlags(rest))
@@ -187,6 +190,61 @@ object GraftCli {
     idx.rebuild(tag)
     System.err.println(s"[index-rebuild] covered edge version: " +
       idx.coveredEdgeVersion.getOrElse(-1L))
+  }
+
+  /** Bucket evolution (Iceberg partition-spec evolution analog): a graph
+    * sized for k buckets eventually outgrows them — one bucket must stay
+    * executor-memory-sized, so 100x data wants more buckets. A full
+    * commit under a new [[graft.snapshot.BucketSpec]] IS the re-bucket
+    * (it rewrites every partition under the new arithmetic and records
+    * the new count in the manifest); old versions stay readable for time
+    * travel (full reads are layout-blind). The edge endpoint index is
+    * bucket-arithmetic-coupled, so it is dropped and rebuilt fresh under
+    * the new count — coverage re-establishes at the current edge version
+    * and index-backed DETACH stays sound. The OLD count is read from the
+    * committed manifest; only a legacy table (predating the bucket
+    * record) needs `--graph-buckets`.
+    */
+  private def rebucket(flags: Map[String, String]): Unit = {
+    val spark = session(flags, "graft-cli-rebucket")
+    val workDir = req(flags, "work-dir")
+    val newN = req(flags, "new-buckets").toInt
+    require(newN > 0, s"--new-buckets must be positive\n$usage")
+    val tag = req(flags, "update-tag").toLong
+    val graphRoot = s"$workDir/graph"
+    val probe = GraphTables.edges(spark, graphRoot)
+    require(probe.exists,
+      s"no edge table under $graphRoot — check --work-dir\n$usage")
+    val oldN = probe.latestVersion.flatMap(probe.recordedBuckets)
+      .orElse(flags.get("graph-buckets").map(_.toInt))
+      .getOrElse(sys.error("this table predates the manifest bucket " +
+        s"record — pass its true count via --graph-buckets\n$usage"))
+    def one(open: (SparkSession, String, Int) => graft.snapshot.SnapshotTable,
+            name: String): Unit = {
+      val src = open(spark, graphRoot, oldN)
+      if (src.exists) {
+        val rows = src.read()
+        open(spark, graphRoot, newN).commit(rows, tag)
+        System.err.println(s"[rebucket] $name: $oldN -> $newN buckets")
+      }
+    }
+    one(GraphTables.nodes(_, _, _), "nodes")
+    one(GraphTables.edges(_, _, _), "edges")
+    val idxDir = java.nio.file.Paths.get(graphRoot, "edge_index")
+    if (java.nio.file.Files.isDirectory(idxDir)) {
+      // the index's bucket arithmetic AND its coverage record are tied
+      // to the old count — rebuild from scratch, never patch in place
+      import scala.jdk.CollectionConverters._
+      val paths = {
+        val w = java.nio.file.Files.walk(idxDir)
+        try w.iterator().asScala.toList finally w.close()
+      }
+      paths.sorted.reverse.foreach(p => java.nio.file.Files.delete(p))
+      val idx = graft.merge.EdgeEndpointIndex(spark, graphRoot, newN)
+      idx.rebuild(tag)
+      System.err.println(s"[rebucket] edge_index rebuilt at $newN buckets, " +
+        s"covered edge version ${idx.coveredEdgeVersion.getOrElse(-1L)}")
+    }
   }
 
   /** Parse `--params K=V,K2=V2` — shared by sync (up-front validation)

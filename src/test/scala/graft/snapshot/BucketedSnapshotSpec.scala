@@ -98,4 +98,46 @@ class BucketedSnapshotSpec extends SparkSpecBase {
       .select("lastupdated").head().getLong(0)
     assert(v1p3 === 100L)
   }
+
+  test("manifest records the bucket count; a mismatched open fails fast on every SCOPED path, full reads and full commits stay layout-blind") {
+    val root = tmp()
+    val t8 = SnapshotTable(spark, s"$root/t", Some("label"),
+      Some(BucketSpec(Seq("id"), 8)))
+    val rows = (0 until 40).map(i => ("L", s"id$i", i.toLong))
+      .toDF("label", "id", "v")
+    t8.commit(rows, 1L)
+    assert(t8.recordedBuckets(1L) === Some(8))
+
+    val t4 = SnapshotTable(spark, s"$root/t", Some("label"),
+      Some(BucketSpec(Seq("id"), 4)))
+    // scoped read path (physicalValuesOf feeds readPhysical) fails fast
+    val e1 = intercept[IllegalArgumentException] {
+      t4.physicalValuesOf(rows.limit(1))
+    }
+    assert(e1.getMessage.contains("8 buckets"))
+    // scoped commit path fails fast
+    val e2 = intercept[IllegalArgumentException] {
+      t4.commitPhysical(rows.limit(1), 2L, Seq("L~b0"))
+    }
+    assert(e2.getMessage.contains("8 buckets"))
+    // full read is layout-blind (manifest dirs, no arithmetic)
+    assert(t4.read().count() === 40)
+
+    // a FULL commit under the new count IS the re-bucket: it rewrites
+    // every partition and re-records the layout…
+    val v2 = t4.commit(t4.read(), 3L)
+    assert(t4.recordedBuckets(v2) === Some(4))
+    assert(t4.read().count() === 40)
+    // …after which the OLD instance is the mismatched one
+    intercept[IllegalArgumentException] { t8.physicalValuesOf(rows.limit(1)) }
+    // and time travel to the pre-rebucket layout still reads fine
+    assert(t4.readVersion(1L).count() === 40)
+
+    // legacy manifests (no bucket record) pass — the check is advisory
+    // until the first recorded commit
+    val mf = Paths.get(s"$root/t", "_manifest", s"v$v2.json")
+    Files.writeString(mf,
+      Files.readString(mf).replaceAll(""","buckets":4""", ""))
+    assert(t8.physicalValuesOf(rows.limit(1)).nonEmpty)
+  }
 }

@@ -391,6 +391,51 @@ class CliSpec extends SparkSpecBase {
     assert(idx.soundForDetach, "rebuild must restore DETACH coverage")
   }
 
+  test("cli: rebucket evolves the layout — rows preserved, new count recorded and enforced, index rebuilt sound") {
+    val in = tmp("cliin11")
+    val work = tmp("cliwork11")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100", "--edge-index", "true"))
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("label", "id", "firstseen", "lastupdated")
+      .collect().map(_.toString).sorted.toSeq
+    val nodesBefore = keyed(GraphTables.nodes(spark, s"$work/graph").read())
+    val edgesBefore = GraphTables.edges(spark, s"$work/graph").read()
+      .selectExpr("src_id", "rel_label", "dst_id")
+      .collect().map(_.toString).sorted.toSeq
+
+    GraftCli.main(Array("rebucket", "--work-dir", work,
+      "--new-buckets", "3", "--update-tag", "200"))
+
+    // rows byte-equal across the layout change
+    val nodes3 = GraphTables.nodes(spark, s"$work/graph", buckets = 3)
+    val edges3 = GraphTables.edges(spark, s"$work/graph", buckets = 3)
+    assert(keyed(nodes3.read()) === nodesBefore)
+    assert(edges3.read().selectExpr("src_id", "rel_label", "dst_id")
+      .collect().map(_.toString).sorted.toSeq === edgesBefore)
+    // new layout recorded in the manifests
+    assert(nodes3.latestVersion.flatMap(nodes3.recordedBuckets) === Some(3))
+    assert(edges3.latestVersion.flatMap(edges3.recordedBuckets) === Some(3))
+    // the OLD default-count instance now fails fast on scoped paths
+    val stale = GraphTables.nodes(spark, s"$work/graph")
+    val err = intercept[IllegalArgumentException] {
+      stale.physicalValuesOf(nodes3.read().limit(1))
+    }
+    assert(err.getMessage.contains("3 buckets"))
+    // index rebuilt under the new count and sound for DETACH
+    val idx3 = graft.merge.EdgeEndpointIndex(spark, s"$work/graph", buckets = 3)
+    assert(idx3.soundForDetach, "rebucket must leave the index covering")
+    // an incremental sync at the new count keeps working end-to-end
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "300", "--graph-buckets", "3",
+      "--edge-index", "true"))
+    assert(keyed(nodes3.read()).size === nodesBefore.size)
+    assert(idx3.soundForDetach, "indexed sync at the new count stays covered")
+  }
+
   test("cli: remove-orphans collects an aged abandoned version dir, spares committed state") {
     val in = tmp("cliin7")
     val work = tmp("cliwork7")
