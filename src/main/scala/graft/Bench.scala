@@ -91,14 +91,8 @@ object Bench {
       graft.snapshot.SnapshotTable(spark, s"$work/stage_triples", None).rowCount(), sec)
     // benchmark work dirs are throwaway; leftover GBs destabilize this
     // VM's disk cache and poison later measurements
-    deleteRecursively(new java.io.File(work))
+    graft.snapshot.SnapshotTable.deleteTree(java.nio.file.Paths.get(work))
     out
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val fs = f.listFiles()
-    if (fs != null) fs.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Remove kgbench/kgprof work dirs left behind by killed earlier runs. */
@@ -110,7 +104,8 @@ object Bench {
       val p = it.next()
       val n = p.getFileName.toString
       if (n.startsWith("kgbench") || n.startsWith("kgprof"))
-        try deleteRecursively(p.toFile) catch { case _: Exception => () }
+        try graft.snapshot.SnapshotTable.deleteTree(p)
+        catch { case _: Exception => () }
     }
   }
 

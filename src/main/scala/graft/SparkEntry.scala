@@ -63,6 +63,8 @@ object SparkEntry {
     "qkg12_components" -> (KgOps.qkg12Components _),
     "qkg13_ppr" -> (KgOps.qkg13Ppr _),
     "qkg14_hits" -> (KgOps.qkg14Hits _),
+    "qkg15_bfs" -> (KgOps.qkg15Bfs _),
+    "qkg16_related" -> (KgOps.qkg16Related _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
@@ -496,6 +498,11 @@ object SparkEntry {
     // max is order-free and the sums are contributor-sorted folds, so
     // both doubles per entity are bit-identical
     "qkg14_hits" -> KgOps.hitsOracle,
+    // qkg15: BFS seed distances — recursive CTE with MIN(dist), integer-exact
+    "qkg15_bfs" -> KgOps.bfsOracle,
+    // qkg16: shared-neighbor Jaccard relatedness (hub cap 8 is proven
+    // semantics: the oracle excludes super-hub shared neighbors too)
+    "qkg16_related" -> KgOps.relatedOracle,
     // qkg12: weakly-connected components of the canonical triple graph,
     // oracle = recursive-CTE label propagation to the min entity id
     // (the qdd3/qann5 pattern over the qkg10 edge set)
@@ -674,6 +681,7 @@ object SparkEntry {
       """WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
         |m AS (SELECT d,
         |  CASE WHEN d % 2 = 0 THEN 'HTTP' ELSE 'https' END AS scheme_m,
+        |  CASE WHEN d % 11 = 0 THEN 'UsEr@' ELSE '' END AS ui_m,
         |  'ExAmple' || CAST(d % 100 AS VARCHAR) || '.CoM' AS host_m,
         |  CASE WHEN d % 3 = 0 THEN (CASE WHEN d % 2 = 0 THEN ':80' ELSE ':443' END)
         |       WHEN d % 3 = 1 THEN ':8080' ELSE '' END AS port_m,
@@ -685,8 +693,8 @@ object SparkEntry {
         |  CASE WHEN d % 5 = 0 THEN '#Frag' ELSE '' END AS frag_m
         | FROM d0)
         |SELECT d AS doc_id,
-        |  scheme_m || '://' || host_m || port_m || path_m || query_m || frag_m AS raw_url,
-        |  lower(scheme_m) || '://example' || CAST(d % 100 AS VARCHAR) || '.com'
+        |  scheme_m || '://' || ui_m || host_m || port_m || path_m || query_m || frag_m AS raw_url,
+        |  lower(scheme_m) || '://' || ui_m || 'example' || CAST(d % 100 AS VARCHAR) || '.com'
         |    || (CASE WHEN d % 3 = 1 THEN ':8080' ELSE '' END)
         |    || (CASE WHEN d % 7 IN (0, 1) THEN '' ELSE '/P' || CAST(d AS VARCHAR) END)
         |    || (CASE WHEN d % 4 IN (0, 2) THEN '?id=' || CAST(d AS VARCHAR) ELSE '' END)

@@ -248,7 +248,11 @@ object Analytics {
         val raw = ids.join(summed, Seq("id"), "left")
           .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
           .localCheckpoint(true)
-        val mx = raw.agg(max(col("s"))).head.getDouble(0)
+        val mxRow = raw.agg(max(col("s"))).head
+        // max over zero rows is null — surface "empty node set" as the
+        // precondition it is, not a NullPointerException at getDouble
+        require(!mxRow.isNullAt(0), "hits needs a non-empty node set")
+        val mx = mxRow.getDouble(0)
         require(mx > 0.0, "hits needs at least one edge between the nodes")
         raw.select(col("id"), (col("s") / mx).as(outCol))
       }
@@ -266,6 +270,124 @@ object Analytics {
     } finally {
       e.unpersist(); ids.unpersist(): Unit
     }
+  }
+
+  /** Minimum-hop BFS distances from a seed set over DIRECTED edges —
+    * the exact-hop companion to [[personalizedPageRank]] ("which
+    * entities are WITHIN k hops of these", where PPR answers "which are
+    * most related"). Integer-exact, so bit-reproducibility is free: a
+    * node's distance is the index of the first frontier that reaches
+    * it, and level-synchronous expansion makes that the minimum hop
+    * count by construction — no floating point, no fold ordering.
+    *
+    * Scale shape: per level, one frontier⋈edges shuffle (proportional
+    * to the frontier's out-edges, never the graph) plus an anti-join
+    * against the visited set; state is (id, dist) pairs, never edges.
+    * `maxHops` bounds the loop; the loop also exits early on an empty
+    * frontier. Each level's frontier and the growing visited set are
+    * persisted (every later level re-references them) and released
+    * before returning, like [[pageRankCore]].
+    *
+    * Returns (id, dist) for REACHED nodes only — unreachable entities
+    * are absent, not sentinel-valued (the caller left-joins if it wants
+    * a dense vector). Seeds outside the node set are ignored.
+    */
+  def bfsDistances(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.toDF("src", "dst").distinct().persist()
+    val ids = nodes.toDF("id").persist()
+    val retained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var visited = ids.join(seeds.toDF("id").distinct(), Seq("id"), "left_semi")
+        .select(col("id"), lit(0).as("dist")).persist()
+      retained += visited
+      var frontier = visited
+      var hop = 0
+      var done = frontier.isEmpty
+      while (hop < maxHops && !done) {
+        hop += 1
+        val next = frontier
+          .join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id"), lit(hop).as("dist"))
+          .distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .join(ids, Seq("id"), "left_semi")
+          .persist()
+        retained += next
+        if (next.isEmpty) done = true
+        else {
+          visited = visited.unionByName(next).persist()
+          retained += visited
+          frontier = next
+        }
+      }
+      visited.localCheckpoint(true)
+    } finally {
+      e.unpersist(); ids.unpersist()
+      retained.foreach(_.unpersist(): Unit)
+    }
+  }
+
+  /** Entity relatedness by shared neighbors — integer-exact Jaccard
+    * over UNDIRECTED neighbor sets, the classic link-prediction /
+    * "entities like this one" primitive:
+    *
+    *   score(a,b) = |N(a)∩N(b)| · 10⁶ div |N(a)∪N(b)|
+    *
+    * for unordered pairs (a < b) sharing ≥ 1 counted neighbor. Integer
+    * scaling instead of a double ratio for the same reason as
+    * [[graft.text.TextStats.distinctiveTerms]]: div is bit-reproducible
+    * across engines, so the driver can value-hash every score.
+    *
+    * `maxHubDegree` is SEMANTICS, not hidden truncation: a neighbor
+    * whose degree exceeds it does not count toward the intersection (a
+    * super-node connects everything to everything and carries no
+    * relatedness signal — the stop-word of link prediction; discarding
+    * super-hubs is standard there). It is also what makes the wedge
+    * join survive a Zipf head: the fan-out through any shared neighbor
+    * is capped at maxHubDegree², where an uncapped 10⁶-degree hub would
+    * emit 10¹² wedges onto one key. Union sizes use FULL degrees, so
+    * the score only ever under-states hub-mediated similarity.
+    *
+    * Scale shape: adjacency + degree aggregation (one shuffle), wedge
+    * self-join keyed on the shared neighbor (bounded per key by the
+    * cap), count-aggregate keyed on the pair. Nothing collects to the
+    * driver.
+    */
+  def neighborJaccard(edges: DataFrame, maxHubDegree: Int): DataFrame = {
+    require(maxHubDegree >= 1, "maxHubDegree must be >= 1")
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val (cu, cv) = (col(cols(0)), col(cols(1)))
+    val und = edges
+      .select(least(cu, cv).as("a"), greatest(cu, cv).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().persist()
+    try {
+      val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+        .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      val deg = adj.groupBy("x").agg(count(lit(1)).as("d")).persist()
+      try {
+        val counted = adj.join(
+          deg.filter(col("d") <= maxHubDegree).select(col("x").as("nbr")),
+          Seq("nbr"), "left_semi")
+        val wedges = counted.select(col("x").as("ea"), col("nbr"))
+          .join(counted.select(col("x").as("eb"), col("nbr")), "nbr")
+          .filter(col("ea") < col("eb"))
+        val common = wedges.groupBy("ea", "eb")
+          .agg(count(lit(1)).as("common_cnt"))
+        common
+          .join(deg.select(col("x").as("ea"), col("d").as("da")), "ea")
+          .join(deg.select(col("x").as("eb"), col("d").as("db")), "eb")
+          .select(col("ea").as("entity_a"), col("eb").as("entity_b"),
+            col("common_cnt"),
+            (col("da") + col("db") - col("common_cnt")).as("union_cnt"),
+            expr("common_cnt * CAST(1000000 AS BIGINT) div " +
+              "(da + db - common_cnt)").as("score"))
+          .localCheckpoint(true)
+      } finally deg.unpersist(): Unit
+    } finally und.unpersist(): Unit
   }
 
   /** Uniform teleport base: rank_0 = 1/n, base = (1-d)/n for every node. */

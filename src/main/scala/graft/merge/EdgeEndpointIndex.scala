@@ -231,16 +231,25 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * predates the index. One full edge scan, by design.
     *
     * A rebuild is where a WRONG bucket count would first take hold
-    * (adoption has no recorded count yet), so the claimed layout is
-    * validated against the disk BOTH ways before anything commits:
-    * every on-disk bucket index must be < n (catches claiming fewer
-    * buckets than the graph has), and every RECOMPUTED edge_pv must name
-    * an on-disk partition (catches claiming more — rows would hash to
-    * partition names that don't exist).
+    * (adoption has no recorded count yet), so the claimed count is
+    * validated against the EDGE table's own manifest record — not the
+    * index's coverage record, which is legitimately stale after the
+    * graph was re-bucketed via full commits (rebuild is exactly how the
+    * index adopts the new count; checking coverage here would wedge it
+    * permanently). Legacy edge manifests (no record) fall through to the
+    * on-disk two-way validation below: every on-disk bucket index must
+    * be < n (catches claiming fewer buckets than the graph has), and
+    * every RECOMPUTED edge_pv must name an on-disk partition (catches
+    * claiming more — rows would hash to partition names that don't
+    * exist).
     */
   def rebuild(updateTag: Long): Unit =
     if (edges.exists) {
-      requireBucketsMatch()
+      edges.latestVersion.flatMap(edges.recordedBuckets).foreach { r =>
+        require(r == myBuckets,
+          s"edge table is laid out with $r buckets but this index " +
+            s"claims $myBuckets — pass the graph's true --graph-buckets")
+      }
       val rows = indexRows(edges.read()).persist()
       try {
         val onDisk = edges.partitionsOf(edges.latestVersion.get).keySet

@@ -126,6 +126,9 @@ object DataOps {
     val d = col("doc_id")
     val ds = d.cast("string")
     val scheme = when(d % 2 === 0, "HTTP").otherwise("https")
+    // userinfo is case-SENSITIVE (RFC 3986 §6.2.2.1 lowers only scheme +
+    // host) — planted mixed-case so the oracle proves it survives intact
+    val userinfo = when(d % 11 === 0, "UsEr@").otherwise("")
     val host = concat(lit("ExAmple"), (d % 100).cast("string"), lit(".CoM"))
     val port = when(d % 3 === 0, when(d % 2 === 0, ":80").otherwise(":443"))
       .when(d % 3 === 1, ":8080").otherwise("")
@@ -136,7 +139,8 @@ object DataOps {
       .when(d % 4 === 2, concat(lit("?id="), ds))
       .otherwise("")
     val frag = when(d % 5 === 0, "#Frag").otherwise("")
-    val raw = concat(scheme, lit("://"), host, port, path, query, frag)
+    val raw = concat(scheme, lit("://"), userinfo, host, port, path, query,
+      frag)
     TextStats.docs(spark, sfDir)
       .select(col("doc_id"), raw.as("raw_url"),
         TextStats.canonicalizeUrl(raw).as("url"))

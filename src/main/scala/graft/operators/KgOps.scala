@@ -397,6 +397,80 @@ object KgOps {
        |FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY entity_id""".stripMargin
   }
 
+  /** Minimum-hop BFS distances from the qkg13 seed set (every 50th
+    * canonical entity) over the triple graph, capped at 4 hops — the
+    * exact-hop "within k hops of THESE" companion to PPR's soft
+    * relatedness. Integer distances, so the value oracle (a recursive
+    * CTE replaying level-bounded expansion with MIN(dist)) is exact by
+    * construction. Unreachable entities are absent on both sides.
+    */
+  def qkg15Bfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    val seeds = nodes.filter(
+      pmod(substring(col("canonical_id"), 2, 10).cast("int"), lit(50)) === 0)
+    graft.graph.Analytics.bfsDistances(edges, nodes, seeds, maxHops = 4)
+      .select(col("id").as("entity_id"), col("dist"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg15: recursive CTE from the same seeds, hop
+    * bound in the recursion guard, BFS distance = MIN over discovered
+    * (id, dist) pairs — integer-exact on both engines.
+    */
+  def bfsOracle: String =
+    s"""${tripleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+       |seeds AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k) WHERE k % 50 = 0),
+       |d(id, dist) AS (
+       |  SELECT id, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.id
+       |  WHERE d.dist < 4)
+       |SELECT id AS entity_id, MIN(dist) AS dist FROM d
+       |GROUP BY id ORDER BY entity_id""".stripMargin
+
+  /** Entity relatedness by shared neighbors over the triple graph
+    * ([[graft.graph.Analytics.neighborJaccard]], hub cap 8): unordered
+    * entity pairs scored by integer-scaled Jaccard of their undirected
+    * neighbor sets. The cap is part of the proven semantics — the
+    * oracle excludes super-hub shared neighbors exactly the same way.
+    */
+  def qkg16Related(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    graft.graph.Analytics.neighborJaccard(edges, maxHubDegree = 8)
+      .orderBy("entity_a", "entity_b")
+  }
+
+  /** DuckDB oracle for qkg16: the same adjacency/degree/wedge algebra
+    * in SQL — counts are integers and the score uses integer div, so
+    * every row value-hashes.
+    */
+  def relatedOracle: String =
+    s"""$tripleCte,
+       |eg AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS u,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS v FROM cz),
+       |und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |        FROM eg WHERE u <> v),
+       |adj AS (SELECT a AS x, b AS nbr FROM und
+       |        UNION ALL SELECT b AS x, a AS nbr FROM und),
+       |deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY 1),
+       |cnt AS (SELECT x AS nbr FROM deg WHERE d <= 8),
+       |w AS (SELECT l.x AS a, r.x AS b, COUNT(*) AS common_cnt
+       |      FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.x < r.x
+       |      JOIN cnt c ON c.nbr = l.nbr
+       |      GROUP BY 1, 2)
+       |SELECT w.a AS entity_a, w.b AS entity_b, w.common_cnt,
+       |  da.d + db.d - w.common_cnt AS union_cnt,
+       |  w.common_cnt * CAST(1000000 AS BIGINT)
+       |    // (da.d + db.d - w.common_cnt) AS score
+       |FROM w JOIN deg da ON da.x = w.a JOIN deg db ON db.x = w.b
+       |ORDER BY entity_a, entity_b""".stripMargin
+
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +
     * maxFilesPerTrigger=1 (so the run takes MULTIPLE micro-batches), and

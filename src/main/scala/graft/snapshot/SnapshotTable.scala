@@ -130,8 +130,11 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     // record the bucket arithmetic this version was laid out with —
     // BucketSpec is caller-supplied per open, so without the record a
     // mistyped count on a later open computes bucket names that don't
-    // match the files and scoped reads/commits silently miss data
-    bucket.foreach(b => root.put("buckets", b.n): Unit)
+    // match the files and scoped reads/commits silently miss data.
+    // Unbucketed layouts record 0 (not nothing): an absent field must
+    // mean ONLY "legacy manifest", or a bucketed open over an unbucketed
+    // layout would pass the guard and silently miss every partition
+    root.put("buckets", bucket.map(_.n).getOrElse(0)): Unit
     val p = root.putObject("partitions")
     parts.toSeq.sortBy(_._1).foreach { case (k, d) => p.put(k, d): Unit }
     val tmp = manifestDir.resolve(s".v$v.json.tmp")
@@ -155,8 +158,8 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
     SnapshotTable.mapper.readTree(Files.readString(manifestPath(v)))
       .get("updateTag").asLong()
 
-  /** Bucket count version `v` was committed with (None: unbucketed, or a
-    * legacy manifest that predates the record).
+  /** Bucket count version `v` was committed with (0: unbucketed; None:
+    * a legacy manifest that predates the record).
     */
   def recordedBuckets(v: Long): Option[Int] =
     Option(SnapshotTable.mapper.readTree(Files.readString(manifestPath(v)))
@@ -360,10 +363,6 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
 
   // ---- maintenance --------------------------------------------------------
 
-  private def deleteTree(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteTree)
-    Files.deleteIfExists(p): Unit
-  }
 
   /** Iceberg `expire_snapshots` analog: retain the newest `keepLast`
     * versions, delete older manifests, then delete every data directory
@@ -419,7 +418,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
           listDir(vdir).foreach { child =>
             val rel = s"data/$vname/${child.getFileName}"
             if (Files.isDirectory(child) && !referenced(rel)) {
-              deleteTree(child)
+              SnapshotTable.deleteTree(child)
               deleted += rel: Unit
             }
           }
@@ -475,7 +474,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
       // only recognizably-versioned dirs ABOVE the committed ceiling are
       // orphan candidates; everything else is expireVersions' territory
       if (vNum.exists(_ > ceiling) && newestMtime(vdir) < now - olderThanMillis) {
-        deleteTree(vdir)
+        SnapshotTable.deleteTree(vdir)
         deleted += s"data/$vname": Unit
       }
     }
@@ -508,6 +507,20 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
 
 object SnapshotTable {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Recursive delete with the stream CLOSED per directory (`Files.list`
+    * holds a file descriptor until GC) — the one filesystem-deletion
+    * helper, shared by expire/orphan maintenance and the CLI's rebucket
+    * index drop so there is a single idiom to keep correct.
+    */
+  def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val kids = try s.iterator().asScala.toSeq finally s.close()
+      kids.foreach(deleteTree)
+    }
+    Files.deleteIfExists(p): Unit
+  }
 
   def apply(spark: SparkSession, root: String,
             partitionCol: Option[String] = None,

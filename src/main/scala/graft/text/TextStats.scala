@@ -211,8 +211,9 @@ object TextStats {
     * content hash). Rules, in order:
     *
     *  1. strip the `#fragment`;
-    *  2. lowercase scheme + authority (host:port) — the path and query
-    *     stay case-SENSITIVE, per RFC 3986 §6.2.2.1;
+    *  2. lowercase scheme + host:port — userinfo (`user:pw@`, split at
+    *     the authority's LAST `@`, the only one RFC 3986 permits), path
+    *     and query stay case-SENSITIVE, per RFC 3986 §6.2.2.1;
     *  3. drop scheme-default ports (`http…:80`, `https…:443`);
     *  4. drop `utm_*` tracking params (exact split/filter/rejoin over
     *     `&`, not regex passes — adjacent params need no fixpoint), and
@@ -235,7 +236,17 @@ object TextStats {
     val scheme = "[A-Za-z][A-Za-z0-9+.-]*"
     val f = regexp_replace(u, "#.*", "")
     val prefix = regexp_extract(f, s"^($scheme://[^/?#]*)", 1)
-    val lowered = concat(lower(prefix), f.substr(length(prefix) + 1, length(f)))
+    // prefix = schemePart + userinfo@ + host:port; only the first and
+    // last case-normalize (userinfo is case-sensitive credential data —
+    // lowering it would falsely merge URLs differing only there). The
+    // greedy `[^/?#]*@` stops at the authority's last `@`; all parts are
+    // empty on schemeless input, leaving it untouched as before.
+    val schemePart = regexp_extract(prefix, s"^($scheme://)", 1)
+    val userinfo = regexp_extract(prefix, s"^$scheme://([^/?#]*@)", 1)
+    val hostPort = prefix.substr(
+      length(schemePart) + length(userinfo) + 1, length(prefix))
+    val lowered = concat(lower(schemePart), userinfo, lower(hostPort),
+      f.substr(length(prefix) + 1, length(f)))
     val p1 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2")
     val p2 = regexp_replace(p1, "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
     val qpos = instr(p2, "?")

@@ -234,12 +234,7 @@ object GraftCli {
     if (java.nio.file.Files.isDirectory(idxDir)) {
       // the index's bucket arithmetic AND its coverage record are tied
       // to the old count — rebuild from scratch, never patch in place
-      import scala.jdk.CollectionConverters._
-      val paths = {
-        val w = java.nio.file.Files.walk(idxDir)
-        try w.iterator().asScala.toList finally w.close()
-      }
-      paths.sorted.reverse.foreach(p => java.nio.file.Files.delete(p))
+      graft.snapshot.SnapshotTable.deleteTree(idxDir)
       val idx = graft.merge.EdgeEndpointIndex(spark, graphRoot, newN)
       idx.rebuild(tag)
       System.err.println(s"[rebucket] edge_index rebuilt at $newN buckets, " +

@@ -340,6 +340,112 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  /** Local reference BFS: level-synchronous, same node-set filtering. */
+  private def refBfs(edges: Seq[(String, String)], nodes: Seq[String],
+                     seeds: Seq[String], maxHops: Int): Map[String, Int] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val inSet = nodes.toSet
+    var dist = seeds.filter(inSet).distinct.map(_ -> 0).toMap
+    var frontier = dist.keySet
+    var hop = 0
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .filter(inSet).diff(dist.keySet)
+      dist ++= next.map(_ -> hop)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsDistances: random digraphs match the reference BFS exactly (10 cases); off-set seeds ignored; hop cap respected") {
+    val rnd = new scala.util.Random(77)
+    (1 to 10).foreach { k =>
+      val n = 2 + rnd.nextInt(20)
+      val nodes = (0 until n).map(i => s"n$i")
+      val edges = (0 until n * 2).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      // at least one real seed, plus one OUTSIDE the node set (ignored)
+      val seeds = (nodes.filter(_ => rnd.nextBoolean()).take(3) :+
+        nodes.head) :+ "zz_not_a_node"
+      val maxHops = rnd.nextInt(5)
+      val got = Analytics.bfsDistances(edges.toDF("src", "dst"),
+          nodes.toDF("id"), seeds.toDF("id"), maxHops)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got === refBfs(edges, nodes, seeds, maxHops), s"case $k")
+      assert(got.values.forall(_ <= maxHops), s"case $k hop cap")
+    }
+  }
+
+  test("bfsDistances: empty seed set yields an empty result, not an error") {
+    val got = Analytics.bfsDistances(Seq(("a", "b")).toDF("src", "dst"),
+      Seq("a", "b").toDF("id"), Seq.empty[String].toDF("id"), maxHops = 3)
+    assert(got.count() === 0)
+  }
+
+  /** Local reference shared-neighbor Jaccard with the hub-degree cap. */
+  private def refJaccard(edges: Seq[(String, String)], cap: Int)
+      : Set[(String, String, Long, Long, Long)] = {
+    val und = edges.map { case (u, v) => if (u < v) (u, v) else (v, u) }
+      .filter(p => p._1 != p._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    (for {
+      (a, na) <- adj.toSeq
+      (b, nb) <- adj.toSeq
+      if a < b
+      common = na.intersect(nb).count(x => deg(x) <= cap)
+      if common > 0
+      union = deg(a) + deg(b) - common
+    } yield (a, b, common.toLong, union.toLong,
+        common.toLong * 1000000L / union)).toSet
+  }
+
+  test("neighborJaccard: random graphs match the brute-force reference (8 cases)") {
+    val rnd = new scala.util.Random(31)
+    (1 to 8).foreach { k =>
+      val n = 3 + rnd.nextInt(15)
+      val edges = (0 until n * 3).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val cap = 1 + rnd.nextInt(6)
+      val got = Analytics.neighborJaccard(edges.toDF("u", "v"), cap)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === refJaccard(edges, cap), s"case $k (cap $cap)")
+    }
+  }
+
+  test("neighborJaccard: a shared neighbor above the hub cap stops counting — hub-only pairs vanish, mixed pairs keep their non-hub overlap") {
+    // h is a 12-degree super-hub; x,y share BOTH h and the normal node m
+    // and are directly linked; s0..s9 share ONLY h
+    val edges = (0 until 10).map(i => ("h", s"s$i")) ++
+      Seq(("x", "h"), ("y", "h"), ("x", "m"), ("y", "m"), ("x", "y"))
+    val got = Analytics.neighborJaccard(edges.toDF("u", "v"), maxHubDegree = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // no pair mediated ONLY by h survives
+    assert(!got.keys.exists { case (a, b) => a.startsWith("s") && b.startsWith("s") })
+    // x,y keep exactly their m overlap (h excluded), never the hub one
+    assert(got(("x", "y")) === 1L)
+    // parity with the reference under the same cap
+    val want = refJaccard(edges, 8).map(t => (t._1, t._2) -> t._3).toMap
+    assert(got === want)
+  }
+
+  test("hits: empty node set and edge-free node set both fail with the precondition message, not an NPE") {
+    val empty = intercept[IllegalArgumentException] {
+      Analytics.hits(Seq(("a", "b")).toDF("src", "dst"),
+        Seq.empty[String].toDF("id"), iterations = 1)
+    }
+    assert(empty.getMessage.contains("non-empty node set"), empty.getMessage)
+    val noEdges = intercept[IllegalArgumentException] {
+      Analytics.hits(Seq(("x", "y")).toDF("src", "dst"),
+        Seq("a", "b").toDF("id"), iterations = 1)
+    }
+    assert(noEdges.getMessage.contains("at least one edge"), noEdges.getMessage)
+  }
+
   test("hits: bit-stable across partitionings; max hub and max auth are exactly 1.0") {
     val nodes = (0 until 50).map(i => s"n$i")
     val edges = (0 until 200).map(i => (s"n${i % 50}", s"n${(i * 7 + 3) % 50}"))

@@ -154,6 +154,27 @@ class EdgeIndexSpec extends SparkSpecBase {
     assert(right.soundForDetach, "the correctly-bucketed index is untouched")
   }
 
+  test("rebuild adopts a NEW bucket count after the graph was re-bucketed via full commits") {
+    val root = Files.createTempDirectory("ixh").toString
+    val (nodes, edges, Some(ix)) = buildGraph(root, withIndex = true): @unchecked
+    assert(ix.soundForDetach)
+    // re-bucket nodes+edges the way SnapshotTable's own error message
+    // prescribes: a full commit under the new arithmetic
+    val newN = 16
+    GraphTables.nodes(spark, root, newN).commit(nodes.read(), 300L)
+    GraphTables.edges(spark, root, newN).commit(edges.read(), 300L)
+    // the old-count index reads unsound (recorded count gate)…
+    assert(!ix.soundForDetach)
+    // …and index-rebuild at the graph's TRUE new count must heal it —
+    // the index's stale coverage record must not wedge adoption
+    val adopted = EdgeEndpointIndex(spark, root, newN)
+    adopted.rebuild(300L)
+    assert(adopted.soundForDetach, "rebuild at the true new count must re-cover")
+    // a rebuild claiming the OLD count now fails against the edge manifest
+    val e = intercept[IllegalArgumentException](ix.rebuild(400L))
+    assert(e.getMessage.contains("graph-buckets"), e.getMessage)
+  }
+
   test("a crashed indexed write cannot pre-claim a version a later un-indexed commit takes") {
     val root = Files.createTempDirectory("ixf").toString
     val (_, edges, Some(ix)) = buildGraph(root, withIndex = true): @unchecked

@@ -99,6 +99,29 @@ class BucketedSnapshotSpec extends SparkSpecBase {
     assert(v1p3 === 100L)
   }
 
+  test("a bucketed open over an UNBUCKETED layout fails fast — unbucketed commits record 0, not nothing") {
+    val root = tmp()
+    val flat = SnapshotTable(spark, s"$root/t", Some("label"))
+    val rows = (0 until 10).map(i => ("L", s"id$i", i.toLong))
+      .toDF("label", "id", "v")
+    flat.commit(rows, 1L)
+    assert(flat.recordedBuckets(1L) === Some(0))
+    // without the 0 record this open would compute 'L~b3'-style names,
+    // read nothing, and carry every real partition forward — the silent
+    // miss the manifest record exists to prevent
+    val b8 = SnapshotTable(spark, s"$root/t", Some("label"),
+      Some(BucketSpec(Seq("id"), 8)))
+    val e = intercept[IllegalArgumentException] {
+      b8.physicalValuesOf(rows.limit(1))
+    }
+    assert(e.getMessage.contains("0 buckets"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      b8.commitPhysical(rows.limit(1), 2L, Seq("L"))
+    }
+    // the matching unbucketed instance keeps working
+    assert(flat.physicalValuesOf(rows).nonEmpty)
+  }
+
   test("manifest records the bucket count; a mismatched open fails fast on every SCOPED path, full reads and full commits stay layout-blind") {
     val root = tmp()
     val t8 = SnapshotTable(spark, s"$root/t", Some("label"),

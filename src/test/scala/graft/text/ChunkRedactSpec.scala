@@ -60,7 +60,13 @@ class ChunkRedactSpec extends SparkSpecBase {
       ("http://a.com/redirect/http://b.com/",
         "http://a.com/redirect/http://b.com/"),
       // empty query segments are preserved verbatim (only utm_* drops)
-      ("http://x.com/p?a=1&&b=2", "http://x.com/p?a=1&&b=2"))
+      ("http://x.com/p?a=1&&b=2", "http://x.com/p?a=1&&b=2"),
+      // userinfo is case-SENSITIVE credential data: scheme + host lower,
+      // userinfo intact (RFC 3986 §6.2.2.1 normalizes only scheme/host)
+      ("HTTP://UsEr@ExAmple.CoM:80/Path", "http://UsEr@example.com/Path"),
+      ("https://U:Pw@X.com/a", "https://U:Pw@x.com/a"),
+      // the userinfo split is the authority's LAST '@'
+      ("http://A@B@Host.COM/p", "http://A@B@host.com/p"))
     val got = cases.map(_._1).toDF("u")
       .select(graft.text.TextStats.canonicalizeUrl(col("u")))
       .as[String].collect().toSeq
