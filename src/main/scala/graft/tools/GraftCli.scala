@@ -54,16 +54,47 @@ object GraftCli {
       |  drift     --drift-dir DIR --query NAME [--start REF --end REF]
       |            (legacy: --start FILE --end FILE; REF = shortcut or file)
       |  add-shortcut --drift-dir DIR --query NAME --alias NAME --file REF
+      |
+      |every subcommand also accepts --config FILE: a flat JSON object of
+      |flag-name -> value defaults; explicit --flags override file entries
       |""".stripMargin
 
-  /** `--key value` pairs -> map; unknown/malformed flags fail fast. */
+  /** `--flag value` pairs, optionally seeded from `--config FILE` — the
+    * reference's config-object pattern (cartography/config.py builds one
+    * object from 63 CLI flags; cartography/cli.py lets ops keep them in
+    * files). FILE is a flat JSON object keyed by the SAME names as the
+    * flags (no leading dashes); explicit command-line flags override
+    * file entries, so a shared base config composes with per-run
+    * overrides. Unknown keys fail fast exactly like unknown flags do —
+    * each subcommand's `req`/`get` surface is the schema.
+    */
   private def parseFlags(args: Seq[String]): Map[String, String] = {
     require(args.size % 2 == 0, s"dangling flag in: ${args.mkString(" ")}\n$usage")
-    args.grouped(2).map {
+    val cli = args.grouped(2).map {
       case Seq(k, v) =>
         require(k.startsWith("--"), s"expected a --flag, got '$k'\n$usage")
         k.stripPrefix("--") -> v
     }.toMap
+    cli.get("config") match {
+      case None => cli
+      case Some(path) =>
+        val p = java.nio.file.Paths.get(path)
+        require(java.nio.file.Files.isRegularFile(p),
+          s"--config $path does not exist\n$usage")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        require(root.isObject, s"--config $path must be a flat JSON object")
+        val fromFile = Map.newBuilder[String, String]
+        val it = root.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          require(e.getValue.isValueNode,
+            s"--config $path: key '${e.getKey}' must be a scalar " +
+              "(flags are strings; nested objects have no flag analog)")
+          fromFile += e.getKey -> e.getValue.asText()
+        }
+        fromFile.result() ++ (cli - "config")
+    }
   }
 
   private def req(flags: Map[String, String], key: String): String =

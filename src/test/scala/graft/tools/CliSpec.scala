@@ -19,6 +19,35 @@ class CliSpec extends SparkSpecBase {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("cli: --config seeds flags from a JSON file; explicit flags override; malformed configs fail fast") {
+    val in = tmp("cliin12")
+    val work = tmp("cliwork12")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    // base config carries the stable flags AND a wrong input — the
+    // command line must win on the clash
+    val cfg = s"$in/base.json"
+    Files.writeString(java.nio.file.Paths.get(cfg),
+      s"""{"dict": "$in/dict", "work-dir": "$work",
+         | "update-tag": "100", "input": "$in/WRONG"}""".stripMargin)
+    GraftCli.main(Array("sync", "--config", cfg, "--input", s"$in/pages"))
+    val nodes = GraphTables.nodes(spark, s"$work/graph")
+    assert(nodes.read().filter(col("label") === "Page").count() === 500L)
+
+    // a missing config file and a nested value both fail fast
+    val missing = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("sync", "--config", s"$in/nope.json"))
+    }
+    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
+    val nested = s"$in/nested.json"
+    Files.writeString(java.nio.file.Paths.get(nested),
+      """{"sync": {"input": "x"}}""")
+    val bad = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("sync", "--config", nested))
+    }
+    assert(bad.getMessage.contains("scalar"), bad.getMessage)
+  }
+
   test("cli: sync -> get-state -> bigger sync -> drift -> expire") {
     val in = tmp("cliin")
     val work = tmp("cliwork")
