@@ -91,7 +91,12 @@ object Bench {
       graft.snapshot.SnapshotTable(spark, s"$work/stage_triples", None).rowCount(), sec)
     // benchmark work dirs are throwaway; leftover GBs destabilize this
     // VM's disk cache and poison later measurements
-    graft.snapshot.SnapshotTable.deleteTree(java.nio.file.Paths.get(work))
+    // best-effort: a cleanup hiccup (straggler task dropping a late file)
+    // must never crash the bench after the measured run completed
+    try graft.snapshot.SnapshotTable.deleteTree(java.nio.file.Paths.get(work))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] work-dir cleanup failed (ignored): $e")
+    }
     out
   }
 

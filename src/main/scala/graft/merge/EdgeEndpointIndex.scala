@@ -236,19 +236,24 @@ final class EdgeEndpointIndex private (val table: SnapshotTable,
     * index's coverage record, which is legitimately stale after the
     * graph was re-bucketed via full commits (rebuild is exactly how the
     * index adopts the new count; checking coverage here would wedge it
-    * permanently). Legacy edge manifests (no record) fall through to the
-    * on-disk two-way validation below: every on-disk bucket index must
-    * be < n (catches claiming fewer buckets than the graph has), and
-    * every RECOMPUTED edge_pv must name an on-disk partition (catches
-    * claiming more — rows would hash to partition names that don't
-    * exist).
+    * permanently). On LEGACY edge manifests (no record) the coverage
+    * record IS still authoritative — any re-bucket would have written a
+    * manifest record, so a legacy table cannot have been re-bucketed —
+    * and is checked as before; both cases are backstopped by the on-disk
+    * two-way validation below: every on-disk bucket index must be < n
+    * (catches claiming fewer buckets than the graph has, which a small
+    * graph's sparse buckets could otherwise slip past), and every
+    * RECOMPUTED edge_pv must name an on-disk partition (catches claiming
+    * more — rows would hash to partition names that don't exist).
     */
   def rebuild(updateTag: Long): Unit =
     if (edges.exists) {
-      edges.latestVersion.flatMap(edges.recordedBuckets).foreach { r =>
-        require(r == myBuckets,
-          s"edge table is laid out with $r buckets but this index " +
-            s"claims $myBuckets — pass the graph's true --graph-buckets")
+      edges.latestVersion.flatMap(edges.recordedBuckets) match {
+        case Some(r) =>
+          require(r == myBuckets,
+            s"edge table is laid out with $r buckets but this index " +
+              s"claims $myBuckets — pass the graph's true --graph-buckets")
+        case None => requireBucketsMatch()
       }
       val rows = indexRows(edges.read()).persist()
       try {

@@ -247,8 +247,12 @@ object TextStats {
       length(schemePart) + length(userinfo) + 1, length(prefix))
     val lowered = concat(lower(schemePart), userinfo, lower(hostPort),
       f.substr(length(prefix) + 1, length(f)))
-    val p1 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2")
-    val p2 = regexp_replace(p1, "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    // optional userinfo before the host — it may contain ':' (user:pw),
+    // which must not be mistaken for the port delimiter
+    val p1 = regexp_replace(lowered,
+      "^(http://(?:[^/?#]*@)?[^/:?#]+):80([/?]|$)", "$1$2")
+    val p2 = regexp_replace(p1,
+      "^(https://(?:[^/?#]*@)?[^/:?#]+):443([/?]|$)", "$1$2")
     val qpos = instr(p2, "?")
     val base = p2.substr(lit(1), qpos - 1)
     val q = p2.substr(qpos + 1, length(p2))

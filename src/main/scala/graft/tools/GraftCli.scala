@@ -65,8 +65,8 @@ object GraftCli {
     * files). FILE is a flat JSON object keyed by the SAME names as the
     * flags (no leading dashes); explicit command-line flags override
     * file entries, so a shared base config composes with per-run
-    * overrides. Unknown keys fail fast exactly like unknown flags do —
-    * each subcommand's `req`/`get` surface is the schema.
+    * overrides. Unknown keys — from either source — are rejected against
+    * the subcommand's [[knownFlags]] schema in [[flagsFor]].
     */
   private def parseFlags(args: Seq[String]): Map[String, String] = {
     require(args.size % 2 == 0, s"dangling flag in: ${args.mkString(" ")}\n$usage")
@@ -113,18 +113,61 @@ object GraftCli {
       case None => Graft.session("local[16]", 16, app)
     }
 
+  /** Accepted flags per subcommand — the argparse-style schema: a typo'd
+    * flag or config key must fail fast, not silently fall back to a
+    * default (`--edgeindex true` running with the index OFF is exactly
+    * the misconfiguration class the reference's argparse rejects).
+    * `--cores` and `--config` are global.
+    */
+  private val knownFlags: Map[String, Set[String]] = {
+    val global = Set("cores", "config")
+    Map(
+      "sync" -> (global ++ Set("input", "dict", "work-dir", "update-tag",
+        "selected-modules", "tenants", "best-effort", "analysis-job-dir",
+        "out", "params", "graph-buckets", "edge-index")),
+      "index-rebuild" -> (global ++ Set("work-dir", "update-tag",
+        "graph-buckets")),
+      "rebucket" -> (global ++ Set("work-dir", "new-buckets", "update-tag",
+        "graph-buckets")),
+      "expire" -> (global ++ Set("work-dir", "keep")),
+      "remove-orphans" -> (global ++ Set("work-dir", "older-than-hours")),
+      "permissions" -> (global ++ Set("input", "id-col", "name-col",
+        "mapping", "out")),
+      "analysis" -> (global ++ Set("work-dir", "job-dir", "out", "params",
+        "update-tag")),
+      "analytics" -> (global ++ Set("work-dir", "out", "rel-labels",
+        "pagerank-iters", "damping", "hits-iters")),
+      "get-state" -> (global ++ Set("work-dir", "drift-dir", "timestamp",
+        "name", "query", "out")),
+      "drift" -> (global ++ Set("drift-dir", "query", "start", "end")),
+      "add-shortcut" -> (global ++ Set("drift-dir", "query", "alias",
+        "file")))
+  }
+
+  /** Parse + validate a subcommand's flags (command line merged over any
+    * `--config` file) against [[knownFlags]].
+    */
+  private def flagsFor(cmd: String, rest: Seq[String]): Map[String, String] = {
+    val flags = parseFlags(rest)
+    val unknown = (flags.keySet -- knownFlags(cmd)).toSeq.sorted
+    require(unknown.isEmpty,
+      s"unknown flag(s) for $cmd: ${unknown.map("--" + _).mkString(", ")}" +
+        s"\n$usage")
+    flags
+  }
+
   def main(args: Array[String]): Unit = args.toSeq match {
-    case "sync" +: rest => sync(parseFlags(rest))
-    case "index-rebuild" +: rest => indexRebuild(parseFlags(rest))
-    case "rebucket" +: rest => rebucket(parseFlags(rest))
-    case "expire" +: rest => expire(parseFlags(rest))
-    case "remove-orphans" +: rest => removeOrphans(parseFlags(rest))
-    case "permissions" +: rest => permissions(parseFlags(rest))
-    case "analysis" +: rest => analysis(parseFlags(rest))
-    case "analytics" +: rest => analytics(parseFlags(rest))
-    case "get-state" +: rest => getState(parseFlags(rest))
-    case "drift" +: rest => drift(parseFlags(rest))
-    case "add-shortcut" +: rest => addShortcut(parseFlags(rest))
+    case "sync" +: rest => sync(flagsFor("sync", rest))
+    case "index-rebuild" +: rest => indexRebuild(flagsFor("index-rebuild", rest))
+    case "rebucket" +: rest => rebucket(flagsFor("rebucket", rest))
+    case "expire" +: rest => expire(flagsFor("expire", rest))
+    case "remove-orphans" +: rest => removeOrphans(flagsFor("remove-orphans", rest))
+    case "permissions" +: rest => permissions(flagsFor("permissions", rest))
+    case "analysis" +: rest => analysis(flagsFor("analysis", rest))
+    case "analytics" +: rest => analytics(flagsFor("analytics", rest))
+    case "get-state" +: rest => getState(flagsFor("get-state", rest))
+    case "drift" +: rest => drift(flagsFor("drift", rest))
+    case "add-shortcut" +: rest => addShortcut(flagsFor("add-shortcut", rest))
     case other => sys.error(s"unknown command: ${other.mkString(" ")}\n$usage")
   }
 

@@ -154,6 +154,34 @@ class EdgeIndexSpec extends SparkSpecBase {
     assert(right.soundForDetach, "the correctly-bucketed index is untouched")
   }
 
+  test("legacy edge manifests (no bucket record) keep the coverage-record guard: a wrong count still cannot rebuild") {
+    val root = Files.createTempDirectory("ixl").toString
+    val (_, _, Some(ix)) = buildGraph(root, withIndex = true): @unchecked
+    assert(ix.soundForDetach)
+    // simulate a pre-record table: strip "buckets" from every edge
+    // manifest (a legacy table cannot have been re-bucketed — rebucket
+    // always writes the record — so the coverage count stays trustworthy)
+    val mdir = java.nio.file.Paths.get(root, "edges", "_manifest")
+    val ms = Files.list(mdir)
+    val manifests = try {
+      import scala.jdk.CollectionConverters._
+      ms.iterator().asScala.toList
+    } finally ms.close()
+    manifests.filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
+      Files.writeString(p, Files.readString(p)
+        .replaceAll(""","buckets":\d+""", ""))
+    }
+    // deliberately small-count claim that could slip past the on-disk
+    // overIndex check on a sparse graph — coverage must still reject it
+    val wrong = EdgeEndpointIndex(spark, root, 8)
+    val e = intercept[IllegalArgumentException](wrong.rebuild(300L))
+    assert(e.getMessage.contains("graph buckets"), e.getMessage)
+    // the true count still rebuilds and stays sound
+    val right = EdgeEndpointIndex(spark, root, buckets)
+    right.rebuild(300L)
+    assert(right.soundForDetach)
+  }
+
   test("rebuild adopts a NEW bucket count after the graph was re-bucketed via full commits") {
     val root = Files.createTempDirectory("ixh").toString
     val (nodes, edges, Some(ix)) = buildGraph(root, withIndex = true): @unchecked

@@ -65,6 +65,10 @@ class ChunkRedactSpec extends SparkSpecBase {
       // userinfo intact (RFC 3986 §6.2.2.1 normalizes only scheme/host)
       ("HTTP://UsEr@ExAmple.CoM:80/Path", "http://UsEr@example.com/Path"),
       ("https://U:Pw@X.com/a", "https://U:Pw@x.com/a"),
+      // the ':' inside user:pw is not the port delimiter — the default
+      // port still drops (and a non-default one still survives)
+      ("https://U:Pw@X.com:443/a", "https://U:Pw@x.com/a"),
+      ("https://U:Pw@X.com:8443/a", "https://U:Pw@x.com:8443/a"),
       // the userinfo split is the authority's LAST '@'
       ("http://A@B@Host.COM/p", "http://A@B@host.com/p"))
     val got = cases.map(_._1).toDF("u")

@@ -46,6 +46,25 @@ class CliSpec extends SparkSpecBase {
       GraftCli.main(Array("sync", "--config", nested))
     }
     assert(bad.getMessage.contains("scalar"), bad.getMessage)
+
+    // a typo'd key — in the FILE or on the COMMAND LINE — fails fast
+    // against the subcommand's flag schema instead of silently running
+    // with the default
+    val typoCfg = s"$in/typo.json"
+    Files.writeString(java.nio.file.Paths.get(typoCfg),
+      s"""{"dict": "$in/dict", "work-dir": "$work",
+         | "update-tag": "300", "input": "$in/pages",
+         | "edgeindex": "true"}""".stripMargin)
+    val typoFile = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("sync", "--config", typoCfg))
+    }
+    assert(typoFile.getMessage.contains("unknown flag(s) for sync: --edgeindex"),
+      typoFile.getMessage)
+    val typoCli = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("expire", "--work-dir", work, "--kep", "2"))
+    }
+    assert(typoCli.getMessage.contains("unknown flag(s) for expire: --kep"),
+      typoCli.getMessage)
   }
 
   test("cli: sync -> get-state -> bigger sync -> drift -> expire") {
