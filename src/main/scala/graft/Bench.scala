@@ -57,7 +57,8 @@ object Bench {
     "q20_exposure_propagation", "qdd2_neardup_allpairs", "qdd4_minhash_lsh",
     "qann1_topk", "qann4_ivf_topk", "qtx1_tokens", "qtx3_langid",
     "qtx6_chunks", "qtx8_bigram_support", "qsp2_stratified",
-    "qmm2_image_dims")
+    "qmm2_image_dims", "qev1_sessionize", "qtx11_repetition",
+    "qdd6_cdc_pairs")
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

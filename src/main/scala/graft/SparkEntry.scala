@@ -65,6 +65,8 @@ object SparkEntry {
     "qkg14_hits" -> (KgOps.qkg14Hits _),
     "qkg15_bfs" -> (KgOps.qkg15Bfs _),
     "qkg16_related" -> (KgOps.qkg16Related _),
+    "qkg17_labelprop" -> (KgOps.qkg17LabelProp _),
+    "qkg18_kcore" -> (KgOps.qkg18KCore _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
@@ -73,6 +75,8 @@ object SparkEntry {
     "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
     "qdd4_minhash_lsh" -> (DataOps.qdd4MinhashLsh _),
     "qdd5_simhash" -> (DataOps.qdd5Simhash _),
+    "qdd6_cdc_pairs" -> (DataOps.qdd6CdcPairs _),
+    "qev1_sessionize" -> (DataOps.qev1Sessionize _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
     "qtx3_langid" -> (DataOps.qtx3LangId _),
@@ -82,6 +86,7 @@ object SparkEntry {
     "qtx7_redact" -> (DataOps.qtx7Redact _),
     "qtx8_bigram_support" -> (DataOps.qtx8BigramSupport _),
     "qtx9_distinctive_terms" -> (DataOps.qtx9DistinctiveTerms _),
+    "qtx11_repetition" -> (DataOps.qtx11Repetition _),
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
@@ -503,6 +508,14 @@ object SparkEntry {
     // qkg16: shared-neighbor Jaccard relatedness (hub cap 8 is proven
     // semantics: the oracle excludes super-hub shared neighbors too)
     "qkg16_related" -> KgOps.relatedOracle,
+    // qkg17: 3 synchronous label-propagation rounds over the co-mention
+    // graph, majority vote with smallest-label ties — integer counts +
+    // string mins, replayed round-for-round by the oracle
+    "qkg17_labelprop" -> KgOps.labelPropOracle,
+    // qkg18: 3-core of the co-mention graph by iterative peeling; the
+    // oracle unrolls 12 rounds (≥ the measured fixpoint depth at every
+    // scale; peeling is idempotent at the fixpoint)
+    "qkg18_kcore" -> KgOps.kCoreOracle,
     // qkg12: weakly-connected components of the canonical triple graph,
     // oracle = recursive-CTE label propagation to the min entity id
     // (the qdd3/qann5 pattern over the qkg10 edge set)
@@ -562,6 +575,54 @@ object SparkEntry {
     "qdd5_simhash" ->
       s"""$dedupCorpusCte, $dedupPairsCte
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // qdd6: CDC chunk dedup — the oracle rebuilds the copy corpus,
+    // replays the boundary-word rule (fold (h*31+c) % 1000003 over the
+    // word's code units, boundary when h % 8 = 0), re-chunks via a
+    // prefix-sum window, and recomputes the df-capped shared-chunk pairs
+    "qdd6_cdc_pairs" ->
+      s"""$dedupCorpusCte,
+         |w AS (SELECT doc_id, r.i AS pos, ws[r.i + 1] AS w
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) c
+         |      JOIN range(0, 100000) r(i) ON r.i < len(ws)),
+         |h AS (SELECT doc_id, pos, w,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(w, ''),
+         |            ch -> CAST(unicode(ch) AS BIGINT))),
+         |          (hh, c2) -> (hh * 31 + c2) % 1000003) AS hw
+         |      FROM w),
+         |ci AS (SELECT doc_id, pos, w,
+         |        COALESCE(SUM(CASE WHEN hw % 8 = 0 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS chunk_idx
+         |       FROM h),
+         |ch AS (SELECT DISTINCT doc_id,
+         |        md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+         |       FROM ci GROUP BY doc_id, chunk_idx),
+         |df_ AS (SELECT chunk_hash, COUNT(*) AS df FROM ch GROUP BY 1),
+         |kept AS (SELECT ch.doc_id, ch.chunk_hash FROM ch
+         |         JOIN df_ USING (chunk_hash) WHERE df <= 64)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  COUNT(*) AS shared_chunks
+         |FROM kept a JOIN kept b2
+         |  ON a.chunk_hash = b2.chunk_hash AND a.doc_id < b2.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // qev1: sessionization — 8 h inactivity timeout, per-user (ts,
+    // event_id) order, all epoch-microsecond integers
+    "qev1_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us, event_id,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 28800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - 1 AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        | MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "qtx1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -674,6 +735,30 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin,
+    // qtx11: repetition signals — integer token/3-gram counts plus one
+    // double division each; docs under 3 tokens get dup_ratio 0.0
+    "qtx11_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |top AS (SELECT doc_id, MAX(tf) AS top_tf,
+        |         CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+        |g AS (SELECT doc_id, array_to_string(ws[r.i + 1:r.i + 3], ' ') AS gram
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |      JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 3
+        |      WHERE len(ws) >= 3),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams
+        |      FROM gc GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, t.top_tf,
+        | CAST(t.top_tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS top_ratio,
+        | COALESCE(d.n_grams, 0) AS n_grams,
+        | COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+        | CASE WHEN COALESCE(d.n_grams, 0) > 0
+        |      THEN CAST(d.n_dup_grams AS DOUBLE) / CAST(d.n_grams AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS dup_ratio
+        |FROM top t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     // qtx10: the oracle recomputes both the planted messy URL and the
     // EXPECTED canonical form from doc_id arithmetic — the normalizer's
     // rules (fragment/case/port/utm/root-slash) are proved, not mirrored

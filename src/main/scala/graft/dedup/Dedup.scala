@@ -352,6 +352,108 @@ object Dedup {
       .distinct()
   }
 
+  /** Portable per-word hash driving content-defined chunk boundaries:
+    * fold (h·31 + codeUnit) mod 1000003 over the word's UTF-16 code
+    * units. Intermediate values stay below 31·10⁶ + 2¹⁶, so the same
+    * arithmetic is exact in any engine's 64-bit integers (the DuckDB
+    * oracle replays it with list_reduce) — unlike MurmurHash, whose
+    * finalizer no SQL engine reproduces.
+    */
+  def wordHash(w: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < w.length) { h = (h * 31L + w.charAt(i).toLong) % 1000003L; i += 1 }
+    h
+  }
+
+  /** Boundary divisor for [[cdcChunks]]: a word CLOSES a chunk when its
+    * [[wordHash]] ≡ 0 (mod this), giving ~`CdcDivisor`-token average
+    * chunks. Content-defined, so an insertion resynchronizes at the
+    * next boundary word instead of shifting every later chunk (the
+    * fixed-stride failure mode of [[graft.text.TextStats.chunkTokens]]).
+    */
+  val CdcDivisor = 8
+
+  /** Content-defined chunking (word-level CDC, the FastCDC/LBFS idea on
+    * token streams): split each document into variable-size chunks at
+    * content-determined boundary words, one row per chunk with the md5
+    * of its space-joined text. Every token lands in exactly ONE chunk
+    * (chunks partition the token stream; the final chunk may end
+    * without a boundary).
+    *
+    * Scale shape: a narrow per-document typed map (no shuffle, no
+    * window) — chunking is embarrassingly parallel, like
+    * [[graft.text.TextStats.rabinFingerprints]]. Per-row work and state
+    * are linear in the document's length.
+    */
+  def cdcChunks(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    corpus.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+        val buf = new StringBuilder
+        var nTok = 0L
+        var chunkIdx = 0L
+        def emit(): Unit = {
+          val hex = md.digest(buf.toString.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          out += ((id, chunkIdx, nTok, hex))
+          md.reset(); buf.clear(); nTok = 0L; chunkIdx += 1L
+        }
+        var i = 0
+        while (i < ws.length) {
+          if (nTok > 0L) buf.append(' ')
+          buf.append(ws(i))
+          nTok += 1L
+          if (wordHash(ws(i)) % CdcDivisor == 0L) emit()
+          i += 1
+        }
+        if (nTok > 0L) emit()
+        out
+      }
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash")
+  }
+
+  /** Chunk-level near-dup pairs over [[cdcChunks]] output: unordered
+    * document pairs sharing at least `minShared` DISTINCT chunk hashes,
+    * with the shared count — the dedup signal that survives local edits
+    * (a perturbed copy still shares every chunk the edits don't touch,
+    * where a whole-document hash shares nothing).
+    *
+    * `maxDf` caps the inverted index exactly as in [[allPairsJaccard]]:
+    * a chunk appearing in more than maxDf documents (short boilerplate
+    * chunks — the "the" chunk) is dropped from the postings BEFORE the
+    * self-join, loudly. The drop is part of the declared semantics and
+    * the oracle applies the same cap; `minShared` ≥ 2 additionally
+    * suppresses single-chunk coincidences.
+    */
+  def cdcSharedPairs(spark: SparkSession, corpus: DataFrame,
+                     minShared: Long = 2L, maxDf: Int = 64): DataFrame = {
+    val ch = cdcChunks(spark, corpus)
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+      .localCheckpoint(eager = false)
+    val hot = ch.groupBy(col("chunk_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("chunk_hash"))
+      .localCheckpoint(eager = false)
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(
+        s"[dedup] cdc df-cap: dropped $nHot chunk hashes with df > $maxDf " +
+          "from the inverted index (pairs sharing only those are not emitted)")
+    val kept = if (nHot == 0) ch
+               else ch.join(broadcast(hot), Seq("chunk_hash"), "left_anti")
+    kept.select(col("doc_id").as("doc_a"), col("chunk_hash"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("chunk_hash")),
+        Seq("chunk_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-dup clusters: connected components over the verified pair
     * graph; canonical doc = min doc_id in cluster. `sorted=false` skips
     * the presentation sort for callers that feed the result onward (a

@@ -390,6 +390,142 @@ object Analytics {
     } finally und.unpersist(): Unit
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    * time algorithm to detect community structures") made DETERMINISTIC:
+    * labels start as the node's own id; each iteration every node with
+    * ≥ 1 neighbor adopts the label most frequent among its neighbors,
+    * ties broken by the SMALLEST label (the published algorithm breaks
+    * ties randomly — the fixed tie order plus synchronous updates is
+    * what makes the result engine-reproducible and value-hashable);
+    * isolated nodes keep their label. Exactly `iterations` rounds, no
+    * convergence test (synchronous LPA can 2-cycle on bipartite
+    * structures, so a fixed budget is also the standard termination).
+    * Integer counts and string mins only — no floating point anywhere.
+    *
+    * Communities differ from [[graft.link.ConnectedComponents]]: CC
+    * gives reachability classes; LPA splits a component along its dense
+    * cores (a chain of two cliques is one component, two LPA labels).
+    *
+    * Scale shape: per iteration one adjacency⋈labels join (shuffles the
+    * EDGE table on the neighbor key) + a (node, label) count + a
+    * per-node argmax window. The window partitions by node id —
+    * per-reducer state is one node's DISTINCT incoming label set, which
+    * is bounded by its degree; a Zipf-head hub is one heavy partition of
+    * label-count rows (already pre-reduced by the count aggregation, so
+    * it holds distinct labels, not raw neighbors).
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val (cu, cv) = (col(cols(0)), col(cols(1)))
+    val und = edges
+      .select(least(cu, cv).as("a"), greatest(cu, cv).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = und.select(col("a").as("id"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("id"), col("a").as("nbr")))
+      .persist()
+    val ids = nodes.toDF("id").persist()
+    try {
+      // each round is CHECKPOINTED eagerly (node-space-sized, tiny):
+      // the label table is referenced TWICE per round (votes + the
+      // keep-own-label fallback), so an unbroken lineage doubles the
+      // logical plan per iteration — by iteration i the analyzer holds
+      // 2^i copies of the upstream plan (measured OOM in kCore's 3×
+      // analog at sf0.1 before the same fix). The blocks are freed by
+      // the ContextCleaner when each superseded plan is GC'd.
+      var labels = ids.select(col("id"), col("id").as("label"))
+        .localCheckpoint(true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cnt").desc, col("label").asc)
+      var i = 0
+      while (i < iterations) {
+        val votes = adj
+          .join(labels.select(col("id").as("nbr"), col("label")), "nbr")
+          .groupBy("id", "label").agg(count(lit(1)).as("cnt"))
+        val winner = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("label").as("new_label"))
+        labels = labels.join(winner, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+        i += 1
+      }
+      labels
+    } finally {
+      adj.unpersist(); ids.unpersist(): Unit
+    }
+  }
+
+  /** k-core of an undirected graph (Seidman 1983): the maximal subgraph
+    * in which every node has degree ≥ k, computed by iterative peeling —
+    * drop nodes under degree k, recompute degrees, repeat to fixpoint.
+    * Returns (id, core_deg) for the surviving nodes, where core_deg is
+    * the node's degree WITHIN the core (≥ k by construction); nodes
+    * outside the core are absent. Integer-exact, and the fixpoint is
+    * unique regardless of peel order, so the result is engine-
+    * reproducible by construction (the oracle unrolls more peel rounds
+    * than the fixture needs — peeling is idempotent at the fixpoint, so
+    * over-unrolling is harmless).
+    *
+    * Scale shape: each round is one degree aggregation over the current
+    * edge set + two semi-joins filtering edges to surviving endpoints —
+    * all shuffles keyed on node/edge ids, nothing driver-side except
+    * the per-round edge COUNT driving the convergence test. Round count
+    * is the graph's degeneracy-peel depth (tens at web scale — each
+    * round strictly shrinks the edge set or terminates). Each round's
+    * edge set is persisted for its two consumers (degrees + next round)
+    * and released when the round ends.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val (cu, cv) = (col(cols(0)), col(cols(1)))
+    // every round's edge set is CHECKPOINTED eagerly, not persist()ed:
+    // each round references the previous edge set THREE times (degree
+    // aggregation + both semi-join sides), so an unbroken lineage grows
+    // the logical plan 3^rounds — at 7 peel rounds over a KG-pipeline
+    // input the plan STRING alone OOMed an 8 GiB driver (persist caches
+    // data but never truncates the logical plan). The checkpoint cuts
+    // lineage per round; blocks are freed by the ContextCleaner when
+    // each superseded round's plan is GC'd.
+    var cur = edges
+      .select(least(cu, cv).as("a"), greatest(cu, cv).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint(true)
+    var nEdges = cur.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = degrees(cur)
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val next = cur
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint(true)
+      val n = next.count()
+      if (n == nEdges) converged = true
+      else {
+        cur = next
+        nEdges = n
+      }
+      round += 1
+    }
+    require(converged || nEdges == 0L,
+      s"kCore did not converge within $maxRounds rounds")
+    degrees(cur).select(col("id"), col("deg").as("core_deg"))
+      .localCheckpoint(true)
+  }
+
+  /** Per-node degree of a canonical (a < b) undirected edge set. */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
   /** Uniform teleport base: rank_0 = 1/n, base = (1-d)/n for every node. */
   private def uniformBase(damping: Double)(ids: DataFrame): DataFrame = {
     val n = ids.count()

@@ -60,6 +60,26 @@ object DataOps {
   def qdd5Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashVerifiedPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
 
+  /** Content-defined chunking dedup: CDC chunks ([[graft.dedup.Dedup
+    * .cdcChunks]], boundary-word rule replayed exactly by the oracle)
+    * → inverted-index join on chunk hashes → doc pairs sharing ≥ 2
+    * distinct chunks. The perturbed near-copies (every 17th word
+    * replaced) still share every untouched chunk; the df-cap drop of
+    * boilerplate chunks is part of the proven semantics.
+    */
+  def qdd6CdcPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cdcSharedPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
+
+  // ---- events --------------------------------------------------------------
+
+  /** Clickstream sessionization over the events table: 8-hour
+    * inactivity timeout, per-session integer aggregates (epoch-micro
+    * bounds, event counts) — see [[graft.events.Sessionize.sessions]].
+    */
+  def qev1Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.Sessionize.sessions(
+      graft.events.Sessionize.events(spark, sfDir), gapSec = 28800L)
+
   // ---- text analysis ------------------------------------------------------
 
   def qtx1Tokens(spark: SparkSession, sfDir: String): DataFrame =
@@ -115,6 +135,13 @@ object DataOps {
     */
   def qtx9DistinctiveTerms(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.distinctiveTerms(TextStats.docs(spark, sfDir))
+
+  /** Per-document repetition/boilerplate signals (top-token frequency,
+    * duplicated-3-gram occupancy) — the Gopher-style spam heuristics;
+    * see [[TextStats.repetitionSignals]].
+    */
+  def qtx11Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.repetitionSignals(TextStats.docs(spark, sfDir))
 
   /** URL canonicalization over planted messy URLs (case/port/utm/
     * fragment/root-slash variants by doc_id arithmetic); the oracle

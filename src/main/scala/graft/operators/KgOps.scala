@@ -184,14 +184,20 @@ object KgOps {
     * (qkg7's pair set), the classic clustering-structure metric over a
     * KG. Top 30 by count.
     */
-  def qkg9Triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, res) = pipelineFor(spark, sfDir)
+  /** Co-mention entity pairs (u < v, one row per page sharing them) —
+    * the shared edge generator of qkg9/qkg17/qkg18.
+    */
+  private def comentionPairs(res: KgPipeline#Result): DataFrame = {
     val pageEnt = comentionPageEntities(res)
-    val pairs = pageEnt.select(col("url"), col("canonical_id").as("u"))
+    pageEnt.select(col("url"), col("canonical_id").as("u"))
       .join(pageEnt.select(col("url"), col("canonical_id").as("v")), Seq("url"))
       .filter(col("u") < col("v"))
       .select("u", "v")
-    graft.graph.Analytics.triangleCounts(pairs)
+  }
+
+  def qkg9Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    graft.graph.Analytics.triangleCounts(comentionPairs(res))
       .orderBy(col("n_triangles").desc, col("id"))
       .limit(30)
       .select(col("id").as("entity_id"), col("n_triangles"))
@@ -470,6 +476,103 @@ object KgOps {
        |    // (da.d + db.d - w.common_cnt) AS score
        |FROM w JOIN deg da ON da.x = w.a JOIN deg db ON db.x = w.b
        |ORDER BY entity_a, entity_b""".stripMargin
+
+  /** Deterministic synchronous label propagation over the co-mention
+    * graph ([[graft.graph.Analytics.labelPropagation]], 3 iterations):
+    * community labels from majority neighbor votes with the smallest
+    * label winning ties — the community-detection member of the
+    * analytics family (qkg12's components give reachability; this
+    * splits them along dense cores). Integer counts + string mins only,
+    * so the DuckDB oracle (which replays the 3 synchronous rounds with
+    * the identical tie order) matches every row exactly.
+    */
+  def qkg17LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    graft.graph.Analytics.labelPropagation(comentionPairs(res), nodes,
+        iterations = 3)
+      .select(col("id").as("entity_id"), col("label"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle CTE chain shared by qkg17/qkg18: the capped
+    * co-mention edge set as fixed-width entity-id strings, plus the
+    * 800-entity node table.
+    */
+  private def comentionGraphCte: String =
+    s"""$mentionCte,
+       |pe0 AS (SELECT DISTINCT i, ck FROM c),
+       |ok AS (SELECT i FROM pe0 GROUP BY i
+       |       HAVING COUNT(*) <= $MaxComentionEntitiesPerPage),
+       |pe AS (SELECT pe0.i, pe0.ck FROM pe0 JOIN ok USING (i)),
+       |eg AS (SELECT DISTINCT 'e' || lpad(CAST(a.ck AS VARCHAR), 4, '0') AS u,
+       |         'e' || lpad(CAST(b.ck AS VARCHAR), 4, '0') AS v
+       |       FROM pe a JOIN pe b ON a.i = b.i AND a.ck < b.ck),
+       |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k))""".stripMargin
+
+  /** DuckDB oracle for qkg17: 3 unrolled synchronous LPA rounds — votes
+    * are integer counts, the winner is ROW_NUMBER over (cnt DESC, label
+    * ASC) (the operator's exact tie order), voteless nodes keep their
+    * label via COALESCE.
+    */
+  def labelPropOracle: String = {
+    val iters = (1 to 3).map { j =>
+      s"""v$j AS (SELECT adj.id, l.label, COUNT(*) AS cnt
+         |  FROM adj JOIN l${j - 1} l ON l.id = adj.nbr GROUP BY 1, 2),
+         |w$j AS (SELECT id, label, ROW_NUMBER() OVER (
+         |    PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM v$j),
+         |l$j AS (SELECT n.id, COALESCE(w.label, l.label) AS label
+         |  FROM nodes n JOIN l${j - 1} l ON l.id = n.id
+         |  LEFT JOIN (SELECT id, label FROM w$j WHERE rn = 1) w
+         |    ON w.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$comentionGraphCte,
+       |adj AS (SELECT u AS id, v AS nbr FROM eg
+       |        UNION ALL SELECT v, u FROM eg),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |$iters
+       |SELECT id AS entity_id, label FROM l3 ORDER BY entity_id""".stripMargin
+  }
+
+  /** 3-core of the co-mention graph
+    * ([[graft.graph.Analytics.kCore]], k = 3): the dense backbone of
+    * the entity graph — iterative peeling to the unique fixpoint,
+    * returning each surviving entity with its degree inside the core.
+    * Integer-exact; the oracle unrolls more peel rounds than any
+    * fixture needs (peeling is idempotent at the fixpoint, measured
+    * depth ≤ 7 at sf0.1 vs 12 unrolled).
+    */
+  def qkg18KCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    graft.graph.Analytics.kCore(comentionPairs(res), k = 3)
+      .select(col("id").as("entity_id"), col("core_deg"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg18: 12 unrolled peel rounds (degree filter ≥ 3
+    * + edge restriction), then final in-core degrees. Every round's edge
+    * set is MATERIALIZED: each e_j is referenced twice by round j+1
+    * (degrees + filter), so DuckDB's default CTE inlining would expand
+    * the chain into 2¹² copies of the whole mention pipeline (measured:
+    * fd exhaustion at sf0.01); materialization keeps it linear.
+    */
+  def kCoreOracle: String = {
+    val rounds = (1 to 12).map { j =>
+      s"""d$j AS (SELECT id, COUNT(*) AS deg FROM (
+         |    SELECT u AS id FROM e${j - 1} UNION ALL SELECT v FROM e${j - 1}) t
+         |  GROUP BY 1),
+         |k$j AS (SELECT id FROM d$j WHERE deg >= 3),
+         |e$j AS MATERIALIZED (SELECT e.u, e.v FROM e${j - 1} e
+         |  JOIN k$j ka ON ka.id = e.u JOIN k$j kb ON kb.id = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$comentionGraphCte,
+       |e0 AS MATERIALIZED (SELECT u, v FROM eg),
+       |$rounds
+       |SELECT id AS entity_id, COUNT(*) AS core_deg FROM (
+       |  SELECT u AS id FROM e12 UNION ALL SELECT v FROM e12) t
+       |GROUP BY 1 ORDER BY entity_id""".stripMargin
+  }
 
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +

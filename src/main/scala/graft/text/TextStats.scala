@@ -174,6 +174,56 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals — the Gopher/MassiveText-family boilerplate
+    * heuristics ("Scaling Language Models", Rae et al. 2021, Table A1:
+    * fraction-of-characters-in-most-common-ngram / in-duplicated-ngrams)
+    * re-expressed integer-exactly per document:
+    *
+    *  - `top_tf`      — occurrence count of the document's most frequent
+    *                    token (a high count ⇒ keyword-stuffing/spam);
+    *  - `top_ratio`   — top_tf / n_tokens;
+    *  - `n_dup_grams` — number of 3-gram OCCURRENCES whose 3-gram
+    *                    appears ≥ 2 times within the document (repeated
+    *                    template lines score high);
+    *  - `dup_ratio`   — n_dup_grams / n_grams (0.0 for docs under 3
+    *                    tokens, which have no 3-grams).
+    *
+    * Counts are integers and each ratio is one double division of two
+    * exact integers, so every row is value-checkable cross-engine.
+    *
+    * Scale shape: explode → per-(doc, gram) count → per-doc reduce; both
+    * aggregations key on the doc (map-side combinable), per-reducer
+    * state is one document's vocabulary — never corpus-global state (the
+    * corpus-level analog is [[bigramSupport]]). The token and 3-gram
+    * passes share the one split; no UDFs, all codegen.
+    */
+  def repetitionSignals(d: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val toks = d.select(col("doc_id"), explode(ws).as("term"))
+    val top = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(max(col("tf")).as("top_tf"), sum(col("tf")).as("n_tokens"))
+    val grams = d.select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("gram"))
+    val dup = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_dup_grams"))
+    top.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_tf"),
+        (col("top_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("top_ratio"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF-style distinctive-term extraction: the top-`k` terms per
     * document by an INTEGER-EXACT score, `tf * 10^6 div df` (integral
     * division). For a fixed corpus size N this ranks identically to

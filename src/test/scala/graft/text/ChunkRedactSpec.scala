@@ -9,6 +9,27 @@ import graft.SparkSpecBase
   */
 class ChunkRedactSpec extends SparkSpecBase {
 
+  test("repetitionSignals: hand-computed counts on planted repetition") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c a b c a b x": 9 tokens, top token 'a'/'b'/'c' tf: a=3;
+      // 3-grams: [a b c][b c a][c a b][a b c][b c a][c a b][a b x] →
+      // 7 grams, counts: "a b c"=2, "b c a"=2, "c a b"=2, "a b x"=1 →
+      // dup occurrences = 6
+      (1L, "a b c a b c a b x"),
+      // all distinct: dup = 0
+      (2L, "p q r s t"),
+      // under 3 tokens: no 3-grams, dup_ratio defined as 0.0
+      (3L, "only two"))
+      .toDF("doc_id", "text")
+    val got = TextStats.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(1L) === ((9L, 3L, 3.0 / 9.0, 7L, 6L, 6.0 / 7.0)))
+    assert(got(2L) === ((5L, 1L, 1.0 / 5.0, 3L, 0L, 0.0)))
+    assert(got(3L) === ((2L, 1L, 1.0 / 2.0, 0L, 0L, 0.0)))
+  }
+
   test("distinctiveTerms: integer-exact top-k by tf*(10^6 div df), ties by term") {
     import spark.implicits._
     // df: "rare"->1, "shared"->2, "common"->3; doc 1 has tf(rare)=2
