@@ -77,6 +77,11 @@ object SparkEntry {
     "qdd5_simhash" -> (DataOps.qdd5Simhash _),
     "qdd6_cdc_pairs" -> (DataOps.qdd6CdcPairs _),
     "qev1_sessionize" -> (DataOps.qev1Sessionize _),
+    "qev2_retention" -> (DataOps.qev2Retention _),
+    "qev3_funnel" -> (DataOps.qev3Funnel _),
+    "qev4_quantiles" -> (DataOps.qev4Quantiles _),
+    "qev5_asof" -> (DataOps.qev5Asof _),
+    "qev6_rolling_active" -> (DataOps.qev6RollingActive _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
     "qtx3_langid" -> (DataOps.qtx3LangId _),
@@ -90,6 +95,7 @@ object SparkEntry {
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
+    "qsp3_mix_rates" -> (DataOps.qsp3MixRates _),
     "qann1_topk" -> (DataOps.qann1TopK _),
     "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
     "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
@@ -623,6 +629,76 @@ object SparkEntry {
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         | MIN(us) AS start_us, MAX(us) AS end_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // qev2: cohort retention — integer day arithmetic (epoch_us div
+    // one day), distinct activity, per-user min cohort
+    "qev2_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        | COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // qev3: ordered funnel with first-touch anchors — each step's
+    // anchor is the min event time STRICTLY after the previous anchor
+    "qev3_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS a1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(us) AS a2 FROM e
+        |       JOIN s1 ON s1.user_id = e.user_id AND e.us > s1.a1
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(us) AS a3 FROM e
+        |       JOIN s2 ON s2.user_id = e.user_id AND e.us > s2.a2
+        |       WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |  (SELECT COUNT(*) FROM s1) AS n_users
+        | UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        | UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) t
+        |ORDER BY step""".stripMargin,
+    // qev4: exact rank-selected quantiles — target rank by integer ceil
+    // division, values are INPUT doubles so they compare bit-for-bit
+    "qev4_quantiles" ->
+      """WITH r AS (SELECT event_type, value, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |w AS (SELECT event_type, n,
+        |   unnest([CAST(25 AS BIGINT), CAST(50 AS BIGINT),
+        |           CAST(75 AS BIGINT)]) AS pct FROM c),
+        |t AS (SELECT event_type, pct, (pct * n + 99) // 100 AS target_rn FROM w)
+        |SELECT t.event_type, t.pct, r.value
+        |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.target_rn
+        |ORDER BY t.event_type, t.pct""".stripMargin,
+    // qev5: as-of join (last-touch attribution) — latest view ≤ each
+    // purchase; the oracle states the tiebreak (max view_id at equal
+    // times) the engine's union+carry-forward resolves to
+    "qev5_asof" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+        |           FROM events),
+        |p AS (SELECT event_id AS purchase_id, us AS purchase_us, user_id
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, user_id, purchase_us, view_id, view_us FROM (
+        | SELECT p.purchase_id, p.user_id, p.purchase_us,
+        |  v.event_id AS view_id, v.us AS view_us,
+        |  ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |   ORDER BY v.us DESC, v.event_id DESC) AS rn
+        | FROM p JOIN e v ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND v.us <= p.purchase_us) t
+        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    // qev6: trailing 7-day rolling distinct active users — the oracle
+    // states it the declarative way (day × activity range join +
+    // COUNT DISTINCT); the engine's disjoint-interval explode must
+    // agree exactly
+    "qev6_rolling_active" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |d AS (SELECT unnest(generate_series((SELECT MIN(day) FROM a),
+        |  (SELECT MAX(day) FROM a) + 6)) AS day)
+        |SELECT d.day, COUNT(DISTINCT a.user_id) AS n_users
+        |FROM d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "qtx1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -797,6 +873,15 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS sample_rank
         | FROM documents) t
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    // qsp3: per-stratum rate sampling — per-lang md5 thresholds
+    // (floor(rate·2³²) as 8 hex digits; rate 1.0 keeps everything);
+    // langs outside the mix spec are dropped (allowlist semantics)
+    "qsp3_mix_rates" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |   OR (lang = 'de' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+        |   OR lang = 'es'
+        |ORDER BY doc_id""".stripMargin,
     "qann1_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

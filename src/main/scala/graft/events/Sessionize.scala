@@ -41,7 +41,7 @@ object Sessionize {
       // UTC — the same interpretation an engine reading the parquet
       // natively (e.g. the DuckDB oracle) applies
       .select(col("event_id").cast("long"), col("ts").cast("timestamp").as("ts"),
-        col("user_id").cast("long"), col("event_type"))
+        col("user_id").cast("long"), col("event_type"), col("value"))
 
   /** Per-session aggregate rows: (user_id, session_idx, n_events,
     * start_us, end_us). `session_idx` is 0-based in time order per

@@ -80,6 +80,63 @@ object DataOps {
     graft.events.Sessionize.sessions(
       graft.events.Sessionize.events(spark, sfDir), gapSec = 28800L)
 
+  /** Cohort retention over the events table — (first-active-day cohort,
+    * day offset) active-user counts; see
+    * [[graft.events.EventAnalytics.retention]].
+    */
+  def qev2Retention(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.retention(
+      graft.events.Sessionize.events(spark, sfDir))
+
+  /** Ordered funnel view → click → purchase with first-touch anchors;
+    * see [[graft.events.EventAnalytics.funnel]].
+    */
+  def qev3Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.funnel(
+      graft.events.Sessionize.events(spark, sfDir),
+      Seq("view", "click", "purchase"))
+
+  /** Exact p25/p50/p75 of event values per type by rank selection
+    * (values are INPUT doubles, never interpolations); see
+    * [[graft.events.EventAnalytics.quantiles]].
+    */
+  def qev4Quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.quantiles(
+      graft.events.Sessionize.events(spark, sfDir),
+      group = "event_type", value = "value", tiebreak = "event_id",
+      pcts = Seq(25, 50, 75))
+
+  /** Last-touch attribution: each purchase joined as-of to the latest
+    * view by the same user at-or-before it (union + carry-forward, not
+    * a range join); see [[graft.events.EventAnalytics.asofJoin]].
+    */
+  def qev5Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val typed = graft.events.Sessionize.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"))
+    val purchases = typed.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("us").as("purchase_us"),
+        col("user_id"))
+    val views = typed.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("us").as("view_us"),
+        col("user_id"))
+    graft.events.EventAnalytics.asofJoin(purchases, views, key = "user_id",
+        leftTime = "purchase_us", rightTime = "view_us",
+        leftTie = "purchase_id", rightTie = "view_id",
+        rightPayload = Seq("view_id", "view_us"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("asof_view_id").as("view_id"), col("asof_view_us").as("view_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Trailing 7-day rolling distinct active users per day via the
+    * interval-disjointness explode (map-side-combinable exact distinct);
+    * see [[graft.events.EventAnalytics.rollingActiveUsers]].
+    */
+  def qev6RollingActive(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.rollingActiveUsers(
+      graft.events.Sessionize.events(spark, sfDir), windowDays = 7)
+
   // ---- text analysis ------------------------------------------------------
 
   def qtx1Tokens(spark: SparkSession, sfDir: String): DataFrame =
@@ -191,6 +248,18 @@ object DataOps {
       col("lang"), col("doc_id"), 20)
       .select(col("lang"), col("doc_id"), col("sample_rank"))
       .orderBy("lang", "sample_rank")
+
+  /** Per-stratum rate sampling (temperature mixing): en kept at 0.5,
+    * de at 0.25, es at 1.0; strata not named in the mix spec (fr, und)
+    * are DROPPED — allowlist semantics; see
+    * [[graft.events.EventAnalytics.mixByRates]].
+    */
+  def qsp3MixRates(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sample.Sampling.mixByRates(
+      TextStats.docs(spark, sfDir).select(col("doc_id"), col("lang")),
+      stratum = "lang", key = "doc_id",
+      rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0))
+      .orderBy("doc_id")
 
   // ---- similarity search --------------------------------------------------
 

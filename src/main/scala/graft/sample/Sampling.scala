@@ -30,6 +30,35 @@ object Sampling {
     df.filter(substring(md5(key.cast("string")), 1, 8) < lit(threshold))
   }
 
+  /** Per-stratum rate sampling — the "temperature mixing" primitive of
+    * dataset curation (upsample rare sources, downsample dominant
+    * ones): every stratum gets its own deterministic content-hash
+    * Bernoulli rate — [[hashSample]]'s threshold compare with a
+    * per-stratum threshold. Strata ABSENT from `rates` are dropped —
+    * declared allowlist semantics (a mixing spec names every source it
+    * wants; silently keeping unnamed ones would un-curate the mix).
+    * Pure map over a broadcast rate table: no shuffle, reproducible
+    * under repartitioning and corpus growth like the other samplers.
+    */
+  def mixByRates(df: DataFrame, stratum: String, key: String,
+                 rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "mixByRates needs at least one stratum rate")
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1], got $rates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = rates.toSeq.map { case (s, r) =>
+      // rate 1.0 ⇒ threshold "ffffffff"+sentinel above every md5 prefix
+      // (strict < keeps all); others ⇒ 8-hex-digit floor(rate·2³²)
+      val t = if (r == 1.0) "ffffffffx"
+              else f"${math.min(math.round(r * 4294967296.0), 0xffffffffL)}%08x"
+      (s, t)
+    }.toDF(stratum, "_threshold")
+    df.join(broadcast(thresholds), stratum)
+      .filter(substring(md5(col(key).cast("string")), 1, 8) < col("_threshold"))
+      .drop("_threshold")
+  }
+
   /** Stratified fixed quota: the `n` rows of each stratum with the
     * smallest md5(key) (key as the tiebreak). Hash order is a stable,
     * content-defined "random" order, so quotas are reproducible and a
