@@ -82,6 +82,8 @@ object SparkEntry {
     "qev4_quantiles" -> (DataOps.qev4Quantiles _),
     "qev5_asof" -> (DataOps.qev5Asof _),
     "qev6_rolling_active" -> (DataOps.qev6RollingActive _),
+    "qev7_locf" -> (DataOps.qev7Locf _),
+    "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
     "qtx3_langid" -> (DataOps.qtx3LangId _),
@@ -92,6 +94,7 @@ object SparkEntry {
     "qtx8_bigram_support" -> (DataOps.qtx8BigramSupport _),
     "qtx9_distinctive_terms" -> (DataOps.qtx9DistinctiveTerms _),
     "qtx11_repetition" -> (DataOps.qtx11Repetition _),
+    "qtx12_postings" -> (DataOps.qtx12Postings _),
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
@@ -699,6 +702,25 @@ object SparkEntry {
         |SELECT d.day, COUNT(DISTINCT a.user_id) AS n_users
         |FROM d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // qev7: daily LOCF gap fill — the oracle states it declaratively:
+    // per-(user,day) last value by (us, event_id) rank, a generated
+    // per-user day grid, and LAST_VALUE IGNORE NULLS — the engine's
+    // argmax-struct + disjoint-interval explode must agree row-for-row
+    "qev7_locf" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |d AS (SELECT user_id, day, value FROM (
+        |  SELECT user_id, day, value, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e) t WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+        |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        |        FROM d GROUP BY 1) s)
+        |SELECT g.user_id, g.day,
+        | LAST_VALUE(d.value IGNORE NULLS) OVER (
+        |  PARTITION BY g.user_id ORDER BY g.day) AS value
+        |FROM grid g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY 1, 2""".stripMargin,
     "qtx1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -835,6 +857,38 @@ object SparkEntry {
         |      THEN CAST(d.n_dup_grams AS DOUBLE) / CAST(d.n_grams AS DOUBLE)
         |      ELSE CAST(0 AS DOUBLE) END AS dup_ratio
         |FROM top t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // qtx12: inverted-index stats — positions are 1-based whitespace
+    // ordinals (generate_subscripts zips with unnest); the posting
+    // fingerprint is an ORDER-FREE sum of 32-bit md5 prefixes mod 2^62,
+    // so both engines aggregate it without canonicalizing any list
+    "qtx12_postings" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |  generate_subscripts(string_split(text, ' '), 1) AS pos
+        | FROM documents)
+        |SELECT term, COUNT(*) AS n_postings,
+        | COUNT(DISTINCT doc_id) AS df,
+        | CAST(SUM(CAST(concat('0x', substring(md5(concat(
+        |   CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))), 1, 8))
+        |   AS BIGINT)) % 4611686018427387904 AS BIGINT) AS postings_fp
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    // qsk1: HLL registers — bucket = first md5 byte, rank = 1 + leading
+    // zero bits of the next 60 bits, all via integer/string arithmetic
+    // (zero-hex-digit count * 4 + a first-digit CASE); sketch STATE is
+    // exact even though the estimate it feeds is approximate
+    "qsk1_hll_registers" ->
+      """WITH p AS (SELECT
+        |  CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS bucket,
+        |  ltrim(substring(h, 3, 15), '0') AS t
+        | FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) q)
+        |SELECT bucket,
+        | MAX(CAST(60 - length(t) * 4 +
+        |  CASE substring(t, 1, 1)
+        |   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |   WHEN '7' THEN 1 ELSE 0 END + 1 AS BIGINT)) AS max_rank,
+        | COUNT(*) AS n_keys
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // qtx10: the oracle recomputes both the planted messy URL and the
     // EXPECTED canonical form from doc_id arithmetic — the normalizer's
     // rules (fragment/case/port/utm/root-slash) are proved, not mirrored

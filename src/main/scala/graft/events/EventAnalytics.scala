@@ -171,6 +171,41 @@ object EventAnalytics {
       .select(projected: _*)
   }
 
+  /** Daily last-observation-carried-forward (LOCF gap fill) — the
+    * time-series regularization step: for each user, one row per
+    * calendar day from their first to their last active day, carrying
+    * the day's LAST observed `value` (ties at the same microsecond break
+    * on event_id) forward across inactive days. Day = floor(epoch
+    * micros / one day); values pass through unchanged (input doubles,
+    * no arithmetic), so rows compare bit-for-bit across engines.
+    *
+    * Shuffle shape mirrors [[rollingActiveUsers]]: the per-day last
+    * value is a `max` over a (us, event_id, value) struct — an argmax
+    * that partially aggregates map-side, where a row_number window
+    * could not — then ONE user-keyed aggregation collects the (day,
+    * value) pairs (state bounded by the calendar span, not event
+    * volume) and the disjoint gap intervals `[a, next-1]` explode
+    * directly to the filled grid.
+    */
+  def dailyLocf(ev: DataFrame): DataFrame = {
+    val lastPerDay = ev.select(col("user_id"),
+        expr(s"unix_micros(ts) div $UsPerDay").as("day"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("value")).as("obs"))
+      .groupBy("user_id", "day").agg(max(col("obs")).as("obs"))
+      .select(col("user_id"), col("day"), col("obs.value").as("value"))
+    lastPerDay.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("value")))).as("dv"))
+      .select(col("user_id"), col("dv"),
+        posexplode(col("dv")).as(Seq("i", "x")))
+      .withColumn("next_day", expr("try_element_at(dv, cast(i + 2 as int)).day"))
+      .select(col("user_id"),
+        explode(sequence(col("x.day"),
+          coalesce(col("next_day") - 1L, col("x.day")))).as("day"),
+        col("x.value").as("value"))
+      .orderBy("user_id", "day")
+  }
+
   /** Trailing `windowDays`-day rolling DISTINCT active users per day —
     * for every calendar day the window covers, how many users had at
     * least one event in the `windowDays` days ending at it. Day = floor

@@ -137,6 +137,22 @@ object DataOps {
     graft.events.EventAnalytics.rollingActiveUsers(
       graft.events.Sessionize.events(spark, sfDir), windowDays = 7)
 
+  /** Daily LOCF gap fill: each user's per-day last value carried
+    * forward across inactive days; see
+    * [[graft.events.EventAnalytics.dailyLocf]].
+    */
+  def qev7Locf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.dailyLocf(
+      graft.events.Sessionize.events(spark, sfDir))
+
+  /** HyperLogLog register table over doc_id — exact integer sketch
+    * state, engine-reproducible; see
+    * [[graft.sketch.Sketches.hllRegisters]].
+    */
+  def qsk1HllRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sketch.Sketches.hllRegisters(
+      TextStats.docs(spark, sfDir).select(col("doc_id")), key = "doc_id")
+
   // ---- text analysis ------------------------------------------------------
 
   def qtx1Tokens(spark: SparkSession, sfDir: String): DataFrame =
@@ -199,6 +215,13 @@ object DataOps {
     */
   def qtx11Repetition(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.repetitionSignals(TextStats.docs(spark, sfDir))
+
+  /** Inverted-index build stats per term (posting count, document
+    * frequency, order-free posting fingerprint); see
+    * [[TextStats.invertedIndex]].
+    */
+  def qtx12Postings(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.invertedIndex(TextStats.docs(spark, sfDir))
 
   /** URL canonicalization over planted messy URLs (case/port/utm/
     * fragment/root-slash variants by doc_id arithmetic); the oracle

@@ -255,6 +255,36 @@ object TextStats {
       .orderBy("doc_id", "term")
   }
 
+  /** Inverted-index statistics — the retrieval-side build step: one row
+    * per term with its posting count, document frequency, and a
+    * position-complete fingerprint of the posting list. The fingerprint
+    * is the SUM of a 32-bit hash of every `doc:pos` posting (mod 2⁶²) —
+    * deliberately ORDER-FREE and therefore map-side combinable, so a
+    * stop-word term never accumulates a giant sorted posting list on one
+    * reducer the way a `collect_list`-then-md5 canonicalization would.
+    * Two engines that index the same corpus agree on every row exactly
+    * (hash inputs are decimal-rendered integers; the mod keeps the sum
+    * inside BIGINT at any posting count — the raw 32-bit sum would
+    * overflow past ~2·10⁹ postings per term).
+    *
+    * Positions are 1-based whitespace-token ordinals, matching
+    * [[tokenCounts]]'s tokenizer.
+    */
+  def invertedIndex(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+      .select(col("term"), col("doc_id"), (col("p") + 1).cast("long").as("pos"))
+    tok.groupBy("term").agg(
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("df"),
+        expr("""cast(sum(cast(conv(substring(md5(concat(
+                |  cast(doc_id as string), ':', cast(pos as string))), 1, 8),
+                |  16, 10) as decimal(38,0)))
+                | % 4611686018427387904 as bigint)""".stripMargin)
+          .as("postings_fp"))
+      .orderBy("term")
+  }
+
   /** URL canonicalization — the web-corpus dedup primitive (a crawl
     * sees the same page under fragment/tracking-param/case/port
     * variants; URL-level dedup needs ONE canonical spelling before any

@@ -120,6 +120,29 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("dailyLocf: per-day last value carried across gaps, per-user span") {
+    // u1: day 0 has two events (the later one, value 2.5, wins), then a
+    // gap to day 3 -> days 1,2 carry 2.5; u2: one event on day 5 only
+    val df = Seq(
+      (1L, ts(10L), 1L, 1.5), (2L, ts(20L), 1L, 2.5),
+      (3L, ts(3 * day + 1), 1L, 9.0),
+      (4L, ts(5 * day + 2), 2L, 4.25))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = EventAnalytics.dailyLocf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      (1L, 0L) -> 2.5, (1L, 1L) -> 2.5, (1L, 2L) -> 2.5, (1L, 3L) -> 9.0,
+      (2L, 5L) -> 4.25))
+  }
+
+  test("dailyLocf: same-microsecond ties break on event_id") {
+    val df = Seq((7L, ts(10L), 1L, 1.0), (9L, ts(10L), 1L, 3.0),
+        (8L, ts(10L), 1L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = EventAnalytics.dailyLocf(df).collect()
+    assert(got.length === 1 && got(0).getDouble(2) === 3.0)
+  }
+
   test("mixByRates: allowlist drops unnamed strata; rates govern kept fractions") {
     val df = (0 until 4000).map(i =>
       (i.toLong, Seq("en", "de", "es", "fr")(i % 4))).toDF("doc_id", "lang")
