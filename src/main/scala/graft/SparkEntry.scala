@@ -83,7 +83,10 @@ object SparkEntry {
     "qev5_asof" -> (DataOps.qev5Asof _),
     "qev6_rolling_active" -> (DataOps.qev6RollingActive _),
     "qev7_locf" -> (DataOps.qev7Locf _),
+    "qev8_transitions" -> (DataOps.qev8Transitions _),
+    "qsp4_splits" -> (DataOps.qsp4Splits _),
     "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
+    "qsk2_cms_counters" -> (DataOps.qsk2CmsCounters _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
     "qtx3_langid" -> (DataOps.qtx3LangId _),
@@ -720,6 +723,42 @@ object SparkEntry {
         | LAST_VALUE(d.value IGNORE NULLS) OVER (
         |  PARTITION BY g.user_id ORDER BY g.day) AS value
         |FROM grid g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY 1, 2""".stripMargin,
+    // qev8: consecutive-event transition counts per user (time order,
+    // event_id tiebreak); prob is one double division of exact integers
+    "qev8_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events),
+        |p AS (SELECT event_type AS from_type, LEAD(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY us, event_id) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.from_total,
+        | CAST(c.n AS DOUBLE) / CAST(t.from_total AS DOUBLE) AS prob
+        |FROM c JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+    // qsp4: cumulative md5 thresholds — floor-rounded 0.8/0.9 of 2^32
+    // as hex (cccccccd / e6666666); the last split is the unconditional
+    // remainder so every key is assigned
+    "qsp4_splits" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+        |       THEN 'train'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |       THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // qsk2: Count-Min counters — 4 rows x 1024 columns, counter =
+    // md5('r:term') first 32 bits mod width; zero counters not emitted
+    "qsk2_cms_counters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |x AS (SELECT r.r, CAST(concat('0x', substring(md5(concat(
+        |        CAST(r.r AS VARCHAR), ':', term)), 1, 8)) AS BIGINT) % 1024 AS c
+        |      FROM tok CROSS JOIN
+        |       (SELECT unnest(generate_series(0, 3)) AS r) r)
+        |SELECT r, c, COUNT(*) AS cnt FROM x GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "qtx1_tokens" ->
       """SELECT doc_id,

@@ -171,6 +171,38 @@ object EventAnalytics {
       .select(projected: _*)
   }
 
+  /** Event-type transition counts — the Markov-chain support table for
+    * next-event modeling: for every ordered pair of CONSECUTIVE events
+    * by the same user (ordered by time, event_id tiebreak), count the
+    * (from_type, to_type) transitions and state each from-type's
+    * outgoing total. `prob` is the single double division of those two
+    * exact integers — bit-reproducible, like the other ratio columns.
+    *
+    * Scale shape: one user-keyed shuffle for the `lead` window (per-
+    * reducer state: one user's stream), then a map-side-combinable
+    * count over a (|types|²)-bounded key space, and a broadcast-sized
+    * join for the denominators.
+    */
+  def transitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val pairs = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum(col("n")).cast("long").as("from_total"))
+    counts.join(broadcast(totals), "from_type")
+      .withColumn("prob",
+        col("n").cast("double") / col("from_total").cast("double"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("from_total"), col("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Daily last-observation-carried-forward (LOCF gap fill) — the
     * time-series regularization step: for each user, one row per
     * calendar day from their first to their last active day, carrying

@@ -153,6 +153,31 @@ object DataOps {
     graft.sketch.Sketches.hllRegisters(
       TextStats.docs(spark, sfDir).select(col("doc_id")), key = "doc_id")
 
+  /** Event-type transition counts with exact-integer-ratio
+    * probabilities; see [[graft.events.EventAnalytics.transitions]].
+    */
+  def qev8Transitions(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.transitions(
+      graft.events.Sessionize.events(spark, sfDir))
+
+  /** Deterministic 80/10/10 train/val/test assignment over doc_id;
+    * see [[graft.sample.Sampling.assignSplits]].
+    */
+  def qsp4Splits(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sample.Sampling.assignSplits(
+      TextStats.docs(spark, sfDir).select(col("doc_id")), key = "doc_id",
+      fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+
+  /** Count-Min Sketch counters (4×1024) over whitespace tokens — exact
+    * integer sketch state; see [[graft.sketch.Sketches.cmsCounters]].
+    */
+  def qsk2CmsCounters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sketch.Sketches.cmsCounters(
+      TextStats.docs(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("term")),
+      key = "term")
+
   // ---- text analysis ------------------------------------------------------
 
   def qtx1Tokens(spark: SparkSession, sfDir: String): DataFrame =

@@ -59,6 +59,40 @@ object Sampling {
       .drop("_threshold")
   }
 
+  /** Deterministic train/val/test split assignment — the dataset-
+    * curation primitive every training pipeline needs: each row's split
+    * is a pure function of md5(key), so splits are disjoint,
+    * exhaustive, reproducible under repartitioning, and STABLE under
+    * corpus growth (adding documents never moves an existing document
+    * across splits — the property a row_number-based split lacks).
+    * `fractions` are (name, fraction) in priority order; fractions must
+    * sum to 1. Thresholds are cumulative floor(frac·2³²) as 8-hex
+    * digits compared lexicographically, the same arithmetic as
+    * [[hashSample]]. Shuffle-free narrow map.
+    */
+  def assignSplits(df: DataFrame, key: String,
+                   fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(fractions.forall(_._2 > 0), s"fractions must be positive: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val prefix = substring(md5(col(key).cast("string")), 1, 8)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // the last threshold is forced to the all-keys sentinel so float
+    // rounding can never leave a key unassigned
+    val thresholds = fractions.map(_._1).zip(cum).zipWithIndex.map {
+      case ((name, c), i) =>
+        val t = if (i == fractions.size - 1) "ffffffffx"
+                else f"${math.min(math.round(c * 4294967296.0), 0xffffffffL)}%08x"
+        (name, t)
+    }
+    val assigned = thresholds.init.foldRight(
+        lit(thresholds.last._1): org.apache.spark.sql.Column) {
+      case ((name, t), rest) => when(prefix < lit(t), name).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Stratified fixed quota: the `n` rows of each stratum with the
     * smallest md5(key) (key as the tiebreak). Hash order is a stable,
     * content-defined "random" order, so quotas are reproducible and a

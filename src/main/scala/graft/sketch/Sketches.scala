@@ -44,6 +44,48 @@ object Sketches {
       .agg(max(col("rank")).as("max_rank"), count(lit(1)).as("n_keys"))
       .orderBy("bucket")
 
+  /** Count-Min Sketch counter table over `key`: `depth` hash rows ×
+    * `width` counters; counter (r, c) sums the occurrences of every key
+    * with md5(r:key) mod width == c. Like [[hllRegisters]], the sketch
+    * STATE is integer-exact and engine-reproducible (hash = first 32
+    * md5 bits of the decimal-rendered row:key string, mod width) even
+    * though point estimates from it are approximate upper bounds.
+    *
+    * Scale: the frequency-estimation workhorse at 100 TB — per-
+    * partition state is depth×width counters regardless of key
+    * cardinality, sums combine map-side, and the final shuffle moves
+    * ≤depth×width rows per partition. Zero counters are not emitted.
+    */
+  def cmsCounters(df: DataFrame, key: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad cms shape $depth x $width")
+    val rows = explode(array((0 until depth).map { r =>
+      struct(lit(r.toLong).as("r"),
+        expr(s"""cast(conv(substring(md5(concat('$r', ':',
+               | cast($key as string))), 1, 8), 16, 10) as bigint)
+               | % $width""".stripMargin).as("c"))
+    }: _*))
+    df.select(rows.as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("r", "c")
+  }
+
+  /** CMS point estimate for one key from a collected [[cmsCounters]]
+    * table: the MIN over its depth counters — an upper bound on the
+    * true count, exact when no collision hit any of the key's rows.
+    */
+  def cmsEstimate(counters: Map[(Long, Long), Long], key: String,
+                  depth: Int = 4, width: Int = 1024): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until depth).map { r =>
+      val h = md.digest(s"$r:$key".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      val c = java.lang.Long.parseLong(h, 16) % width
+      counters.getOrElse((r.toLong, c), 0L)
+    }.min
+  }
+
   /** Standard HLL estimate from a [[hllRegisters]] table (collected —
     * 256 rows). Raw estimate αm·m²/Σ2^(−reg), with the small-range
     * linear-counting correction when raw ≤ 2.5m and empty registers

@@ -120,6 +120,28 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("transitions: consecutive pairs per user, exact ratio denominators") {
+    // u1: view->click->view; u2: click->view. Transitions:
+    // view->click 1, click->view 2, view->view 0 (non-consecutive
+    // across users never pair)
+    val rows = Seq(
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "view"),
+      (4L, 10L, 2L, "click"), (5L, 20L, 2L, "view"))
+    val got = EventAnalytics.transitions(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      ("view", "click") -> (1L, 1L, 1.0),
+      ("click", "view") -> (2L, 2L, 1.0)))
+  }
+
+  test("transitions: same-timestamp order resolves by event_id") {
+    val rows = Seq((2L, 10L, 1L, "click"), (1L, 10L, 1L, "view"))
+    val got = EventAnalytics.transitions(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("view", "click")))
+  }
+
   test("dailyLocf: per-day last value carried across gaps, per-user span") {
     // u1: day 0 has two events (the later one, value 2.5, wins), then a
     // gap to day 3 -> days 1,2 carry 2.5; u2: one event on day 5 only

@@ -59,4 +59,20 @@ class SamplingSpec extends SparkSpecBase {
       assert(r2(lang).size === 10)
     }
   }
+
+  test("assignSplits: disjoint, exhaustive, fraction-converging, growth-stable") {
+    val split = Sampling.assignSplits(ids, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    assert(split.size === 20000) // every key assigned exactly once
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 16000) < 400, counts.toString)
+    assert(math.abs(counts("val") - 2000) < 200, counts.toString)
+    assert(math.abs(counts("test") - 2000) < 200, counts.toString)
+    // growth stability: tripling the corpus never moves an existing key
+    val grown = Sampling.assignSplits((1L to 60000L).toDF("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    assert(split.forall { case (k, s) => grown(k) == s })
+  }
 }

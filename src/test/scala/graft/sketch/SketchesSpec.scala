@@ -42,6 +42,21 @@ class SketchesSpec extends SparkSpecBase {
     assert(once === dup)
   }
 
+  test("cmsCounters: total mass conserved per row; estimates bound truth") {
+    val keys = (0 until 3000).map(i => s"k${i % 80}") // skewed: 80 terms
+    val counters = Sketches.cmsCounters(keys.toDF("k"), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every hash row holds the full input mass
+    (0L until 4L).foreach { r =>
+      assert(counters.collect { case ((`r`, _), n) => n }.sum === 3000L) }
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (k, n) =>
+      val est = Sketches.cmsEstimate(counters, k)
+      assert(est >= n, s"$k: est $est < true $n")
+      assert(est <= n + 300, s"$k: est $est implausibly high vs $n")
+    }
+  }
+
   test("hllEstimate: within 15% of the true cardinality at n=5000") {
     val regs = Sketches.hllRegisters((0L until 5000L).toDF("k"), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
