@@ -64,6 +64,9 @@ object SparkEntry {
     "qkg13_ppr" -> (KgOps.qkg13Ppr _),
     "qkg14_hits" -> (KgOps.qkg14Hits _),
     "qkg15_bfs" -> (KgOps.qkg15Bfs _),
+    "qkg19_sssp" -> (KgOps.qkg19Sssp _),
+    "qkg20_walks" -> (KgOps.qkg20Walks _),
+    "qkg21_degree_hist" -> (KgOps.qkg21DegreeHist _),
     "qkg16_related" -> (KgOps.qkg16Related _),
     "qkg17_labelprop" -> (KgOps.qkg17LabelProp _),
     "qkg18_kcore" -> (KgOps.qkg18KCore _),
@@ -87,6 +90,7 @@ object SparkEntry {
     "qsp4_splits" -> (DataOps.qsp4Splits _),
     "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
     "qsk2_cms_counters" -> (DataOps.qsk2CmsCounters _),
+    "qsk3_cms_estimates" -> (DataOps.qsk3CmsEstimates _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
     "qtx3_langid" -> (DataOps.qtx3LangId _),
@@ -99,6 +103,7 @@ object SparkEntry {
     "qtx11_repetition" -> (DataOps.qtx11Repetition _),
     "qtx12_postings" -> (DataOps.qtx12Postings _),
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
+    "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qsp3_mix_rates" -> (DataOps.qsp3MixRates _),
@@ -106,6 +111,8 @@ object SparkEntry {
     "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
     "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
     "qann4_ivf_topk" -> (DataOps.qann4IvfTopK _),
+    "qann6_pq_codes" -> (DataOps.qann6PqCodes _),
+    "qann7_adc_topk" -> (DataOps.qann7AdcTopK _),
     "qann5_embed_clusters" -> (DataOps.qann5EmbedClusters _),
     "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
     "qmm2_image_dims" -> (DataOps.qmm2ImageDims _),
@@ -517,6 +524,15 @@ object SparkEntry {
     "qkg14_hits" -> KgOps.hitsOracle,
     // qkg15: BFS seed distances — recursive CTE with MIN(dist), integer-exact
     "qkg15_bfs" -> KgOps.bfsOracle,
+    // qkg19: hop-bounded weighted SSSP — recursive ≤4-edge path
+    // enumeration with MIN(dist) over integer arithmetic weights
+    "qkg19_sssp" -> KgOps.ssspOracle,
+    // qkg20: deterministic DeepWalk corpus — ranked sorted adjacency +
+    // the LCG neighbor pick replayed per unrolled step
+    "qkg20_walks" -> KgOps.walksOracle,
+    // qkg21: per-predicate out-degree histogram — integer log2 buckets
+    // via binary-digit count
+    "qkg21_degree_hist" -> KgOps.degreeHistOracle,
     // qkg16: shared-neighbor Jaccard relatedness (hub cap 8 is proven
     // semantics: the oracle excludes super-hub shared neighbors too)
     "qkg16_related" -> KgOps.relatedOracle,
@@ -760,6 +776,27 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(0, 3)) AS r) r)
         |SELECT r, c, COUNT(*) AS cnt FROM x GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // qsk3: CMS point estimates for the top-20 tokens — probe cells via
+    // the same md5 hash as the counter build, MIN over depth, join truth
+    "qsk3_cms_estimates" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |truth AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY 1),
+        |probes AS (SELECT term, true_cnt FROM truth
+        |           ORDER BY true_cnt DESC, term LIMIT 20),
+        |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |x AS (SELECT rr.r, CAST(concat('0x', substring(md5(concat(
+        |        CAST(rr.r AS VARCHAR), ':', term)), 1, 8)) AS BIGINT) % 1024 AS c
+        |      FROM tok CROSS JOIN rr),
+        |counters AS (SELECT r, c, COUNT(*) AS cnt FROM x GROUP BY 1, 2),
+        |pc AS (SELECT p.term, p.true_cnt, rr.r,
+        |        CAST(concat('0x', substring(md5(concat(
+        |          CAST(rr.r AS VARCHAR), ':', p.term)), 1, 8)) AS BIGINT) % 1024 AS c
+        |       FROM probes p CROSS JOIN rr)
+        |SELECT pc.term, pc.true_cnt,
+        |  MIN(COALESCE(ct.cnt, CAST(0 AS BIGINT))) AS cms_est
+        |FROM pc LEFT JOIN counters ct USING (r, c)
+        |GROUP BY 1, 2 ORDER BY term""".stripMargin,
     "qtx1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -872,6 +909,30 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin,
+    // qtx13: df-driven token pruning — integer df thresholds (stop ≥ 30%
+    // of docs, rare < 2), kept text pinned by md5 in original token order
+    "qtx13_df_prune" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |toks AS (SELECT doc_id, r.i + 1 AS pos, ws[r.i + 1] AS term
+        |         FROM t JOIN range(0, 100000) r(i) ON r.i < len(ws)
+        |         WHERE length(ws[r.i + 1]) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |cls AS (SELECT term,
+        |          CASE WHEN df * 100 >= 30 * (SELECT n FROM nd) THEN 'stop'
+        |               WHEN df < 2 THEN 'rare' ELSE 'keep' END AS cls
+        |        FROM dfq),
+        |j AS (SELECT toks.doc_id, toks.pos, toks.term, cls.cls
+        |      FROM toks JOIN cls USING (term))
+        |SELECT doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  COUNT(*) FILTER (WHERE cls = 'keep') AS n_kept,
+        |  COUNT(*) FILTER (WHERE cls = 'stop') AS n_stop,
+        |  COUNT(*) FILTER (WHERE cls = 'rare') AS n_rare,
+        |  md5(COALESCE(string_agg(term, ' ' ORDER BY pos)
+        |        FILTER (WHERE cls = 'keep'), '')) AS kept_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // qtx11: repetition signals — integer token/3-gram counts plus one
     // double division each; docs under 3 tokens get dup_ratio 0.0
     "qtx11_repetition" ->
@@ -1043,6 +1104,54 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, cand.vec_id) AS rank
         |  FROM cand JOIN e q ON q.vec_id = cand.query_id
         |            JOIN e n ON n.vec_id = cand.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // qann6: PQ codes — sampled sub-codebooks, squared-L2 in double with
+    // ascending-index accumulation on both engines, ties to smallest code
+    "qann6_pq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |sp AS (SELECT i AS sub FROM range(0, 4) t(i)),
+        |d AS (
+        |  SELECT e.vec_id, sp.sub, cb.code,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (e.v[sp.sub * 16 + i] - cb.cv[sp.sub * 16 + i])
+        |         * (e.v[sp.sub * 16 + i] - cb.cv[sp.sub * 16 + i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM e CROSS JOIN sp CROSS JOIN cb),
+        |r AS (SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+        |        PARTITION BY vec_id, sub ORDER BY dist ASC, code) AS rn FROM d)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM r WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
+    // qann7: ADC top-k — the qann6 code/distance CTEs reused; candidate
+    // distance = subspace-ordered fold of the m table lookups
+    "qann7_adc_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |sp AS (SELECT i AS sub FROM range(0, 4) t(i)),
+        |d AS (
+        |  SELECT e.vec_id, sp.sub, cb.code,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (e.v[sp.sub * 16 + i] - cb.cv[sp.sub * 16 + i])
+        |         * (e.v[sp.sub * 16 + i] - cb.cv[sp.sub * 16 + i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM e CROSS JOIN sp CROSS JOIN cb),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist ASC, code) AS rn FROM d) z
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, sub, code, dist FROM d
+        |       WHERE vec_id < 20),
+        |parts AS (SELECT qd.query_id, c.vec_id, c.sub, qd.dist AS pd
+        |          FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code = c.code
+        |          WHERE c.vec_id <> qd.query_id),
+        |adc AS (SELECT query_id, vec_id,
+        |         list_reduce(list_transform(list_sort(list({'s': sub, 'c': pd})),
+        |           x -> x.c), (a, b) -> a + b) AS adc
+        |        FROM parts GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id AS neighbor_id,
+        |       ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY adc ASC, vec_id) AS rank FROM adc)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "qann5_embed_clusters" ->

@@ -267,6 +267,132 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization codes (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the compressed-domain
+    * companion to [[ivfTopK]]: split each D-dim vector into `m`
+    * contiguous subvectors and store, per subspace, the id of its
+    * nearest codebook entry under squared-L2. A 64-dim float vector
+    * (256 B) compresses to `m` small codes — the memory move that lets
+    * a 10⁹-vector index live in RAM for asymmetric-distance scans.
+    *
+    * Codebooks are deterministically sampled (`vec_id % centStep == 0`,
+    * code = the sampled vec_id; no iterative k-means) for the same
+    * reason as [[ivfTopK]]'s centroids: the whole structure is plain
+    * arithmetic, so a SQL oracle recomputes every code. Distances run
+    * in DOUBLE with ascending-index accumulation; ties break to the
+    * SMALLEST code (strict `<` over an ascending-code scan ≡ `ORDER BY
+    * dist, code`), so codes are bit-reproducible.
+    *
+    * Scale shape: the codebook is collected once (capped at
+    * [[MaxCentroids]]) and broadcast; assignment is ONE zero-shuffle
+    * map pass over the corpus — the [[assignCells]] shape, m·K subspace
+    * distances per vector. Requires dim % m == 0.
+    */
+  def pqCodes(spark: SparkSession, emb: DataFrame, m: Int = 4,
+              centStep: Int = 25): DataFrame = {
+    import spark.implicits._
+    require(m >= 1, "m must be >= 1")
+    val cb = emb.filter(col("vec_id") % centStep === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .limit(MaxCentroids + 1).collect()
+    require(cb.nonEmpty, "PQ codebook sample is empty — lower centStep")
+    require(cb.length <= MaxCentroids,
+      s"PQ codebook exceeds the $MaxCentroids broadcast cap — coarsen centStep")
+    val sorted = cb.sortBy(_._1)
+    val cbB = spark.sparkContext.broadcast(sorted)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = cbB.value
+        it.flatMap { case (id, v) =>
+          require(v.length % m == 0,
+            s"dim ${v.length} not divisible into $m subspaces")
+          val sw = v.length / m
+          (0 until m).map { s =>
+            val off = s * sw
+            var bestCode = -1L
+            var bestDist = Double.PositiveInfinity
+            var c = 0
+            while (c < cents.length) {
+              val (code, cv) = cents(c)
+              var dist = 0.0
+              var j = 0
+              while (j < sw) {
+                val dd = v(off + j).toDouble - cv(off + j).toDouble
+                dist += dd * dd
+                j += 1
+              }
+              // strict < keeps the smallest code among exact ties
+              if (dist < bestDist) { bestDist = dist; bestCode = code }
+              c += 1
+            }
+            (id, s.toLong, bestCode)
+          }
+        }
+      }.toDF("vec_id", "sub", "code")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over [[pqCodes]] — the search side
+    * of product quantization: the query stays UNCOMPRESSED; per subspace
+    * it precomputes its squared-L2 distance to every codebook entry (a
+    * |Q|·m·K lookup table), and a candidate's distance is then the SUM
+    * of m table lookups addressed by its stored codes — the corpus'
+    * float vectors are never touched at query time. That is the whole
+    * point of PQ at 10⁹ vectors: the scan reads m small codes per
+    * vector instead of D floats, and the distance tables broadcast.
+    *
+    * Determinism: subspace distances are the same double-exact
+    * ascending-index accumulation as [[pqCodes]]; the per-candidate sum
+    * folds the m partials in SUBSPACE ORDER (sort_array over (sub, d)
+    * structs — the qkg10 sorted-fold trick), so every ADC distance is
+    * bit-reproducible and a SQL oracle replays the ranking exactly.
+    * Ties break by neighbor id.
+    *
+    * Scale shape: ONE broadcast-join pass of the code table against the
+    * tiny distance table, then a (query, vec)-keyed aggregation whose
+    * per-group state is m partials (map-side combinable). No all-pairs
+    * join, no corpus shuffle — the classic IVF-ADC scan shape minus the
+    * cell pruning (compose with [[ivfTopK]]'s assignment to add it).
+    */
+  def adcTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+              k: Int, m: Int = 4, centStep: Int = 25): DataFrame = {
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sw = dim / m
+    // per-subspace squared L2 between two vectors' sub-slices, double
+    // arithmetic in ascending element order (bit-identical to pqCodes'
+    // loop and the SQL list_reduce spelling)
+    def subL2(a: Column, b: Column, off: Int): Column =
+      aggregate(
+        zip_with(slice(a, off + 1, sw), slice(b, off + 1, sw),
+          (x, y) => x.cast("double") - y.cast("double")),
+        lit(0.0), (acc, d) => acc + d * d)
+    val cb = emb.filter(col("vec_id") % centStep === 0)
+      .select(col("vec_id").cast("long").as("code"), col("embedding").as("cv"))
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qv"))
+    // distance table: |Q| × m × K rows, built once and broadcast
+    val dt = (0 until m).map { s =>
+      q.crossJoin(cb).select(col("query_id"), lit(s.toLong).as("sub"),
+        col("code"), subL2(col("qv"), col("cv"), s * sw).as("d"))
+    }.reduce(_ unionByName _)
+    val codes = pqCodes(spark, emb, m, centStep)
+    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(aggregate(sort_array(collect_list(struct(col("sub"), col("d")))),
+        lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k via LSH buckets: candidates share the query's bucket in
     * any table.
     */

@@ -521,6 +521,181 @@ object Analytics {
       .localCheckpoint(true)
   }
 
+  /** Hop-bounded weighted shortest paths (distributed Bellman–Ford,
+    * delta relaxation): dist(v) = minimum total weight over directed
+    * paths from any seed using AT MOST `maxEdges` edges. The hop bound
+    * is the semantics, not a truncation apology — it is what makes the
+    * result well-defined on weighted cyclic graphs without a negative-
+    * cycle precondition, it is the standard "within k hops, cheapest"
+    * neighborhood query, and it makes the value integer-exact when the
+    * weights are integers (no floating point anywhere for long
+    * weights, so a SQL oracle enumerating ≤ k-edge paths matches every
+    * row). Edges are (src, dst, w).
+    *
+    * Delta relaxation: round r relaxes only the frontier of nodes whose
+    * distance IMPROVED in round r−1 (a node that reached its ≤(r−1)-edge
+    * minimum at round j < r already propagated that value at round
+    * j+1), so by induction dist after round r is the exact ≤ r-edge
+    * minimum — the textbook invariant, with work per round proportional
+    * to the frontier's out-edges, never the graph.
+    *
+    * Scale shape: per round one frontier⋈edges shuffle + a per-dst MIN
+    * aggregation (map-side combinable — a Zipf-head dst receiving 10⁶
+    * candidate distances pre-reduces to one row per map task) + one
+    * improvement anti-check against the running table. State is (id,
+    * dist) pairs. Rounds are persisted for their two consumers and
+    * released before returning, like [[bfsDistances]].
+    *
+    * Returns (id, dist) for REACHED nodes only; seeds outside the node
+    * set are ignored; edges to ids outside the node set are dropped.
+    */
+  def weightedSssp(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                   maxEdges: Int): DataFrame = {
+    require(maxEdges >= 0, "maxEdges must be >= 0")
+    val cols = edges.columns
+    require(cols.length == 3, s"expected (src, dst, w), got ${cols.mkString(",")}")
+    val e = edges.toDF("src", "dst", "w").distinct().persist()
+    val ids = nodes.toDF("id").persist()
+    val retained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var dist = ids.join(seeds.toDF("id").distinct(), Seq("id"), "left_semi")
+        .select(col("id"), lit(0L).as("dist")).persist()
+      retained += dist
+      var frontier = dist
+      var round = 0
+      var done = frontier.isEmpty
+      while (round < maxEdges && !done) {
+        round += 1
+        val cand = frontier
+          .join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+          .join(ids, Seq("id"), "left_semi")
+          .groupBy("id").agg(min("dist").as("dist"))
+        val improved = cand
+          .join(dist.select(col("id"), col("dist").as("old")), Seq("id"), "left")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("id", "dist").persist()
+        retained += improved
+        if (improved.isEmpty) done = true
+        else {
+          dist = dist.unionByName(improved)
+            .groupBy("id").agg(min("dist").as("dist")).persist()
+          retained += dist
+          frontier = improved
+        }
+      }
+      dist.localCheckpoint(true)
+    } finally {
+      e.unpersist(); ids.unpersist()
+      retained.foreach(_.unpersist(): Unit)
+    }
+  }
+
+  /** Deterministic DeepWalk-style random walks over the UNDIRECTED
+    * graph (Perozzi et al. 2014 — the walk-corpus generator for graph
+    * embeddings, made engine-reproducible): one walk per seed, exactly
+    * `steps` steps (shorter if it hits an isolated node), where the
+    * step-t choice from a node is neighbor RANK
+    *
+    *   pick = (key·1103515245 + t·12345) mod 2³¹ mod degree
+    *
+    * over the node's neighbors sorted ascending (rank 0-based). `nodes`
+    * supplies the integer `key` per node id; the LCG runs on exact
+    * int64 arithmetic (caller must keep keys < 2³¹ so the product
+    * stays < 2⁶³), so the ENTIRE walk corpus is recomputable in ANSI
+    * SQL — the same trade as [[graft.ann.Knn.planeComp]]: a seeded
+    * arithmetic generator instead of JVM Random buys a full value
+    * oracle. Walks depend only on (key, step, sorted adjacency), so a
+    * walk from node X is the same whether X is a seed or mid-walk hop —
+    * the corpus is a deterministic sub-sample of one global walk field.
+    *
+    * Scale shape: neighbor ranks are one row_number window partitioned
+    * by node (per-node state = its adjacency list; an extreme hub is
+    * one heavy-but-streamable sort partition, same class as
+    * [[labelPropagation]]'s vote window); each step then shuffles the
+    * WALK FRONTIER (#seeds rows, not the graph) against the ranked
+    * adjacency on (node, rank) — join fan-out is exactly 1 per walk, so
+    * a 10⁶-degree hub visited by 10⁴ walks costs 10⁴ joined rows, never
+    * degree × walks. Per-step state is checkpointed (tiny) to keep the
+    * unrolled lineage flat.
+    *
+    * Returns (walk_id, step, id): step 0 is the seed itself.
+    */
+  def randomWalks(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                  steps: Int): DataFrame = {
+    require(steps >= 0, "steps must be >= 0")
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val (cu, cv) = (col(cols(0)), col(cols(1)))
+    val und = edges
+      .select(least(cu, cv).as("a"), greatest(cu, cv).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("x").orderBy("nbr")
+    val ranked = adj
+      .withColumn("r", row_number().over(w).cast("long") - 1L)
+      .persist()
+    // degree joined BEFORE the adjacency probe so `pick` is a plain
+    // column and the ranked join is a pure (x, r) equi-join — computing
+    // pick inside the join condition would fan every walk out to its
+    // node's FULL degree and filter after, exactly the hub blowup this
+    // operator is shaped to avoid
+    val degs = adj.groupBy("x").agg(count(lit(1)).as("deg")).persist()
+    val keys = nodes.toDF("id", "key").persist()
+    try {
+      var state = keys
+        .join(seeds.toDF("id").distinct(), Seq("id"), "left_semi")
+        .select(col("id").as("walk_id"), lit(0L).as("step"), col("id"))
+        .localCheckpoint(true)
+      val out = scala.collection.mutable.ArrayBuffer(state)
+      var t = 1L
+      while (t <= steps && !state.isEmpty) {
+        val stepped = state
+          .join(keys, "id")
+          .join(degs.select(col("x").as("id"), col("deg")), "id")
+          .withColumn("pick",
+            pmod(col("key") * lit(1103515245L) + lit(t) * lit(12345L),
+              lit(2147483648L)) % col("deg"))
+        state = stepped
+          .join(ranked, col("x") === col("id") && col("r") === col("pick"))
+          .select(col("walk_id"), lit(t).as("step"), col("nbr").as("id"))
+          .localCheckpoint(true)
+        out += state
+        t += 1
+      }
+      out.reduce(_ unionByName _)
+    } finally {
+      ranked.unpersist(); degs.unpersist(); keys.unpersist(): Unit
+    }
+  }
+
+  /** Power-of-two out-degree histogram per edge label — the profiling
+    * summary a graph warehouse keeps per relationship type (the judge of
+    * "is this label broadcast-able", "which label hides the Zipf head
+    * that needs salting"): for each (label, bucket = ⌊log₂ deg⌋) the
+    * node count and total edge count. The log-bucket is computed with
+    * INTEGER arithmetic (binary-digit count − 1, never a float log that
+    * can land on either side of an exact power), so every row
+    * value-hashes cross-engine.
+    *
+    * Scale shape: one (label, src)-keyed count (map-side combinable) +
+    * one (label, bucket) count over the degree table — output is
+    * ≤ labels × 64 rows regardless of graph size.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val cols = edges.columns
+    require(cols.length == 2, s"expected (label, src), got ${cols.mkString(",")}")
+    val deg = edges.toDF("label", "src")
+      .groupBy("label", "src").agg(count(lit(1)).as("deg"))
+    deg.select(col("label"),
+        (length(bin(col("deg"))) - 1).cast("long").as("bucket"), col("deg"))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("n_edges"))
+  }
+
   /** Per-node degree of a canonical (a < b) undirected edge set. */
   private def degrees(und: DataFrame): DataFrame =
     und.select(explode(array(col("a"), col("b"))).as("id"))

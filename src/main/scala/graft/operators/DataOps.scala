@@ -153,6 +153,24 @@ object DataOps {
     graft.sketch.Sketches.hllRegisters(
       TextStats.docs(spark, sfDir).select(col("doc_id")), key = "doc_id")
 
+  /** Distributed CMS point estimates for the 20 most frequent tokens
+    * (count desc, term tiebreak) joined with their true counts — the
+    * estimate ≥ truth upper-bound contract as data; see
+    * [[graft.sketch.Sketches.cmsPointEstimates]].
+    */
+  def qsk3CmsEstimates(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextStats.docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val probes = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term")).limit(20)
+    val counters = graft.sketch.Sketches.cmsCounters(toks, key = "term")
+    graft.sketch.Sketches.cmsPointEstimates(counters, probes.select("term"),
+        key = "term")
+      .join(probes, "term")
+      .select(col("term"), col("true_cnt"), col("cms_est"))
+      .orderBy("term")
+  }
+
   /** Event-type transition counts with exact-integer-ratio
     * probabilities; see [[graft.events.EventAnalytics.transitions]].
     */
@@ -247,6 +265,13 @@ object DataOps {
     */
   def qtx12Postings(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.invertedIndex(TextStats.docs(spark, sfDir))
+
+  /** Corpus-df-driven token pruning: per-document class-wise counts
+    * (keep / stop ≥ 30% df / rare df < 2) plus an md5 pin of the kept
+    * text; see [[TextStats.dfPrune]].
+    */
+  def qtx13DfPrune(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.dfPrune(TextStats.docs(spark, sfDir))
 
   /** URL canonicalization over planted messy URLs (case/port/utm/
     * fragment/root-slash variants by doc_id arithmetic); the oracle
@@ -343,6 +368,23 @@ object DataOps {
     Knn.ivfTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
       .select(col("query_id"), col("rank").cast("bigint").as("rank"),
         col("neighbor_id"))
+
+  /** Product-quantization codes per (vector, subspace) — deterministic
+    * sampled codebooks, double-exact squared-L2 assignment; fully
+    * oracle-backed like qann4; see [[Knn.pqCodes]].
+    */
+  def qann6PqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.pqCodes(spark, Knn.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("sub"), col("code"))
+      .orderBy("vec_id", "sub")
+
+  /** Asymmetric-distance top-k over the PQ codes — the compressed-domain
+    * search pass (query uncompressed, corpus read as codes only); fully
+    * oracle-backed: distance tables, code lookups and the subspace-
+    * ordered fold are all replayed by the SQL; see [[Knn.adcTopK]].
+    */
+  def qann7AdcTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.adcTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
 
   /** Embedding-space near-dup CLUSTERS: cosine-threshold pairs (qann2's
     * exact baseline) closed into connected components — the embedding

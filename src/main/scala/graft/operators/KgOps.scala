@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kg.{Corpus, KgPipeline}
 
@@ -573,6 +573,123 @@ object KgOps {
        |  SELECT u AS id FROM e12 UNION ALL SELECT v FROM e12) t
        |GROUP BY 1 ORDER BY entity_id""".stripMargin
   }
+
+  /** Cheapest-within-4-hops weighted distances from the qkg15 seed set
+    * over the triple graph ([[graft.graph.Analytics.weightedSssp]]) —
+    * the weighted companion to qkg15's hop counts. Edge weights are
+    * deterministic integer arithmetic on the endpoint entity keys
+    * (1 + (ks + ko) mod 7), so the whole computation is integer-exact
+    * and the DuckDB oracle (a hop-bounded recursive path enumeration
+    * with MIN(dist)) matches every row by construction.
+    */
+  def qkg19Sssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    def ikey(c: Column): Column = substring(c, 2, 10).cast("long")
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+      .select(col("subj").as("src"), col("obj").as("dst"),
+        (pmod(ikey(col("subj")) + ikey(col("obj")), lit(7L)) + lit(1L)).as("w"))
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    val seeds = nodes.filter(
+      pmod(substring(col("canonical_id"), 2, 10).cast("int"), lit(50)) === 0)
+    graft.graph.Analytics.weightedSssp(edges, nodes, seeds, maxEdges = 4)
+      .select(col("id").as("entity_id"), col("dist"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg19: enumerate every ≤ 4-edge path from the
+    * seeds with the same arithmetic weights, MIN(dist) per node —
+    * bounded-hop Bellman–Ford's defining identity, integer-exact.
+    */
+  def ssspOracle: String =
+    s"""${tripleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst,
+       |        CAST((cs + co) % 7 + 1 AS BIGINT) AS w FROM cz),
+       |seeds AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k) WHERE k % 50 = 0),
+       |d(id, dist, hops) AS (
+       |  SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, d.dist + e.w, d.hops + 1 FROM d JOIN e ON e.src = d.id
+       |  WHERE d.hops < 4)
+       |SELECT id AS entity_id, MIN(dist) AS dist FROM d
+       |GROUP BY id ORDER BY entity_id""".stripMargin
+
+  /** Deterministic DeepWalk corpus over the undirected triple graph
+    * ([[graft.graph.Analytics.randomWalks]]): 4-step walks from every
+    * 25th canonical entity, neighbor choice by the integer LCG over
+    * (entity key, step) mod degree. The walk field is pure arithmetic
+    * over the sorted adjacency, so the DuckDB oracle replays every hop
+    * value-for-value.
+    */
+  def qkg20Walks(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+      .select(col("canonical_id").as("id"),
+        substring(col("canonical_id"), 2, 10).cast("long").as("key"))
+    val seeds = nodes.filter(col("key") % 25 === 0).select("id")
+    graft.graph.Analytics.randomWalks(edges, nodes, seeds, steps = 4)
+      .select(col("walk_id"), col("step"), col("id").as("entity_id"))
+      .orderBy("walk_id", "step")
+  }
+
+  /** DuckDB oracle for qkg20: ranked sorted adjacency + the same LCG
+    * pick per unrolled step.
+    */
+  def walksOracle: String = {
+    val steps = (1 to 4).map { t =>
+      s"""s$t AS (SELECT s.walk_id, CAST($t AS BIGINT) AS step, rk.nbr AS id
+         |  FROM s${t - 1} s JOIN rk ON rk.x = s.id
+         |   AND rk.r = ((CAST(substr(s.id, 2) AS BIGINT) * 1103515245
+         |                + $t * 12345) % 2147483648) % rk.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""$tripleCte,
+       |eg AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS u,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS v FROM cz),
+       |und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |        FROM eg WHERE u <> v),
+       |adj AS (SELECT a AS x, b AS nbr FROM und
+       |        UNION ALL SELECT b AS x, a AS nbr FROM und),
+       |rk AS (SELECT x, nbr,
+       |        ROW_NUMBER() OVER (PARTITION BY x ORDER BY nbr) - 1 AS r,
+       |        COUNT(*) OVER (PARTITION BY x) AS deg FROM adj),
+       |seeds AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k) WHERE k % 25 = 0),
+       |s0 AS (SELECT id AS walk_id, CAST(0 AS BIGINT) AS step, id FROM seeds),
+       |$steps
+       |SELECT walk_id, step, id AS entity_id FROM (
+       |  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL
+       |  SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL
+       |  SELECT * FROM s4)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
+  /** Per-predicate power-of-two out-degree histogram over the canonical
+    * triple graph ([[graft.graph.Analytics.degreeHistogram]]) — the
+    * profiling row a planner reads before choosing broadcast vs salt.
+    * Integer log-buckets, so every row value-hashes.
+    */
+  def qkg21DegreeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val e = res.triples.select(col("pred"), col("subj"), col("obj")).distinct()
+    graft.graph.Analytics.degreeHistogram(e.select(col("pred"), col("subj")))
+      .select(col("label").as("pred"), col("bucket"),
+        col("n_nodes"), col("n_edges"))
+      .orderBy("pred", "bucket")
+  }
+
+  /** DuckDB oracle for qkg21: same distinct-triple degrees, log-bucket
+    * via binary-digit count.
+    */
+  def degreeHistOracle: String =
+    s"""$tripleCte,
+       |e AS (SELECT DISTINCT p, cs, co FROM cz),
+       |d AS (SELECT p, cs, COUNT(*) AS deg FROM e GROUP BY 1, 2)
+       |SELECT $predCase AS pred,
+       |  CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS n_edges
+       |FROM d GROUP BY 1, 2 ORDER BY pred, bucket""".stripMargin
 
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +

@@ -59,16 +59,45 @@ object Sketches {
   def cmsCounters(df: DataFrame, key: String,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad cms shape $depth x $width")
-    val rows = explode(array((0 until depth).map { r =>
+    df.select(cmsCells(key, depth, width).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("r", "c")
+  }
+
+  /** The (row, counter) cells a key lands in — one exploded struct per
+    * hash row, shared by the counter build and the point-estimate probe
+    * (an estimator hashing even one row differently reads garbage).
+    */
+  private def cmsCells(key: String, depth: Int, width: Int) =
+    explode(array((0 until depth).map { r =>
       struct(lit(r.toLong).as("r"),
         expr(s"""cast(conv(substring(md5(concat('$r', ':',
                | cast($key as string))), 1, 8), 16, 10) as bigint)
                | % $width""".stripMargin).as("c"))
     }: _*))
-    df.select(rows.as("rc"))
-      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("r", "c")
+
+  /** Distributed CMS point estimates: for every probe key, MIN over its
+    * `depth` counters in a [[cmsCounters]] table — the declared
+    * upper-bound estimate (exact when none of the key's cells took a
+    * collision), computed with JOINS so neither the counter table nor
+    * the probe set ever collects to the driver (the Map-based
+    * [[cmsEstimate]] stays as the single-key convenience). Missing
+    * cells count 0 — a key the sketch never saw estimates 0 exactly.
+    *
+    * Scale shape: probes explode to depth rows each, join the counter
+    * table on (r, c) — the counter side is ≤ depth·width rows
+    * (broadcastable by construction), then a per-key MIN. Integer-exact
+    * end to end.
+    */
+  def cmsPointEstimates(counters: DataFrame, probes: DataFrame, key: String,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad cms shape $depth x $width")
+    probes.select(col(key), cmsCells(key, depth, width).as("rc"))
+      .select(col(key), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(counters), Seq("r", "c"), "left")
+      .groupBy(key)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
   /** CMS point estimate for one key from a collected [[cmsCounters]]

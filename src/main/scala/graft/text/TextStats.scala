@@ -255,6 +255,51 @@ object TextStats {
       .orderBy("doc_id", "term")
   }
 
+  /** Corpus-df-driven token pruning — the vocabulary-trim pass every
+    * large-scale text pipeline runs before tokenizer training or index
+    * construction: classify every term by its document frequency
+    * (`stop` if df·100 ≥ `stopPct`·n_docs — boilerplate that carries
+    * no signal; `rare` if df < `minDf` — typo/noise tail that
+    * bloats the vocabulary; `keep` otherwise) and report, per document,
+    * the class-wise token counts plus an md5 pin of the kept text (the
+    * kept tokens in original order, space-joined — value-pins the
+    * pruned document without shipping it, the [[chunkTokens]] trade).
+    * Both thresholds are integer comparisons, so the classification is
+    * engine-exact.
+    *
+    * Scale shape: per-(doc, term) counts (one shuffle), df over that
+    * output (smaller shuffle), then ONE term-keyed join of the token
+    * stream against the per-term class table — the class side is one
+    * row per term (vocabulary-sized, broadcastable in the common case;
+    * under a shuffle join a stop-word's heavy key is 1:1 build-side, so
+    * AQE skew splitting applies cleanly). The per-doc md5 fold sorts
+    * each document's own tokens only — state bounded by document
+    * length, never the corpus.
+    */
+  def dfPrune(d: DataFrame, minDf: Long = 2, stopPct: Int = 30): DataFrame = {
+    val nDocs = d.count()
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val cls = dfreq.select(col("term"),
+      when(col("df") * 100 >= lit(stopPct.toLong * nDocs), lit("stop"))
+        .when(col("df") < minDf, lit("rare"))
+        .otherwise(lit("keep")).as("cls"))
+    val kept = when(col("cls") === "keep", struct(col("pos"), col("term")))
+    toks.join(cls, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("cls") === "keep", 1)).as("n_kept"),
+        count(when(col("cls") === "stop", 1)).as("n_stop"),
+        count(when(col("cls") === "rare", 1)).as("n_rare"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(kept)), x => x.getField("term"))))
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Inverted-index statistics — the retrieval-side build step: one row
     * per term with its posting count, document frequency, and a
     * position-complete fingerprint of the posting list. The fingerprint

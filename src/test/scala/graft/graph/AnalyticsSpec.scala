@@ -467,6 +467,122 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(a.map(_._3).max === 1.0)
   }
 
+  /** Local reference bounded Bellman–Ford: dist = min weight over paths
+    * using at most maxEdges edges (full relaxation every round).
+    */
+  private def refSssp(edges: Seq[(String, String, Long)], nodes: Seq[String],
+                      seeds: Seq[String], maxEdges: Int): Map[String, Long] = {
+    val inSet = nodes.toSet
+    val es = edges.distinct.filter(e => inSet(e._1) && inSet(e._2))
+    var dist = seeds.filter(inSet).distinct.map(_ -> 0L).toMap
+    (1 to maxEdges).foreach { _ =>
+      val relaxed = es.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      dist = (dist.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(dist.getOrElse(v, Long.MaxValue),
+          relaxed.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  test("weightedSssp: random weighted digraphs match the reference Bellman-Ford (10 cases, cycles included)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { k =>
+      val n = 2 + rnd.nextInt(18)
+      val nodes = (0 until n).map(i => s"n$i")
+      val edges = (0 until n * 3).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}", 1L + rnd.nextInt(9)))
+      val seeds = (nodes.filter(_ => rnd.nextBoolean()).take(2) :+
+        nodes.head) :+ "zz_not_a_node"
+      val maxEdges = rnd.nextInt(5)
+      val got = Analytics.weightedSssp(edges.toDF("src", "dst", "w"),
+          nodes.toDF("id"), seeds.toDF("id"), maxEdges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === refSssp(edges, nodes, seeds, maxEdges), s"case $k")
+    }
+  }
+
+  test("weightedSssp: a longer path with smaller total weight wins within the hop budget") {
+    // a->z direct weight 10; a->b->z total 3 — 2 hops beat 1 hop on weight
+    val edges = Seq(("a", "z", 10L), ("a", "b", 1L), ("b", "z", 2L))
+    val nodes = Seq("a", "b", "z")
+    val d1 = Analytics.weightedSssp(edges.toDF("src", "dst", "w"),
+      nodes.toDF("id"), Seq("a").toDF("id"), maxEdges = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 === Map("a" -> 0L, "z" -> 10L, "b" -> 1L))
+    val d2 = Analytics.weightedSssp(edges.toDF("src", "dst", "w"),
+      nodes.toDF("id"), Seq("a").toDF("id"), maxEdges = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d2 === Map("a" -> 0L, "z" -> 3L, "b" -> 1L))
+  }
+
+  /** Local reference walk: same LCG over the sorted undirected adjacency. */
+  private def refWalks(edges: Seq[(String, String)], keys: Map[String, Long],
+                       seeds: Seq[String], steps: Int)
+      : Set[(String, Long, String)] = {
+    val und = edges.map { case (u, v) => if (u < v) (u, v) else (v, u) }
+      .filter(p => p._1 != p._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct.sorted.toVector).toMap
+    seeds.distinct.filter(keys.contains).flatMap { s =>
+      var cur = s
+      var alive = true
+      (s, 0L, s) +: (1 to steps).flatMap { t =>
+        if (!alive) None
+        else adj.get(cur) match {
+          case None => alive = false; None
+          case Some(nbrs) =>
+            val pick = ((keys(cur) * 1103515245L + t * 12345L) %
+              2147483648L % nbrs.size).toInt
+            cur = nbrs(pick)
+            Some((s, t.toLong, cur))
+        }
+      }
+    }.toSet
+  }
+
+  test("randomWalks: random graphs match the reference LCG walk (8 cases); dead ends stop the walk") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { k =>
+      val n = 3 + rnd.nextInt(15)
+      val nodes = (0 until n).map(i => s"n%02d".format(i))
+      val keys = nodes.zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+      val edges = (0 until n * 2).map(_ =>
+        (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+      val seeds = nodes.filter(_ => rnd.nextBoolean()).take(4) :+ nodes.head
+      val steps = 1 + rnd.nextInt(4)
+      val nodesDf = keys.toSeq.toDF("id", "key")
+      val got = Analytics.randomWalks(edges.toDF("u", "v"), nodesDf,
+          seeds.toDF("id"), steps)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(got === refWalks(edges, keys, seeds, steps), s"case $k")
+    }
+  }
+
+  test("randomWalks: an isolated seed emits only its step-0 row") {
+    val got = Analytics.randomWalks(Seq(("a", "b")).toDF("u", "v"),
+      Seq(("a", 0L), ("b", 1L), ("c", 2L)).toDF("id", "key"),
+      Seq("c").toDF("id"), steps = 3).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet === Set(("c", 0L, "c")))
+  }
+
+  test("degreeHistogram: integer log2 buckets, node and edge counts per label") {
+    // label A: n1 deg 3 (bucket 1), n2 deg 1 (bucket 0); label B: n1 deg 4 (bucket 2)
+    val edges = Seq(
+      ("A", "n1"), ("A", "n1"), ("A", "n1"), ("A", "n2"),
+      ("B", "n1"), ("B", "n1"), ("B", "n1"), ("B", "n1"))
+    val got = Analytics.degreeHistogram(edges.toDF("label", "src"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("A", 1L) -> ((1L, 3L)), ("A", 0L) -> ((1L, 1L)),
+      ("B", 2L) -> ((1L, 4L))))
+  }
+
   test("pageRank: ranks form a probability-mass deficit only from dangling leaks") {
     // no dangling nodes -> total mass stays exactly-ish 1 (fp tolerance)
     val nodes = Seq("a", "b", "c")

@@ -57,6 +57,23 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("cmsPointEstimates: distributed estimates equal the Map-based cmsEstimate; unseen key estimates 0") {
+    val keys = (0 until 3000).map(i => s"k${i % 80}")
+    val countersDf = Sketches.cmsCounters(keys.toDF("k"), "k")
+    val counters = countersDf
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probes = ((0 until 80).map(i => s"k$i") :+ "never_seen").toDF("k")
+    val got = Sketches.cmsPointEstimates(countersDf, probes, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size === 81)
+    got.foreach { case (k, est) =>
+      assert(est === Sketches.cmsEstimate(counters, k), s"key $k")
+    }
+    // an unseen key only reads collision mass — with 80 keys in 4x1024
+    // cells a specific probe key colliding in ALL 4 rows is ~(80/1024)^4
+    assert(got("never_seen") === 0L)
+  }
+
   test("hllEstimate: within 15% of the true cardinality at n=5000") {
     val regs = Sketches.hllRegisters((0L until 5000L).toDF("k"), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
