@@ -67,6 +67,7 @@ object SparkEntry {
     "qkg19_sssp" -> (KgOps.qkg19Sssp _),
     "qkg20_walks" -> (KgOps.qkg20Walks _),
     "qkg21_degree_hist" -> (KgOps.qkg21DegreeHist _),
+    "qkg22_hyperball" -> (KgOps.qkg22HyperBall _),
     "qkg16_related" -> (KgOps.qkg16Related _),
     "qkg17_labelprop" -> (KgOps.qkg17LabelProp _),
     "qkg18_kcore" -> (KgOps.qkg18KCore _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "qann4_ivf_topk" -> (DataOps.qann4IvfTopK _),
     "qann6_pq_codes" -> (DataOps.qann6PqCodes _),
     "qann7_adc_topk" -> (DataOps.qann7AdcTopK _),
+    "qann8_ivfpq" -> (DataOps.qann8IvfPq _),
     "qann5_embed_clusters" -> (DataOps.qann5EmbedClusters _),
     "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
     "qmm2_image_dims" -> (DataOps.qmm2ImageDims _),
@@ -533,6 +535,9 @@ object SparkEntry {
     // qkg21: per-predicate out-degree histogram — integer log2 buckets
     // via binary-digit count
     "qkg21_degree_hist" -> KgOps.degreeHistOracle,
+    // qkg22: HyperBall register state — exact ≤4-hop reach sets rebuilt
+    // relationally, registers re-derived via the qsk1 arithmetic
+    "qkg22_hyperball" -> KgOps.hyperBallOracle,
     // qkg16: shared-neighbor Jaccard relatedness (hub cap 8 is proven
     // semantics: the oracle excludes super-hub shared neighbors too)
     "qkg16_related" -> KgOps.relatedOracle,
@@ -1145,6 +1150,49 @@ object SparkEntry {
         |parts AS (SELECT qd.query_id, c.vec_id, c.sub, qd.dist AS pd
         |          FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code = c.code
         |          WHERE c.vec_id <> qd.query_id),
+        |adc AS (SELECT query_id, vec_id,
+        |         list_reduce(list_transform(list_sort(list({'s': sub, 'c': pd})),
+        |           x -> x.c), (a, b) -> a + b) AS adc
+        |        FROM parts GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id AS neighbor_id,
+        |       ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY adc ASC, vec_id) AS rank FROM adc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // qann8: IVF-PQ — qann4's cell/probe CTEs feeding qann7's ADC CTEs
+    "qann8_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 20 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) AS rn
+        |  FROM e CROSS JOIN cent c),
+        |asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE vec_id < 20 AND rn <= 6),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a USING (cid)
+        |  WHERE a.vec_id <> p.query_id),
+        |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |sp AS (SELECT i AS sub FROM range(0, 4) t(i)),
+        |d AS (
+        |  SELECT e.vec_id, sp.sub, cb.code,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (e.v[sp.sub * 16 + i] - cb.cv[sp.sub * 16 + i])
+        |         * (e.v[sp.sub * 16 + i] - cb.cv[sp.sub * 16 + i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM e CROSS JOIN sp CROSS JOIN cb),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist ASC, code) AS rn FROM d) z
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, sub, code, dist FROM d
+        |       WHERE vec_id < 20),
+        |parts AS (SELECT cand.query_id, cand.vec_id, c.sub, qd.dist AS pd
+        |          FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+        |          JOIN qd ON qd.query_id = cand.query_id
+        |           AND qd.sub = c.sub AND qd.code = c.code),
         |adc AS (SELECT query_id, vec_id,
         |         list_reduce(list_transform(list_sort(list({'s': sub, 'c': pd})),
         |           x -> x.c), (a, b) -> a + b) AS adc

@@ -357,12 +357,61 @@ object Knn {
     */
   def adcTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
               k: Int, m: Int = 4, centStep: Int = 25): DataFrame = {
+    val dt = adcDistTable(emb, queryIds, m, centStep)
+    val codes = pqCodes(spark, emb, m, centStep)
+    val parts = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+    adcRank(parts, k)
+  }
+
+  /** IVF-PQ: the full production ANN index shape — [[ivfTopK]]'s cell
+    * pruning composed with [[adcTopK]]'s compressed-domain ranking. A
+    * query probes its `nprobe` nearest IVF cells (cosine, [[assignCells]]
+    * semantics), and ONLY those cells' members are ranked, by ADC over
+    * their stored PQ codes — at 10⁹ vectors the scan touches
+    * `nprobe/C` of the code table and never a raw float vector. Both
+    * structures stay deterministically sampled, so the whole index —
+    * cells, probes, codes, distance tables, the final fold — replays in
+    * the SQL oracle. The IVF codebook (`centStep`) and PQ sub-codebooks
+    * (`pqStep`) sample independently, as in a real index.
+    */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                k: Int, centStep: Int = 20, nprobe: Int = 6, m: Int = 4,
+                pqStep: Int = 25): DataFrame = {
+    val cent = emb.filter(col("vec_id") % centStep === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val asgn = assignCells(spark, emb, cent)
+    val wAsgn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid"))
+    val probes = emb.filter(col("vec_id").isin(queryIds: _*))
+      .crossJoin(broadcast(cent))
+      .withColumn("cs", cosine(col("cv"), col("embedding")))
+      .withColumn("rn", row_number().over(wAsgn))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val candIds = asgn.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val dt = adcDistTable(emb, queryIds, m, pqStep)
+    val codes = pqCodes(spark, emb, m, pqStep)
+    val parts = candIds
+      .join(codes, "vec_id")
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+    adcRank(parts, k)
+  }
+
+  /** Query-to-codebook subspace distance table (query_id, sub, code, d):
+    * |Q|·m·K rows, built once and broadcast. Distances are the same
+    * double-exact ascending-index squared L2 as [[pqCodes]]' loop (the
+    * HOF zip_with/aggregate spelling — float→double casts then
+    * left-to-right accumulation — is bit-identical to it and to the SQL
+    * list_reduce).
+    */
+  private def adcDistTable(emb: DataFrame, queryIds: Seq[Long], m: Int,
+                           centStep: Int): DataFrame = {
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sw = dim / m
-    // per-subspace squared L2 between two vectors' sub-slices, double
-    // arithmetic in ascending element order (bit-identical to pqCodes'
-    // loop and the SQL list_reduce spelling)
     def subL2(a: Column, b: Column, off: Int): Column =
       aggregate(
         zip_with(slice(a, off + 1, sw), slice(b, off + 1, sw),
@@ -373,14 +422,17 @@ object Knn {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").cast("long").as("query_id"),
         col("embedding").as("qv"))
-    // distance table: |Q| × m × K rows, built once and broadcast
-    val dt = (0 until m).map { s =>
+    (0 until m).map { s =>
       q.crossJoin(cb).select(col("query_id"), lit(s.toLong).as("sub"),
         col("code"), subL2(col("qv"), col("cv"), s * sw).as("d"))
     }.reduce(_ unionByName _)
-    val codes = pqCodes(spark, emb, m, centStep)
-    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
+  }
+
+  /** Fold per-(query, candidate) subspace partials in SUBSPACE ORDER
+    * (bit-reproducible) and rank ascending with neighbor-id ties.
+    */
+  private def adcRank(parts: DataFrame, k: Int): DataFrame = {
+    val adc = parts
       .groupBy("query_id", "vec_id")
       .agg(aggregate(sort_array(collect_list(struct(col("sub"), col("d")))),
         lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))

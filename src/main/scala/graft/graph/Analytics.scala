@@ -672,6 +672,67 @@ object Analytics {
     }
   }
 
+  /** HyperBall (Boldi & Vigna 2013, "In-Core Computation of Geometric
+    * Centralities with HyperBall"): the per-node neighborhood function —
+    * for EVERY node, an HLL sketch of its ≤ `maxHops` out-ball — via
+    * register propagation instead of per-source BFS. Exact multi-source
+    * BFS from all nodes is O(n·m) state (10²⁴ at web scale); HyperBall
+    * keeps ≤ 256 register rows per node and grows balls by the
+    * identity ball_t(v) = ball_{t-1}(v) ∪ ⋃_{(v,u)∈E} ball_{t-1}(u),
+    * which for HLL state is just an elementwise register MAX — the one
+    * sketch operation that is associative, commutative and idempotent,
+    * so the per-round aggregation pre-reduces map-side and a Zipf-head
+    * node's registers combine in O(log) tree depth instead of
+    * collecting its in-neighborhood.
+    *
+    * Registers use EXACTLY [[graft.sketch.Sketches.hllBucketRank]]'s
+    * integer arithmetic, so the final state is engine-reproducible:
+    * the oracle recomputes every node's exact ≤ k ball relationally and
+    * re-derives the registers — sketch STATE is proven, while the
+    * cardinality estimate stays a documented derivation
+    * ([[graft.sketch.Sketches.hllEstimate]]) exactly as qsk1 treats it.
+    *
+    * Returns one row per node: `n_regs` (occupied registers) and
+    * `reg_fp`, the ORDER-FREE register fingerprint
+    * Σ 2^(61−rank)·f(bucket) mod 2⁶² with f folding the bucket id in —
+    * commutative integer arithmetic (the [[graft.text.TextStats
+    * .invertedIndex]] trick), so no per-node sorted fold is needed.
+    *
+    * Scale shape: per round one edges⋈registers shuffle (fan-out
+    * in-degree × that node's occupied registers, pre-reduced map-side
+    * by the MAX) + an (id, bucket) max-aggregate; per-round state is
+    * localCheckpoint-ed (each round's table feeds the next union).
+    */
+  def hyperBall(edges: DataFrame, nodes: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.toDF("src", "dst").distinct().persist()
+    val ids = nodes.toDF("id").persist()
+    try {
+      var reg = ids
+        .select(col("id"), graft.sketch.Sketches.hllBucketRank(col("id")).as("br"))
+        .select(col("id"), col("br.bucket").as("bucket"), col("br.rank").as("r"))
+        .localCheckpoint(true)
+      var t = 0
+      while (t < maxHops) {
+        val contrib = e
+          .join(reg.select(col("id").as("dst"), col("bucket"), col("r")), "dst")
+          .select(col("src").as("id"), col("bucket"), col("r"))
+        reg = reg.unionByName(contrib)
+          .groupBy("id", "bucket").agg(max("r").as("r"))
+          .localCheckpoint(true)
+        t += 1
+      }
+      reg.groupBy("id").agg(
+        count(lit(1)).as("n_regs"),
+        expr("""cast(sum(cast(shiftleft(cast(1 as bigint),
+               |  cast(61 - r as int)) as decimal(38,0))
+               |  * (bucket * 2654435761 % 1048576 + 1))
+               | % 4611686018427387904 as bigint)""".stripMargin).as("reg_fp"))
+    } finally {
+      e.unpersist(); ids.unpersist(): Unit
+    }
+  }
+
   /** Power-of-two out-degree histogram per edge label — the profiling
     * summary a graph warehouse keeps per relationship type (the judge of
     * "is this label broadcast-able", "which label hides the Zipf head

@@ -386,6 +386,13 @@ object DataOps {
   def qann7AdcTopK(spark: SparkSession, sfDir: String): DataFrame =
     Knn.adcTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
 
+  /** IVF-PQ search — cell pruning + compressed-domain ADC ranking, the
+    * full production index shape; fully oracle-backed; see
+    * [[Knn.ivfPqTopK]].
+    */
+  def qann8IvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.ivfPqTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
+
   /** Embedding-space near-dup CLUSTERS: cosine-threshold pairs (qann2's
     * exact baseline) closed into connected components — the embedding
     * analog of qdd3's shingle-based dedup clusters, giving the dedup

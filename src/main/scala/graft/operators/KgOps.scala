@@ -691,6 +691,56 @@ object KgOps {
        |  COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS n_edges
        |FROM d GROUP BY 1, 2 ORDER BY pred, bucket""".stripMargin
 
+  /** HyperBall neighborhood function over the triple graph
+    * ([[graft.graph.Analytics.hyperBall]], 4 hops): every entity's
+    * out-ball as engine-exact HLL register state (occupied-register
+    * count + order-free register fingerprint). The oracle recomputes
+    * every node's EXACT ≤4-hop reach set relationally and re-derives
+    * the registers from it — proving the propagation converged to the
+    * same sketch a from-scratch build over the true ball produces.
+    */
+  def qkg22HyperBall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    graft.graph.Analytics.hyperBall(edges, nodes, maxHops = 4)
+      .select(col("id").as("entity_id"), col("n_regs"), col("reg_fp"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg22: exact ≤4-hop reach sets by recursive CTE,
+    * then the qsk1 register arithmetic per (source, reached) pair,
+    * per-bucket MAX, and the same order-free fingerprint.
+    */
+  def hyperBallOracle: String =
+    s"""${tripleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+       |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k)),
+       |reach(s, id, hops) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT r.s, e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.id
+       |  WHERE r.hops < 4),
+       |ball AS (SELECT DISTINCT s, id FROM reach),
+       |h AS (SELECT s, md5(id) AS h FROM ball),
+       |br AS (SELECT s,
+       |        CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS bucket,
+       |        ltrim(substring(h, 3, 15), '0') AS tl FROM h),
+       |rk AS (SELECT s, bucket,
+       |        60 - length(tl) * 4 +
+       |        (CASE substring(tl, 1, 1)
+       |          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |          WHEN '7' THEN 1 ELSE 0 END) + 1 AS rank FROM br),
+       |reg AS (SELECT s, bucket, MAX(rank) AS r FROM rk GROUP BY 1, 2)
+       |SELECT s AS entity_id, COUNT(*) AS n_regs,
+       |  CAST(SUM(CAST(1::BIGINT << CAST(61 - r AS INT) AS HUGEINT)
+       |        * (bucket * 2654435761 % 1048576 + 1))
+       |    % 4611686018427387904 AS BIGINT) AS reg_fp
+       |FROM reg GROUP BY s ORDER BY entity_id""".stripMargin
+
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +
     * maxFilesPerTrigger=1 (so the run takes MULTIPLE micro-batches), and

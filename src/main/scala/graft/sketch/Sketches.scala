@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate aggregates whose SKETCH STATE is exact and
@@ -29,20 +29,31 @@ object Sketches {
     * used by the estimator.
     */
   def hllRegisters(df: DataFrame, key: String): DataFrame =
-    df.select(md5(col(key).cast("string")).as("h"))
-      .select(
-        expr("cast(conv(substring(h, 1, 2), 16, 10) as bigint)").as("bucket"),
-        expr("trim(LEADING '0' FROM substring(h, 3, 15))").as("t"))
-      .select(col("bucket"),
-        (lit(60L) - length(col("t")).cast("long") * 4L +
-          expr("""CASE substring(t, 1, 1)
-                 | WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-                 | WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
-                 | WHEN '7' THEN 1 ELSE 0 END""".stripMargin).cast("long") +
-          1L).as("rank"))
+    df.select(hllBucketRank(col(key)).as("br"))
+      .select(col("br.bucket").as("bucket"), col("br.rank").as("rank"))
       .groupBy("bucket")
       .agg(max(col("rank")).as("max_rank"), count(lit(1)).as("n_keys"))
       .orderBy("bucket")
+
+  /** The (bucket, rank) struct a key contributes to an HLL sketch —
+    * bucket = first md5 byte, rank = 1 + leading zero bits of the next
+    * 60 bits, all via integer/string arithmetic (the exact spelling
+    * [[hllRegisters]] has always used; extracted so register-PROPAGATING
+    * operators like [[graft.graph.Analytics.hyperBall]] hash identically
+    * to the standalone sketch and its SQL oracle).
+    */
+  def hllBucketRank(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    val t = regexp_replace(substring(h, 3, 15), "^0+", "")
+    val first = substring(t, 1, 1)
+    val dz = when(first === "1", 3L)
+      .when(first.isin("2", "3"), 2L)
+      .when(first.isin("4", "5", "6", "7"), 1L)
+      .otherwise(0L)
+    struct(
+      conv(substring(h, 1, 2), 16, 10).cast("bigint").as("bucket"),
+      (lit(60L) - length(t).cast("long") * 4L + dz + 1L).as("rank"))
+  }
 
   /** Count-Min Sketch counter table over `key`: `depth` hash rows ×
     * `width` counters; counter (r, c) sums the occurrences of every key

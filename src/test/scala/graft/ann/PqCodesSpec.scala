@@ -99,6 +99,36 @@ class PqCodesSpec extends SparkSpecBase {
     assert(got.toSeq === want)
   }
 
+  test("ivfPqTopK: candidates are cell-pruned and ranked by the same ADC order") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = Seq(0L, 9L)
+    // with nprobe = number of cells, pruning keeps EVERYTHING — the
+    // composed ranking must then equal plain adcTopK
+    val nCells = vecs.count(_._1 % 12 == 0)
+    val full = Knn.adcTopK(spark, emb, queries, k = 4, m = 2, centStep = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val composed = Knn.ivfPqTopK(spark, emb, queries, k = 4, centStep = 12,
+        nprobe = nCells, m = 2, pqStep = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(composed === full)
+    // with nprobe = 1 the candidate set shrinks to one cell's members —
+    // results are a (possibly shorter) list whose ids all share the
+    // query's nearest cell
+    val pruned = Knn.ivfPqTopK(spark, emb, queries, k = 4, centStep = 12,
+        nprobe = 1, m = 2, pqStep = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pruned.nonEmpty)
+    val cells = Knn.assignCells(spark, emb,
+        emb.filter(col("vec_id") % 12 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pruned.foreach { case (q, n) => assert(cells(n) === cells(q),
+      s"neighbor $n of query $q outside its probe cell") }
+  }
+
   test("pqCodes: indivisible dimension is rejected") {
     val vecs = Seq((0L, Array.fill(10)(1f)))
     val ex = intercept[org.apache.spark.SparkException] {

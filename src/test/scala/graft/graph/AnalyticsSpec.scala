@@ -570,6 +570,66 @@ class AnalyticsSpec extends SparkSpecBase {
       .toSet === Set(("c", 0L, "c")))
   }
 
+  /** Reference HLL bucket/rank (the SketchesSpec arithmetic). */
+  private def refBucketRank(key: String): (Long, Long) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val bucket = java.lang.Long.parseLong(h.substring(0, 2), 16)
+    val t = h.substring(2, 17).dropWhile(_ == '0')
+    val dz = t.headOption match {
+      case Some('1') => 3L
+      case Some(c) if c == '2' || c == '3' => 2L
+      case Some(c) if c >= '4' && c <= '7' => 1L
+      case _ => 0L
+    }
+    (bucket, (15L - t.length) * 4L + dz + 1L)
+  }
+
+  /** Reference HyperBall: exact ≤k ball per node, registers from it. */
+  private def refHyperBall(edges: Seq[(String, String)], nodes: Seq[String],
+                           k: Int): Map[String, (Long, BigInt)] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    nodes.map { s =>
+      var ball = Set(s)
+      var frontier = Set(s)
+      (1 to k).foreach { _ =>
+        val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filter(nodes.contains).diff(ball)
+        ball ++= next
+        frontier = next
+      }
+      val regs = ball.map(refBucketRank).groupBy(_._1)
+        .map { case (b, rs) => b -> rs.map(_._2).max }
+      val fp = regs.map { case (b, r) =>
+        (BigInt(1) << (61 - r).toInt) * (b * 2654435761L % 1048576L + 1L)
+      }.sum % (BigInt(1) << 62)
+      s -> (regs.size.toLong, fp)
+    }.toMap
+  }
+
+  test("hyperBall: register state equals a from-scratch build over the exact ball (8 random digraphs)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 8).foreach { case_ =>
+      val n = 2 + rnd.nextInt(25)
+      val nodes = (0 until n).map(i => s"n$i")
+      val edges = (0 until n * 2).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val k = rnd.nextInt(4)
+      val got = Analytics.hyperBall(edges.toDF("src", "dst"),
+          nodes.toDF("id"), k)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), BigInt(r.getLong(2)))).toMap
+      assert(got === refHyperBall(edges, nodes, k), s"case $case_ k=$k n=$n")
+    }
+  }
+
+  test("hyperBall: maxHops 0 is the singleton ball (one register per node)") {
+    val got = Analytics.hyperBall(Seq(("a", "b")).toDF("src", "dst"),
+      Seq("a", "b").toDF("id"), 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("degreeHistogram: integer log2 buckets, node and edge counts per label") {
     // label A: n1 deg 3 (bucket 1), n2 deg 1 (bucket 0); label B: n1 deg 4 (bucket 2)
     val edges = Seq(
