@@ -42,6 +42,7 @@ object SparkEntry {
     "q22_suffix_subzones" -> (Analysis.q22Subzones _),
     "q23_array_any" -> (Analysis.q23ArrayAny _),
     "q24_incremental_sync" -> (GraphOps.q24IncrementalSync _),
+    "q34_time_travel" -> (GraphOps.q34TimeTravel _),
     "q25_clear_props" -> (GraphOps.q25ClearProps _),
     "q26_analysis_job" -> (GraphOps.q26AnalysisJob _),
     "q27_drift_states" -> (GraphOps.q27DriftStates _),
@@ -427,6 +428,21 @@ object SparkEntry {
         |FROM ids
         |WHERE i < (SELECT n*6//10 FROM c) OR i >= (SELECT n*4//10 FROM c)
         |ORDER BY id""".stripMargin,
+    // q34: time travel — v1 = window A's state (fs=lu=100, B-only rows
+    // NULL), v2 = the post-B state with firstseen preserved across the
+    // upsert; both recomputed from doc_id arithmetic
+    "q34_time_travel" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM documents),
+        |ids AS (SELECT doc_id AS i FROM documents),
+        |w AS (SELECT i,
+        |        i < (SELECT n*6//10 FROM c) AS in_a,
+        |        i >= (SELECT n*4//10 FROM c) AS in_b FROM ids)
+        |SELECT 'https://host' || CAST(i % 50 AS VARCHAR) || '.example/p/' || CAST(i AS VARCHAR) AS id,
+        | CAST(CASE WHEN in_a THEN 100 END AS BIGINT) AS fs_v1,
+        | CAST(CASE WHEN in_a THEN 100 END AS BIGINT) AS lu_v1,
+        | CAST(CASE WHEN in_a THEN 100 ELSE 200 END AS BIGINT) AS fs_v2,
+        | CAST(CASE WHEN in_b THEN 200 ELSE 100 END AS BIGINT) AS lu_v2
+        |FROM w WHERE in_a OR in_b ORDER BY id""".stripMargin,
     // Pages over the co-mention cap (MaxComentionEntitiesPerPage = 256
     // distinct entities) are excluded — a no-op at every test scale
     // (≤ 6 entities/page) but part of the operator's contract, so the

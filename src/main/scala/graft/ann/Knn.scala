@@ -422,10 +422,16 @@ object Knn {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").cast("long").as("query_id"),
         col("embedding").as("qv"))
-    (0 until m).map { s =>
-      q.crossJoin(cb).select(col("query_id"), lit(s.toLong).as("sub"),
-        col("code"), subL2(col("qv"), col("cv"), s * sw).as("d"))
-    }.reduce(_ unionByName _)
+    // all m subspace distances in ONE pass over the |Q|×K cross join
+    // (an m-way union would re-scan the query and codebook sides m times)
+    val subs = array((0 until m).map { s =>
+      struct(lit(s.toLong).as("sub"),
+        subL2(col("qv"), col("cv"), s * sw).as("d"))
+    }: _*)
+    q.crossJoin(cb)
+      .select(col("query_id"), col("code"), explode(subs).as("sd"))
+      .select(col("query_id"), col("sd.sub").as("sub"), col("code"),
+        col("sd.d").as("d"))
   }
 
   /** Fold per-(query, candidate) subspace partials in SUBSPACE ORDER

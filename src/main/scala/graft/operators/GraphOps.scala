@@ -122,6 +122,47 @@ object GraphOps {
       .orderBy(col("id"))
   }
 
+  /** Snapshot TIME TRAVEL (the Iceberg `VERSION AS OF` analog the
+    * snapshot tables keep every manifest for): replay q24's two-window
+    * incremental sync, then read the node table at its FIRST committed
+    * version and at its latest, full-outer-joined per id. Proves, with
+    * a full value oracle recomputing both states from doc_id
+    * arithmetic, that (a) old versions stay byte-stable after later
+    * commits, (b) the upsert preserved firstseen across versions, and
+    * (c) B-only rows are absent (null) from the v1 read — the
+    * point-in-time audit read the reference's drift detector
+    * approximates with JSON state files (driftdetect/get_states.py).
+    */
+  def q34TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.kg.Corpus
+    val root = tempRoot()
+    val nodes = GraphTables.nodes(spark, root)
+    val edges = GraphTables.edges(spark, root)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("i"))
+    val n = docs.count()
+    val aEnd = Corpus.tsOf(n * 6 / 10)
+    val bStart = Corpus.tsOf(n * 4 / 10)
+    val pages = docs.select(
+      concat(lit("https://host"), col("i") % 50, lit(".example/p/"), col("i")).as("pid"),
+      (lit(Corpus.tsOf(0).getTime / 1000).cast("long") + col("i") * 60).cast("timestamp").as("warc_ts"))
+    val schema = NodeSchema("Page", RowRef("pid"))
+    GraphMerge.load(spark, pages.filter(col("warc_ts") < lit(aEnd)),
+      schema, Map.empty, 100L, nodes, edges, collectStats = false)
+    GraphMerge.load(spark, pages.filter(col("warc_ts") >= lit(bStart)),
+      schema, Map.empty, 200L, nodes, edges, collectStats = false)
+    val vs = nodes.versions
+    val v1 = nodes.readVersion(vs.head).filter(col("label") === "Page")
+      .select(col("id"), col("firstseen").as("fs_v1"),
+        col("lastupdated").as("lu_v1"))
+    val v2 = nodes.readVersion(vs.last).filter(col("label") === "Page")
+      .select(col("id"), col("firstseen").as("fs_v2"),
+        col("lastupdated").as("lu_v2"))
+    v1.join(v2, Seq("id"), "full_outer")
+      .select(col("id"), col("fs_v1"), col("lu_v1"), col("fs_v2"), col("lu_v2"))
+      .orderBy(col("id"))
+  }
+
   /** Drift detection (driftdetect/detect_deviations.py:66-112): diff two
     * snapshot versions in both directions via anti-joins.
     */
