@@ -74,6 +74,7 @@ object SparkEntry {
     "qkg18_kcore" -> (KgOps.qkg18KCore _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
+    "q35_stream_sessions" -> (KgOps.q35StreamSessions _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdc1_contamination" -> (DataOps.qdc1Contamination _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
@@ -353,6 +354,18 @@ object SparkEntry {
         |SELECT CAST((i // 60) * 60 AS BIGINT) AS window_min, lang,
         | COUNT(*) AS n_pages
         |FROM rows_ GROUP BY 1, 2 ORDER BY window_min, lang""".stripMargin,
+    // q35 oracle: one session per (user, burst) recomputed closed-form —
+    // start = first event offset, end = last event offset + the 30 min gap
+    "q35_stream_sessions" ->
+      """WITH e AS (
+        | SELECT doc_id % 5 AS u, doc_id // 100 AS b,
+        |        doc_id * 30 + (doc_id // 100) * 3600 AS off
+        | FROM documents)
+        |SELECT CAST(u AS BIGINT) AS user_id,
+        | CAST(MIN(off) AS BIGINT) AS start_off,
+        | CAST(MAX(off) + 1800 AS BIGINT) AS end_off,
+        | COUNT(*) AS n_events
+        |FROM e GROUP BY u, b ORDER BY user_id, start_off""".stripMargin,
     "q23_array_any" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM (
         | SELECT o_custkey,

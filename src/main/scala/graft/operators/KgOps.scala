@@ -854,6 +854,60 @@ object KgOps {
       .orderBy("window_min", "lang")
   }
 
+  /** Streaming gap-sessionization (StreamingSync.sessionCounts) under a
+    * controlled file-source micro-batch harness, public API only. Events
+    * are planted from doc_id arithmetic: bursts of 100 events 30 s apart
+    * with an extra hour between bursts, 5 interleaved users — so per-user
+    * intra-burst spacing (150 s) is far below the 30 min gap and
+    * inter-burst spacing (3,750 s) far above it, giving exactly one
+    * session per (user, burst) with start = first event, end = last
+    * event + gap. A far-future sentinel event advances the watermark past
+    * every real session's end (its own session is never emitted), so the
+    * append-mode output is the complete planted session set, recomputed
+    * closed-form by the oracle.
+    */
+  def q35StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val baseSec = 1600000000L
+    val ev = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select((col("doc_id") % 5).cast("long").as("user_id"),
+        (lit(baseSec) + col("doc_id") * 30L +
+          floor(col("doc_id") / 100).cast("long") * 3600L)
+          .cast("timestamp").as("ts"))
+    val srcDir = Files.createTempDirectory("q35src").toString
+    val cp = Files.createTempDirectory("q35cp").toString
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    val in = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+      .parquet(srcDir)
+    val q = graft.streaming.StreamingSync
+      .sessionCounts(in, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("q35sess")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel micro-batch: watermark -> sentinel - 10 min, past every
+      // planted session end; the trailing no-data batch applies it
+      Seq((999L, new java.sql.Timestamp((baseSec + 100000000L) * 1000L)))
+        .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p): Unit
+      }
+      rm(java.nio.file.Paths.get(cp))
+    }
+    spark.table("q35sess").select(col("user_id"),
+      (unix_timestamp(col("session_start")) - baseSec).as("start_off"),
+      (unix_timestamp(col("session_end")) - baseSec).as("end_off"),
+      col("n_events"))
+      .orderBy("user_id", "start_off")
+  }
+
   /** Oracle SQL fragments shared by the KG queries. */
   val predCase: String =
     "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"

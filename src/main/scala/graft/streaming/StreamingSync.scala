@@ -140,6 +140,29 @@ object StreamingSync {
       .agg(count(lit(1)).as("n_pages"))
       .select(col("window.start").as("window_start"), col("lang"), col("n_pages"))
 
+  /** Gap-based streaming sessionization over an event stream: Spark's
+    * native `session_window` merges events per user whose gaps are below
+    * `gap` into one growing window (end = last event + gap), and
+    * append-mode emits a session exactly once, after the watermark
+    * passes its end — the streaming analog of the batch sessionizer
+    * (events/Sessionize.scala, qev1), with identical session boundaries.
+    *
+    * Scale notes: state per in-flight session is one (start, end, count)
+    * tuple; closed sessions are evicted by the watermark, so state is
+    * bounded by concurrently-active users, not history. The aggregation
+    * is hash-partitioned on user_id — no skew beyond a genuinely
+    * hyperactive single user, which the gap naturally caps (one session
+    * row per burst, not per event).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Cross-batch streaming exact-dedup: emit only the FIRST page seen
     * for each extracted-text fingerprint; later arrivals (same batch or
     * any later batch) are dropped. State = one boolean per distinct

@@ -95,6 +95,38 @@ class StreamingSpec extends SparkSpecBase {
       ("2026-01-01 13:00:00", "en", 1L)))
   }
 
+  test("sessionCounts merges a session across micro-batches and splits on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingSync.sessionCounts(
+      in.toDS().toDF("user_id", "ts"), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:10:00")),
+        (2L, ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      // u1's 10:25 is within the gap of its batch-1 session -> MERGES
+      // across the micro-batch boundary; u2's 11:30 is past the gap ->
+      // a second session; u3 is the watermark advancer
+      in.addData((1L, ts("2026-01-01 10:25:00")), (2L, ts("2026-01-01 11:30:00")),
+        (3L, ts("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      in.addData((3L, ts("2026-01-01 20:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(rows == Seq(
+      (1L, "2026-01-01 10:00:00", "2026-01-01 10:55:00", 3L),
+      (2L, "2026-01-01 10:00:00", "2026-01-01 10:30:00", 1L),
+      (2L, "2026-01-01 11:30:00", "2026-01-01 12:00:00", 1L),
+      (3L, "2026-01-01 13:00:00", "2026-01-01 13:30:00", 1L)))
+  }
+
   test("firstSeenOnly emits one page per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
