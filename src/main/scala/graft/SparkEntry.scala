@@ -94,6 +94,8 @@ object SparkEntry {
     "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
     "qsk2_cms_counters" -> (DataOps.qsk2CmsCounters _),
     "qsk3_cms_estimates" -> (DataOps.qsk3CmsEstimates _),
+    "qsk4_bloom_bits" -> (DataOps.qsk4BloomBits _),
+    "qsk5_bloom_semijoin" -> (DataOps.qsk5BloomSemijoin _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
     "qtx3_langid" -> (DataOps.qtx3LangId _),
@@ -810,6 +812,25 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(0, 3)) AS r) r)
         |SELECT r, c, COUNT(*) AS cnt FROM x GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // qsk4: bloom 1-bits replayed with the same md5 position hash
+    "qsk4_bloom_bits" ->
+      """WITH k AS (SELECT o_orderkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |x AS (SELECT CAST(concat('0x', substring(md5(concat(
+        |        CAST(j.j AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))),
+        |        1, 8)) AS BIGINT) % 65536 AS pos
+        |      FROM k CROSS JOIN
+        |       (SELECT unnest(generate_series(0, 2)) AS j) j)
+        |SELECT DISTINCT pos FROM x ORDER BY pos""".stripMargin,
+    // qsk5: the bloom layer is transparent — the oracle is the plain
+    // exact semi-join aggregate
+    "qsk5_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // qsk3: CMS point estimates for the top-20 tokens — probe cells via
     // the same md5 hash as the counter build, MIN over depth, join truth
     "qsk3_cms_estimates" ->

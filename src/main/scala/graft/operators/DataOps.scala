@@ -171,6 +171,36 @@ object DataOps {
       .orderBy("term")
   }
 
+  /** Bloom-filter 1-bit positions for the urgent-order key set — the
+    * sketch state as data, integer-exact like the HLL/CMS queries; see
+    * [[graft.sketch.Sketches.bloomBits]].
+    */
+  def qsk4BloomBits(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sketch.Sketches.bloomBits(
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")),
+      key = "o_orderkey", numBits = 1 << 16, numHashes = 3)
+
+  /** Bloom-pre-filtered exact semi-join: lineitem rows of urgent orders,
+    * aggregated per returnflag — the output is the exact semi-join (the
+    * bloom layer only prunes the shuffle input); see
+    * [[graft.sketch.Sketches.bloomSemiJoin]].
+    */
+  def qsk5BloomSemijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.sketch.Sketches
+      .bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey",
+        numBits = 1 << 16, numHashes = 3)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Event-type transition counts with exact-integer-ratio
     * probabilities; see [[graft.events.EventAnalytics.transitions]].
     */

@@ -111,6 +111,68 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Bloom-filter set-bit positions over `key`: each key sets
+    * `numHashes` positions, position j = first 32 md5 bits of "j:key"
+    * mod `numBits` — the same hash spelling as [[cmsCounters]], so the
+    * sketch STATE is integer-exact and engine-reproducible like the HLL
+    * registers and CMS counters. Output is the DISTINCT set positions
+    * (the filter's 1-bits as data).
+    *
+    * Scale: distinct() partially aggregates map-side and is bounded by
+    * `numBits` rows total regardless of input size — the build is one
+    * bounded shuffle over positions, never over keys.
+    */
+  def bloomBits(df: DataFrame, key: String,
+                numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    require(numBits >= 1 && numHashes >= 1,
+      s"bad bloom shape $numHashes x $numBits")
+    df.select(explode(bloomCells(col(key), numHashes, numBits)).as("pos"))
+      .distinct().orderBy("pos")
+  }
+
+  /** The `k` bit positions a key sets/probes — shared by build and probe
+    * (a probe hashing even one position differently loses the
+    * no-false-negative guarantee). */
+  private def bloomCells(key: Column, k: Int, m: Int): Column =
+    array((0 until k).map { j =>
+      conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 8),
+        16, 10).cast("bigint") % m
+    }: _*)
+
+  /** Bloom-pre-filtered EXACT semi-join: keep the rows of `big` whose
+    * `bigKey` appears in `small`'s `smallKey`, probing a broadcast Bloom
+    * filter of the small side BEFORE the join so only candidates (true
+    * matches + the fpp sliver) reach the shuffle. The residual semi-join
+    * removes false positives — the OUTPUT is exactly the semi-join, the
+    * bloom is a transparent pruning layer.
+    *
+    * This is the 100 TB shuffle killer for selective joins: a 100M-key
+    * dimension is ~25 MB of bitset at 10 bits/key — broadcastable where
+    * the dimension itself is not — and a 1% fpp means the fact-side
+    * shuffle carries ~1% of non-matching rows instead of 100%. (Spark's
+    * AQE runtime row-level filtering makes the same move implicitly;
+    * this operator makes it explicit, tunable, and usable where AQE
+    * can't see the opportunity, e.g. across separately-built stages.)
+    * The position columns are codegen'd md5 arithmetic; only the bitset
+    * membership test is a (cheap, primitive-typed) UDF — no built-in
+    * can probe a broadcast bitset.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String,
+                    small: DataFrame, smallKey: String,
+                    numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    val bs = new java.util.BitSet(numBits)
+    // bounded by construction: ≤ numBits rows ever come back
+    bloomBits(small, smallKey, numBits, numHashes)
+      .collect().foreach(r => bs.set(r.getLong(0).toInt))
+    val bsB = big.sparkSession.sparkContext.broadcast(bs)
+    val allSet = udf { (ps: Seq[Long]) =>
+      val b = bsB.value; ps.forall(p => b.get(p.toInt))
+    }
+    big.filter(allSet(bloomCells(col(bigKey), numHashes, numBits)))
+      .join(small.select(col(smallKey).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
+
   /** CMS point estimate for one key from a collected [[cmsCounters]]
     * table: the MIN over its depth counters — an upper bound on the
     * true count, exact when no collision hit any of the key's rows.

@@ -74,6 +74,40 @@ class SketchesSpec extends SparkSpecBase {
     assert(got("never_seen") === 0L)
   }
 
+  test("bloomSemiJoin: exact semi-join result; pre-filter prunes non-members") {
+    import org.apache.spark.sql.functions.col
+    // 10k fact keys, dim = the 500 multiples of 20 -> 5% true match rate
+    val big = (0L until 10000L).toDF("k")
+    val small = (0L until 10000L by 20L).toDF("d")
+    val got = Sketches.bloomSemiJoin(big, "k", small, "d",
+        numBits = 1 << 16, numHashes = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // exactness: identical to the plain semi-join (no false negatives,
+    // residual join removed every false positive)
+    assert(got === (0L until 10000L by 20L).toSeq)
+    // pruning: the bloom layer alone must pass ~matches + fpp sliver.
+    // With 500 keys x 3 hashes in 65536 bits, fill ~2.3%, fpp ~1.2e-5 —
+    // allow a generous 1% of the 9500 non-members before calling it
+    // broken (a no-op filter would pass all 9500)
+    val bits = Sketches.bloomBits(small, "d", 1 << 16, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(bits.forall(p => p >= 0 && p < (1 << 16)))
+    val bs = new java.util.BitSet(1 << 16)
+    bits.foreach(p => bs.set(p.toInt))
+    val passed = (0L until 10000L).count { k =>
+      (0 until 3).forall { j =>
+        val pos = java.lang.Long.parseLong(
+          md5hex(s"$j:$k").substring(0, 8), 16) % (1 << 16)
+        bs.get(pos.toInt)
+      }
+    }
+    assert(passed >= 500 && passed <= 500 + 95, s"bloom passed $passed")
+    // the driver-side replay above is also the hash-parity pin: the
+    // column hash and this MessageDigest spelling must agree, or the
+    // filter would have dropped true members and `got` would be short
+    assert(small.count() === 500)
+  }
+
   test("hllEstimate: within 15% of the true cardinality at n=5000") {
     val regs = Sketches.hllRegisters((0L until 5000L).toDF("k"), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
