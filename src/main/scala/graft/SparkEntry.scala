@@ -82,6 +82,8 @@ object SparkEntry {
     "qdd4_minhash_lsh" -> (DataOps.qdd4MinhashLsh _),
     "qdd5_simhash" -> (DataOps.qdd5Simhash _),
     "qdd6_cdc_pairs" -> (DataOps.qdd6CdcPairs _),
+    "qdd7_keep_best" -> (DataOps.qdd7KeepBest _),
+    "qsp5_negatives" -> (DataOps.qsp5Negatives _),
     "qev1_sessionize" -> (DataOps.qev1Sessionize _),
     "qev2_retention" -> (DataOps.qev2Retention _),
     "qev3_funnel" -> (DataOps.qev3Funnel _),
@@ -633,6 +635,45 @@ object SparkEntry {
          |  SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.n)
          |SELECT n AS doc_id, MIN(l) AS canonical FROM lbl
          |GROUP BY n ORDER BY doc_id""".stripMargin,
+    // qdd7: per-cluster representative — most tokens, tie -> min doc_id
+    "qdd7_keep_best" ->
+      s"""$dedupCorpusCte, $dedupPairsCte,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |lbl(n, l) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.n),
+         |cl AS (SELECT n AS doc_id, MIN(l) AS canonical FROM lbl GROUP BY n),
+         |tk AS (SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM corpus),
+         |best AS (
+         |  SELECT cl.canonical, cl.doc_id AS kept_doc, tk.n_tokens AS kept_tokens,
+         |   ROW_NUMBER() OVER (PARTITION BY cl.canonical
+         |     ORDER BY tk.n_tokens DESC, cl.doc_id) AS rn,
+         |   COUNT(*) OVER (PARTITION BY cl.canonical) AS n_docs
+         |  FROM cl JOIN tk ON tk.doc_id = cl.doc_id)
+         |SELECT canonical, kept_doc, kept_tokens, n_docs FROM best
+         |WHERE rn = 1 ORDER BY canonical""".stripMargin,
+    // qsp5: hash negatives replayed with the same md5 draw arithmetic,
+    // accidental positives excluded exactly
+    "qsp5_negatives" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |pos AS (SELECT doc_id, doc_id % 1000 AS entity FROM d
+        |        UNION ALL
+        |        SELECT doc_id, (doc_id * 7 + 3) % 1000 FROM d),
+        |j AS (SELECT unnest(generate_series(0, 3)) AS draw),
+        |draws AS (
+        | SELECT doc_id, entity, CAST(draw AS BIGINT) AS draw,
+        |  CAST(concat('0x', substring(md5(concat(CAST(draw AS VARCHAR), ':',
+        |    CAST(doc_id AS VARCHAR), ':', CAST(entity AS VARCHAR))),
+        |    1, 8)) AS BIGINT) % 1000 AS negative
+        | FROM pos CROSS JOIN j)
+        |SELECT doc_id, entity, draw, negative FROM draws dr
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                  WHERE p.doc_id = dr.doc_id AND p.entity = dr.negative)
+        |ORDER BY doc_id, entity, draw""".stripMargin,
     "qdd4_minhash_lsh" ->
       s"""$dedupCorpusCte, $dedupPairsCte
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,

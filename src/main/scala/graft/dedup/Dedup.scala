@@ -474,4 +474,30 @@ object Dedup {
       col("canonical_id").cast("long").as("canonical"))
     if (sorted) out.orderBy("doc_id") else out
   }
+
+  /** Near-dup REMOVAL policy: pick ONE representative per [[clusters]]
+    * cluster — the member with the most whitespace tokens (the
+    * keep-the-most-complete-version heuristic), ties broken by smallest
+    * doc_id. One row per cluster: (canonical, kept_doc, kept_tokens,
+    * n_docs); every other member is the removal set.
+    *
+    * Selection is groupBy + max(struct(n_tokens, -doc_id)) — an argmax
+    * that partially aggregates map-side, so a pathological million-doc
+    * boilerplate cluster contributes one row per map partition to the
+    * shuffle, where a row_number window would sort the whole cluster on
+    * one reducer. At corpus scale feed `clusters` from the LSH pair
+    * generator ([[minhashLshPairs]]); the exactness-baseline pairs are
+    * for oracle-checked test scale.
+    */
+  def keepBest(corpus: DataFrame, clusters: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    clusters.join(toks, "doc_id")
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id")))
+        .as("best"), count(lit(1)).as("n_docs"))
+      .select(col("canonical"), (-col("best.neg_id")).as("kept_doc"),
+        col("best.n_tokens").as("kept_tokens"), col("n_docs"))
+      .orderBy("canonical")
+  }
 }

@@ -70,6 +70,18 @@ object DataOps {
   def qdd6CdcPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.cdcSharedPairs(spark, Dedup.corpusWithCopies(spark, sfDir))
 
+  /** Near-dup removal with representative selection: per cluster keep
+    * the most-token member (tie → smallest doc_id); see
+    * [[graft.dedup.Dedup.keepBest]]. On the planted corpus every near/
+    * exact copy ties its original on token count, so the tie-break is
+    * load-bearing and the oracle proves it.
+    */
+  def qdd7KeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Dedup.corpusWithCopies(spark, sfDir)
+    Dedup.keepBest(corpus, Dedup.clusters(spark, corpus,
+      Dedup.allPairsJaccard(spark, corpus), sorted = false))
+  }
+
   // ---- events --------------------------------------------------------------
 
   /** Clickstream sessionization over the events table: 8-hour
@@ -216,6 +228,21 @@ object DataOps {
       TextStats.docs(spark, sfDir).select(col("doc_id")), key = "doc_id",
       fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .orderBy("doc_id")
+
+  /** Deterministic negative sampling over the closed-form mention pairs
+    * (doc → doc_id%1000 and (7·doc_id+3)%1000): 4 hash draws per
+    * positive from the 1000-entity space, accidental positives
+    * anti-joined away; see [[graft.sample.Sampling.hashNegatives]].
+    */
+  def qsp5Negatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val pos = docs.select(col("doc_id"), (col("doc_id") % 1000).as("entity"))
+      .unionByName(docs.select(col("doc_id"),
+        ((col("doc_id") * 7 + 3) % 1000).as("entity")))
+    graft.sample.Sampling.hashNegatives(pos, "doc_id", "entity", 1000L, 4)
+      .orderBy("doc_id", "entity", "draw")
+  }
 
   /** Count-Min Sketch counters (4×1024) over whitespace tokens — exact
     * integer sketch state; see [[graft.sketch.Sketches.cmsCounters]].

@@ -108,4 +108,38 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Deterministic hash negative sampling for contrastive training: for
+    * every positive (anchor, positive) pair, `k` pseudo-random negatives
+    * from [0, space) — draw j = first 32 md5 bits of
+    * "j:anchor:positive" mod space, the engine-reproducible spelling the
+    * sketch operators use. A draw that happens to BE a true positive of
+    * its anchor is removed by an exact anti-join rather than resampled
+    * (the standard simplification: a fixed hash draw cannot depend on
+    * the rejection outcome without losing reproducibility).
+    *
+    * Scale: the draw is a narrow codegen map (k structs exploded); the
+    * accidental-positive filter is one anti-join hash-partitioned on
+    * (anchor, negative) — co-partitioned with the positives table it
+    * probes, and broadcastable when the positive set is dimension-sized.
+    */
+  def hashNegatives(positives: DataFrame, anchor: String, positive: String,
+                    space: Long, k: Int): DataFrame = {
+    require(space >= 1 && k >= 1, s"bad negative shape k=$k space=$space")
+    val draws = positives.select(col(anchor), col(positive),
+      explode(array((0 until k).map { j =>
+        struct(lit(j.toLong).as("draw"),
+          (conv(substring(md5(concat(lit(s"$j:"), col(anchor).cast("string"),
+            lit(":"), col(positive).cast("string"))), 1, 8), 16, 10)
+            .cast("bigint") % space).as("negative"))
+      }: _*)).as("d"))
+      .select(col(anchor), col(positive), col("d.draw").as("draw"),
+        col("d.negative").as("negative"))
+    draws.join(
+      positives.select(col(anchor), col(positive).as("negative")).distinct(),
+      Seq(anchor, "negative"), "left_anti")
+      // using-columns joins move the keys to the front; restore the
+      // (anchor, positive, draw, negative) contract
+      .select(col(anchor), col(positive), col("draw"), col("negative"))
+  }
 }

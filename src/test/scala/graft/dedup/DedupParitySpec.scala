@@ -78,6 +78,20 @@ class DedupParitySpec extends SparkSpecBase {
       "chain pairs keep the whole group one connected component")
   }
 
+  test("keepBest: per-cluster argmax on tokens with min-doc_id tie-break; singletons kept") {
+    // cluster {1,2,3}: doc 2 longest; cluster {5,6}: tie -> keep 5;
+    // doc 9 is a singleton
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "a b c d e"), (3L, "a b"),
+      (5L, "x y z"), (6L, "p q r"), (9L, "solo doc"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L)).toDF("doc_id", "canonical")
+    val got = Dedup.keepBest(corpus, clusters)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 5L, 3L), (5L, 5L, 3L, 2L), (9L, 9L, 2L, 1L)))
+  }
+
   test("contamination: planted eval excerpts hit their source docs with exact shared counts") {
     // 30-word docs with disjoint vocabularies; eval items are word
     // windows of docs 1 and 3, plus one clean item that matches nothing

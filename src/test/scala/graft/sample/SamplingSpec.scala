@@ -60,6 +60,39 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("hashNegatives: k draws per positive minus exact accidental-positive removals; repartition-invariant") {
+    val pos = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L))
+      .toDF("doc_id", "entity")
+    val out = Sampling.hashNegatives(pos, "doc_id", "entity",
+        space = 50L, k = 6)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // every surviving draw: in range, NOT a positive of its anchor
+    val posSet = Set((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L))
+    out.foreach { case (a, p, j, neg) =>
+      assert(neg >= 0 && neg < 50)
+      assert(j >= 0 && j < 6)
+      assert(!posSet((a, neg)), s"accidental positive survived: ($a,$neg)")
+      assert(posSet((a, p)))
+    }
+    // removed = exactly the draws that hash onto a positive (recompute)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(j: Int, a: Long, p: Long): Long = {
+      val h = md.digest(s"$j:$a:$p".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(h, 16) % 50L
+    }
+    val want = (for {
+      (a, p) <- posSet.toSeq; j <- 0 until 6
+      n = draw(j, a, p) if !posSet((a, n))
+    } yield (a, p, j.toLong, n)).sorted
+    assert(out === want)
+    // deterministic under any partitioning
+    val re = Sampling.hashNegatives(pos.repartition(7), "doc_id", "entity",
+        space = 50L, k = 6)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(re === out)
+  }
+
   test("assignSplits: disjoint, exhaustive, fraction-converging, growth-stable") {
     val split = Sampling.assignSplits(ids, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
