@@ -111,6 +111,7 @@ object SparkEntry {
     "qtx12_postings" -> (DataOps.qtx12Postings _),
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
+    "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qsp3_mix_rates" -> (DataOps.qsp3MixRates _),
@@ -1029,6 +1030,37 @@ object SparkEntry {
         |  md5(COALESCE(string_agg(term, ' ' ORDER BY pos)
         |        FILTER (WHERE cls = 'keep'), '')) AS kept_md5
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // qtx14: BM25 replayed with the exact float association — every
+    // input integer-exact, ln correctly rounded in both engines, per-doc
+    // term sum folded in sorted term order (the qkg10 discipline)
+    "qtx14_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |c AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+        |ft AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+        |dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        |        WHERE term IN ('dup', 'spark', 'join') GROUP BY 1),
+        |part AS (
+        | SELECT ft.doc_id, ft.term,
+        |  ln((CAST(c.n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        |      / (df + CAST(0.5 AS DOUBLE)))
+        |   * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |   / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |        + CAST(0.75 AS DOUBLE) * dl.dl
+        |          / (CAST(c.sdl AS DOUBLE) / CAST(c.n AS DOUBLE)))) AS part
+        | FROM ft JOIN dfs USING (term) JOIN dl ON dl.doc_id = ft.doc_id
+        | CROSS JOIN c),
+        |sc AS (SELECT doc_id,
+        |         list_reduce(list_transform(list_sort(
+        |           list({'t': term, 'c': part})), x -> x.c),
+        |           (a, b) -> a + b) AS score
+        |       FROM part GROUP BY 1)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // qtx11: repetition signals — integer token/3-gram counts plus one
     // double division each; docs under 3 tokens get dup_ratio 0.0
     "qtx11_repetition" ->

@@ -323,6 +323,17 @@ object DataOps {
   def qtx12Postings(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.invertedIndex(TextStats.docs(spark, sfDir))
 
+  /** BM25 top-20 for the fixed query {dup, spark, join} — 'dup' is the
+    * discriminative term (df ≈ 5% at every scale, so its idf is positive
+    * and dominates; the common terms exercise BM25's negative-idf
+    * saturation regime) — bit-identical
+    * doubles like qkg10 (exact-integer inputs, correctly-rounded ln,
+    * sorted per-doc term fold); see [[TextStats.bm25]].
+    */
+  def qtx14Bm25(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.bm25(TextStats.docs(spark, sfDir),
+      Seq("dup", "spark", "join"))
+
   /** Corpus-df-driven token pruning: per-document class-wise counts
     * (keep / stop ≥ 30% df / rare df < 2) plus an md5 pin of the kept
     * text; see [[TextStats.dfPrune]].

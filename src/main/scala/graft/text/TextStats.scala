@@ -418,4 +418,48 @@ object TextStats {
       .toDF("doc_id", "rabin_fp")
       .orderBy("doc_id")
   }
+
+  /** BM25 top-k retrieval for a fixed term query over whitespace tokens:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5)).
+    *
+    * Bit-reproducible like PageRank (qkg10): every input to the float
+    * math is an exact integer (tf, df, dl, N, Σdl), the only
+    * transcendental is ln (correctly rounded identically by the JVM and
+    * DuckDB), and the per-doc term sum folds in SORTED term order via
+    * aggregate(array_sort(collect_list)), so the score is independent of
+    * partitioning and hash-checkable value-for-value.
+    *
+    * Scale: tf is one hash aggregation over only the rows matching the
+    * (broadcast-tiny) query term set — the scan prunes on
+    * `term isin q` before any shuffle; dl is a narrow per-doc map (no
+    * token explode survives it); corpus stats are two scalars; top-k is
+    * TakeOrdered (per-partition heaps, no global sort).
+    */
+  def bm25(d: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && topK > 0, "empty query or topK")
+    val dl = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = corpus.getLong(0)
+    val avgdl = corpus.getLong(1).toDouble / n.toDouble
+    val toks = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val dfs = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
+    val part = tf.join(broadcast(dfs), "term").join(dl, "doc_id")
+      .select(col("doc_id"), col("term"),
+        (idf * (col("tf") * (k1 + 1.0)) / norm).as("part"))
+    part.groupBy("doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"),
+          col("part")))), lit(0.0),
+        (acc, x) => acc + x.getField("part")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

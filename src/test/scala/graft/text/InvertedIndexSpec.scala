@@ -39,4 +39,39 @@ class InvertedIndexSpec extends SparkSpecBase {
       .map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("bm25: scores equal the textbook formula bitwise; ranking and partitioning stable") {
+    // doc 1: 'cat' twice in 4 tokens; doc 2: 'cat' once, longer; doc 3
+    // matches nothing (absent from output); doc 4: rare term 'owl'
+    val docs = Seq(
+      (1L, "cat cat sat mat"),
+      (2L, "cat dog dog dog dog dog"),
+      (3L, "fish fish"),
+      (4L, "owl cat"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bm25(docs, Seq("cat", "owl"), topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    // reference: plain Scala doubles, same association as the operator
+    val n = 4.0
+    val dls = Map(1L -> 4L, 2L -> 6L, 3L -> 2L, 4L -> 2L)
+    val avgdl = dls.values.sum.toDouble / 4.0
+    val dfs = Map("cat" -> 3L, "owl" -> 1L)
+    val tfs = Map((1L, "cat") -> 2L, (2L, "cat") -> 1L, (4L, "cat") -> 1L,
+      (4L, "owl") -> 1L)
+    def part(d: Long, t: String): Double = {
+      val tf = tfs((d, t)); val df = dfs(t)
+      math.log((n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dls(d) / avgdl))
+    }
+    // sorted term fold, 0.0 init — the operator's exact association
+    def score(d: Long): Double =
+      tfs.keys.filter(_._1 == d).map(_._2).toSeq.sorted
+        .foldLeft(0.0)((acc, t) => acc + part(d, t))
+    val want = Seq(1L, 2L, 4L).map(d => d -> score(d))
+      .sortBy { case (d, s) => (-s, d) }
+    assert(got === want)
+    val re = TextStats.bm25(docs.repartition(5), Seq("cat", "owl"),
+      topK = 10).as[(Long, Double)].collect().toSeq
+    assert(re === got)
+  }
 }
