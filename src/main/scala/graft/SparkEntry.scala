@@ -75,6 +75,7 @@ object SparkEntry {
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "q35_stream_sessions" -> (KgOps.q35StreamSessions _),
+    "q36_stream_enrich" -> (KgOps.q36StreamEnrich _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdc1_contamination" -> (DataOps.qdc1Contamination _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
@@ -371,6 +372,13 @@ object SparkEntry {
         | CAST(MAX(off) + 1800 AS BIGINT) AS end_off,
         | COUNT(*) AS n_events
         |FROM e GROUP BY u, b ORDER BY user_id, start_off""".stripMargin,
+    // q36 oracle: inner enrichment join + daily counts — every window is
+    // emitted (the sentinel pushed the final watermark past them all)
+    "q36_stream_enrich" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+        | c_mktsegment AS segment, COUNT(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY day, segment""".stripMargin,
     "q23_array_any" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM (
         | SELECT o_custkey,

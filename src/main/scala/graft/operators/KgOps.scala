@@ -908,6 +908,63 @@ object KgOps {
       .orderBy("user_id", "start_off")
   }
 
+  /** Stream-static enrichment under the q32/q35 file-source harness:
+    * the events stream broadcast-joined per micro-batch against the
+    * customer dimension (user_id = c_custkey; unmatched users dropped —
+    * inner-join semantics the oracle replays), then watermarked daily
+    * counts per market segment. Two real micro-batches split at the
+    * median event id prove cross-batch window accumulation; the
+    * far-future sentinel (key -1, absent from the dimension — it is
+    * dropped by the join yet still advances the source watermark)
+    * flushes every real window.
+    */
+  def q36StreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts"))
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val srcDir = Files.createTempDirectory("q36src").toString
+    val cp = Files.createTempDirectory("q36cp").toString
+    def dump(d: org.apache.spark.sql.DataFrame): Unit =
+      d.select(col("user_id"), col("ts"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    dump(ev.filter(col("event_id") <= mid))
+    val in = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+      .parquet(srcDir)
+    val q = graft.streaming.StreamingSync
+      .enrichedWindowCounts(in, dim, "user_id", "segment",
+        "1 hour", "1 day")
+      .writeStream.format("memory").queryName("q36enrich")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      dump(ev.filter(col("event_id") > mid))
+      q.processAllAvailable()
+      import spark.implicits._
+      Seq((-1L, new java.sql.Timestamp(4102444800000L))) // 2100-01-01
+        .toDF("user_id", "ts").coalesce(1).write.mode("append")
+        .parquet(srcDir)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p): Unit
+      }
+      rm(java.nio.file.Paths.get(cp))
+    }
+    spark.table("q36enrich")
+      .select((unix_timestamp(col("window_start")) / 86400).cast("bigint")
+        .as("day"), col("segment"), col("n_events"))
+      .orderBy("day", "segment")
+  }
+
   /** Oracle SQL fragments shared by the KG queries. */
   val predCase: String =
     "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"

@@ -163,6 +163,30 @@ object StreamingSync {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment: join each micro-batch against a
+    * broadcast static dimension (the slowly-changing-dimension lookup
+    * every event pipeline needs — Spark re-reads the static side per
+    * trigger, so a dim refresh is picked up without restarting), then
+    * watermarked per-(window, dim-attribute) counts in append mode.
+    * Events whose key is absent from the dimension are dropped (inner
+    * join — declared semantics). The stream-static join preserves the
+    * event-time watermark, so the downstream window still evicts state
+    * and emits exactly once.
+    *
+    * Scale: the dimension is broadcast per executor (no shuffle touches
+    * the stream side before the windowed aggregation); state is one
+    * (window, attr) counter per open window.
+    */
+  def enrichedWindowCounts(events: DataFrame, dim: DataFrame, key: String,
+                           attr: String, watermarkDelay: String = "1 hour",
+                           windowLength: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .join(broadcast(dim.select(col(key), col(attr))), Seq(key))
+      .groupBy(window(col("ts"), windowLength), col(attr))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col(attr),
+        col("n_events"))
+
   /** Cross-batch streaming exact-dedup: emit only the FIRST page seen
     * for each extracted-text fingerprint; later arrivals (same batch or
     * any later batch) are dropped. State = one boolean per distinct

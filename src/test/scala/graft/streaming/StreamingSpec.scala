@@ -127,6 +127,39 @@ class StreamingSpec extends SparkSpecBase {
       (3L, "2026-01-01 13:00:00", "2026-01-01 13:30:00", 1L)))
   }
 
+  test("enrichedWindowCounts: broadcast dim join drops unmatched keys, windows accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "blue")).toDF("user_id", "segment")
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingSync.enrichedWindowCounts(
+      in.toDS().toDF("user_id", "ts"), dim, "user_id", "segment",
+      "0 seconds", "1 hour")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      // batch 1: two gold + one unmatched key (77) in hour 10
+      in.addData((1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:20:00")),
+        (77L, ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      // batch 2: hour-10 window gains a blue event ACROSS the batch
+      // boundary (watermark 0s still holds it open); 13:00 closes it
+      in.addData((2L, ts("2026-01-01 10:40:00")), (1L, ts("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      in.addData((2L, ts("2026-01-01 15:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched")
+      .select(col("window_start").cast("string"), col("segment"),
+        col("n_events")).as[(String, String, Long)].collect().sorted.toSeq
+    // hour 10: gold 2 + blue 1 (batch-2 event landed in the open window);
+    // key 77 never appears; 13:00 closed by the 15:00 watermark advance
+    assert(rows == Seq(
+      ("2026-01-01 10:00:00", "blue", 1L),
+      ("2026-01-01 10:00:00", "gold", 2L),
+      ("2026-01-01 13:00:00", "gold", 1L)))
+  }
+
   test("firstSeenOnly emits one page per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
