@@ -98,6 +98,7 @@ object SparkEntry {
     "qsk2_cms_counters" -> (DataOps.qsk2CmsCounters _),
     "qsk3_cms_estimates" -> (DataOps.qsk3CmsEstimates _),
     "qsk4_bloom_bits" -> (DataOps.qsk4BloomBits _),
+    "qsk6_hll_merge" -> (DataOps.qsk6HllMerge _),
     "qsk5_bloom_semijoin" -> (DataOps.qsk5BloomSemijoin _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
@@ -862,6 +863,21 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(0, 3)) AS r) r)
         |SELECT r, c, COUNT(*) AS cnt FROM x GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // qsk6: merged half-sketches must equal the whole-corpus registers
+    // (same SQL as qsk1 — equivalence proven, not replayed)
+    "qsk6_hll_merge" ->
+      """WITH p AS (SELECT
+        |  CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS bucket,
+        |  ltrim(substring(h, 3, 15), '0') AS t
+        | FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) q)
+        |SELECT bucket,
+        | MAX(CAST(60 - length(t) * 4 +
+        |  CASE substring(t, 1, 1)
+        |   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |   WHEN '7' THEN 1 ELSE 0 END + 1 AS BIGINT)) AS max_rank,
+        | COUNT(*) AS n_keys
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // qsk4: bloom 1-bits replayed with the same md5 position hash
     "qsk4_bloom_bits" ->
       """WITH k AS (SELECT o_orderkey FROM orders

@@ -183,6 +183,21 @@ object DataOps {
       .orderBy("term")
   }
 
+  /** HLL mergeability as data: two half-corpus register tables (even /
+    * odd doc_ids) merged by elementwise MAX must equal the whole-corpus
+    * sketch — the distributed-combine property; see
+    * [[graft.sketch.Sketches.hllMerge]]. The oracle is qsk1's
+    * whole-corpus register SQL, so the merge path is proven equivalent,
+    * not replayed.
+    */
+  def qsk6HllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = TextStats.docs(spark, sfDir).select(col("doc_id"))
+    val halves = Seq(0, 1).map(r =>
+      graft.sketch.Sketches.hllRegisters(
+        ids.filter(col("doc_id") % 2 === r), key = "doc_id"))
+    graft.sketch.Sketches.hllMerge(halves)
+  }
+
   /** Bloom-filter 1-bit positions for the urgent-order key set — the
     * sketch state as data, integer-exact like the HLL/CMS queries; see
     * [[graft.sketch.Sketches.bloomBits]].

@@ -35,6 +35,24 @@ object Sketches {
       .agg(max(col("rank")).as("max_rank"), count(lit(1)).as("n_keys"))
       .orderBy("bucket")
 
+  /** Merge [[hllRegisters]] tables: elementwise register MAX — the
+    * associative/commutative/idempotent combine that makes HLL a
+    * DISTRIBUTED sketch: per-partition (or per-day, per-source) sketches
+    * union into the whole-corpus sketch without rescanning any input,
+    * and re-merging the same sketch is a no-op. `n_keys` sums — it is a
+    * row count, only correct when the inputs partition the corpus
+    * (duplicated keys across inputs double-count it; the REGISTERS are
+    * immune, which is the point of the sketch).
+    */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "nothing to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy("bucket")
+      .agg(max(col("max_rank")).as("max_rank"),
+        sum(col("n_keys")).as("n_keys"))
+      .orderBy("bucket")
+  }
+
   /** The (bucket, rank) struct a key contributes to an HLL sketch —
     * bucket = first md5 byte, rank = 1 + leading zero bits of the next
     * 60 bits, all via integer/string arithmetic (the exact spelling

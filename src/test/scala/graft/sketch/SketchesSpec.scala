@@ -74,6 +74,22 @@ class SketchesSpec extends SparkSpecBase {
     assert(got("never_seen") === 0L)
   }
 
+  test("hllMerge: merged partition sketches equal the whole-corpus sketch; overlap cannot move registers") {
+    val all = (0L until 3000L)
+    val parts = (0 until 3).map(r =>
+      Sketches.hllRegisters(all.filter(_ % 3 == r).toDF("k"), "k"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Sketches.hllMerge(parts)
+    val whole = Sketches.hllRegisters(all.toDF("k"), "k")
+    assert(regs(merged) === regs(whole))
+    assert(merged.collect().map(_.getLong(2)).sum === 3000L)
+    // idempotent on overlapping inputs: re-merging a sub-sketch into the
+    // merged sketch changes no register (n_keys double-counts — documented)
+    val again = Sketches.hllMerge(Seq(merged, parts(0)))
+    assert(regs(again) === regs(whole))
+  }
+
   test("bloomSemiJoin: exact semi-join result; pre-filter prunes non-members") {
     import org.apache.spark.sql.functions.col
     // 10k fact keys, dim = the 500 multiples of 20 -> 5% true match rate
