@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.ExactMath
 import graft.operators.{Analysis, DataOps, GraphOps, KgOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -99,6 +100,7 @@ object SparkEntry {
     "qsk3_cms_estimates" -> (DataOps.qsk3CmsEstimates _),
     "qsk4_bloom_bits" -> (DataOps.qsk4BloomBits _),
     "qsk6_hll_merge" -> (DataOps.qsk6HllMerge _),
+    "qsp6_weighted_sample" -> (DataOps.qsp6WeightedSample _),
     "qsk5_bloom_semijoin" -> (DataOps.qsk5BloomSemijoin _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
     "qtx2_quality" -> (DataOps.qtx2Quality _),
@@ -863,6 +865,23 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(0, 3)) AS r) r)
         |SELECT r, c, COUNT(*) AS cnt FROM x GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // qsp6: A-Res priorities replayed with the ENGINE-PORTABLE
+    // polynomial ln (ExactMath — libm ln differs across engines in the
+    // last bit); ln u = lnOfInt(h+1) − 32·ln2, staged CTE intermediates
+    "qsp6_weighted_sample" ->
+      s"""WITH h AS (SELECT o_orderkey, o_totalprice,
+         |  CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),
+         |    1, 8)) AS BIGINT) + 1 AS n
+         | FROM orders WHERE o_totalprice > CAST(0.0 AS DOUBLE)),
+         |b AS (SELECT *, ${ExactMath.blSql("n")} AS bl FROM h),
+         |c AS (SELECT *, ${ExactMath.mSql("n", "bl")} AS mm FROM b),
+         |d AS (SELECT *, ${ExactMath.zSql("mm")} AS z FROM c),
+         |e AS (SELECT *, z * z AS z2 FROM d),
+         |f AS (SELECT *, ${ExactMath.lnFromPartsSql()} AS lnn FROM e)
+         |SELECT o_orderkey, o_totalprice,
+         | (lnn - CAST(32.0 AS DOUBLE) * CAST(${ExactMath.Ln2} AS DOUBLE))
+         |   / o_totalprice AS sample_priority
+         |FROM f ORDER BY sample_priority DESC, o_orderkey LIMIT 50""".stripMargin,
     // qsk6: merged half-sketches must equal the whole-corpus registers
     // (same SQL as qsk1 — equivalence proven, not replayed)
     "qsk6_hll_merge" ->
@@ -1054,30 +1073,44 @@ object SparkEntry {
         |  md5(COALESCE(string_agg(term, ' ' ORDER BY pos)
         |        FILTER (WHERE cls = 'keep'), '')) AS kept_md5
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // qtx14: BM25 replayed with the exact float association — every
-    // input integer-exact, ln correctly rounded in both engines, per-doc
-    // term sum folded in sorted term order (the qkg10 discipline)
+    // qtx14: BM25 replayed — every input integer-exact, idf via the
+    // ENGINE-PORTABLE polynomial ln (ExactMath; libm ln is not
+    // bit-portable) as ln(2(N−df)+1) − ln(2df+1), per-doc term sum
+    // folded in sorted term order (the qkg10 discipline)
     "qtx14_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |             FROM documents),
-        |dl AS (SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |       FROM documents),
-        |c AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
-        |ft AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |       WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2),
-        |dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
-        |        WHERE term IN ('dup', 'spark', 'join') GROUP BY 1),
-        |part AS (
-        | SELECT ft.doc_id, ft.term,
-        |  ln((CAST(c.n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
-        |      / (df + CAST(0.5 AS DOUBLE)))
-        |   * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-        |   / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-        |        + CAST(0.75 AS DOUBLE) * dl.dl
-        |          / (CAST(c.sdl AS DOUBLE) / CAST(c.n AS DOUBLE)))) AS part
-        | FROM ft JOIN dfs USING (term) JOIN dl ON dl.doc_id = ft.doc_id
-        | CROSS JOIN c),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |dl AS (SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |c AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+         |ft AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+         |dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+         |        WHERE term IN ('dup', 'spark', 'join') GROUP BY 1),
+         |g AS (SELECT term, df,
+         |        2 * ((SELECT n FROM c) - df) + 1 AS na,
+         |        2 * df + 1 AS nb FROM dfs),
+         |ga AS (SELECT *, ${ExactMath.blSql("na")} AS bla,
+         |         ${ExactMath.blSql("nb")} AS blb FROM g),
+         |gm AS (SELECT *, ${ExactMath.mSql("na", "bla")} AS ma,
+         |         ${ExactMath.mSql("nb", "blb")} AS mb FROM ga),
+         |gz AS (SELECT *, ${ExactMath.zSql("ma")} AS za,
+         |         ${ExactMath.zSql("mb")} AS zb FROM gm),
+         |g2 AS (SELECT *, za * za AS za2, zb * zb AS zb2 FROM gz),
+         |gl AS (SELECT term, df,
+         |        ${ExactMath.lnFromPartsSql("bla", "za", "za2")}
+         |        - ${ExactMath.lnFromPartsSql("blb", "zb", "zb2")} AS idf
+         |       FROM g2),
+         |part AS (
+         | SELECT ft.doc_id, ft.term,
+         |  gl.idf
+         |   * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |   / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |        + CAST(0.75 AS DOUBLE) * dl.dl
+         |          / (CAST(c.sdl AS DOUBLE) / CAST(c.n AS DOUBLE)))) AS part
+         | FROM ft JOIN gl USING (term) JOIN dl ON dl.doc_id = ft.doc_id
+         | CROSS JOIN c),
         |sc AS (SELECT doc_id,
         |         list_reduce(list_transform(list_sort(
         |           list({'t': term, 'c': part})), x -> x.c),

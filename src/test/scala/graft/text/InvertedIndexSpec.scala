@@ -60,7 +60,11 @@ class InvertedIndexSpec extends SparkSpecBase {
       (4L, "owl") -> 1L)
     def part(d: Long, t: String): Double = {
       val tf = tfs((d, t)); val df = dfs(t)
-      math.log((n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+      // idf = lnOfInt(2(N−df)+1) − lnOfInt(2df+1): the engine-portable
+      // polynomial ln is the operator's documented contract
+      val idf = graft.functions.ExactMath.lnOfIntRef(2L * (n.toLong - df) + 1L) -
+        graft.functions.ExactMath.lnOfIntRef(2L * df + 1L)
+      idf * (tf * (1.2 + 1.0)) /
         (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dls(d) / avgdl))
     }
     // sorted term fold, 0.0 init — the operator's exact association
