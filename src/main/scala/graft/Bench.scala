@@ -58,7 +58,8 @@ object Bench {
     "qann1_topk", "qann4_ivf_topk", "qtx1_tokens", "qtx3_langid",
     "qtx6_chunks", "qtx8_bigram_support", "qsp2_stratified",
     "qmm2_image_dims", "qev1_sessionize", "qtx11_repetition",
-    "qdd6_cdc_pairs")
+    "qdd6_cdc_pairs", "qsk5_bloom_semijoin", "qtx14_bm25",
+    "qdd7_keep_best", "qsp6_weighted_sample")
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

@@ -116,6 +116,7 @@ object SparkEntry {
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
+    "qtx15_lm_score" -> (DataOps.qtx15LmScore _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qsp3_mix_rates" -> (DataOps.qsp3MixRates _),
@@ -1118,6 +1119,40 @@ object SparkEntry {
         |       FROM part GROUP BY 1)
         |SELECT doc_id, score FROM sc
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // qtx15: bigram-LM score replayed — integer counts + V, the
+    // ExactMath polynomial ln on numerator/denominator separately,
+    // position-ordered fold, one division
+    "qtx15_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pr AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+         |         ws[r.i + 1] AS w1, ws[r.i + 2] AS w2
+         |       FROM t JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 2
+         |       WHERE len(ws) >= 2),
+         |tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |c1 AS (SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pr GROUP BY 1, 2),
+         |vv AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+         |j AS (SELECT pr.doc_id, pr.pos, c2.c2 + 1 AS na,
+         |        c1.c1 + (SELECT v FROM vv) AS nb
+         |      FROM pr JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+         |ja AS (SELECT *, ${ExactMath.blSql("na")} AS bla,
+         |         ${ExactMath.blSql("nb")} AS blb FROM j),
+         |jm AS (SELECT *, ${ExactMath.mSql("na", "bla")} AS ma,
+         |         ${ExactMath.mSql("nb", "blb")} AS mb FROM ja),
+         |jz AS (SELECT *, ${ExactMath.zSql("ma")} AS za,
+         |         ${ExactMath.zSql("mb")} AS zb FROM jm),
+         |j2 AS (SELECT *, za * za AS za2, zb * zb AS zb2 FROM jz),
+         |jl AS (SELECT doc_id, pos,
+         |        ${ExactMath.lnFromPartsSql("bla", "za", "za2")}
+         |        - ${ExactMath.lnFromPartsSql("blb", "zb", "zb2")} AS logp
+         |       FROM j2),
+         |s AS (SELECT doc_id, COUNT(*) AS n_pairs,
+         |        list_reduce(list_transform(list_sort(
+         |          list({'p': pos, 'c': logp})), x -> x.c),
+         |          (a, b) -> a + b) AS sm
+         |      FROM jl GROUP BY 1)
+         |SELECT doc_id, n_pairs, sm / n_pairs AS lm_score FROM s
+         |ORDER BY doc_id""".stripMargin,
     // qtx11: repetition signals — integer token/3-gram counts plus one
     // double division each; docs under 3 tokens get dup_ratio 0.0
     "qtx11_repetition" ->

@@ -349,6 +349,13 @@ object DataOps {
   def qtx12Postings(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.invertedIndex(TextStats.docs(spark, sfDir))
 
+  /** Self-trained bigram-LM quality score per document (add-one
+    * smoothing, engine-portable polynomial log, sorted positional
+    * fold); see [[TextStats.lmScore]].
+    */
+  def qtx15LmScore(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.lmScore(TextStats.docs(spark, sfDir))
+
   /** BM25 top-20 for the fixed query {dup, spark, join} — 'dup' is the
     * discriminative term (df ≈ 5% at every scale, so its idf is positive
     * and dominates; the common terms exercise BM25's negative-idf

@@ -411,6 +411,52 @@ object TextStats {
     h
   }
 
+  /** Bigram language-model quality score — the KenLM-style perplexity
+    * filter of training-data pipelines, self-trained on the corpus:
+    * per document, the mean add-one-smoothed bigram log-probability
+    * score = (Σ_pairs ln((c₂(w₁w₂)+1)/(c₁(w₁)+V))) / n_pairs, folded in
+    * POSITION order. Lower = more surprising under the corpus LM (noise,
+    * boilerplate-free gibberish); higher = well-modeled text.
+    *
+    * Bit-reproducible: counts and V are exact integers, the log is the
+    * engine-portable [[graft.functions.ExactMath.lnOfInt]] applied to
+    * the integer numerator and denominator separately, and the per-doc
+    * sum is a sorted fold (qkg10 discipline).
+    *
+    * Scale: bigram/unigram count tables are corpus-level aggregations
+    * (map-side combinable); the pairs→counts joins are shuffle joins
+    * keyed on the bigram/unigram (a stop-word's hot key is 1:1
+    * build-side so AQE skew split applies); per-doc state is one
+    * document's pair list.
+    */
+  def lmScore(d: DataFrame): DataFrame = {
+    import graft.functions.ExactMath
+    val ws = split(col("text"), " ")
+    // docs with < 2 tokens have no bigrams: excluded (declared), and the
+    // guard keeps sequence(0, -1) from generating a descending range
+    val pairs = d.filter(size(ws) >= 2).select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(ws) - 2),
+          i => struct(i.cast("long").as("pos"),
+            element_at(ws, i + 1).as("w1"),
+            element_at(ws, i + 2).as("w2")))).as("pr"))
+      .select(col("doc_id"), col("pr.pos").as("pos"),
+        col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val toks = d.select(explode(ws).as("w"))
+    val c1 = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val v = toks.select(countDistinct(col("w"))).head().getLong(0)
+    val logp = ExactMath.lnOfInt(col("c2") + 1L) -
+      ExactMath.lnOfInt(col("c1") + v)
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("pos"), logp.as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        (aggregate(array_sort(collect_list(struct(col("pos"), col("logp")))),
+          lit(0.0), (acc, x) => acc + x.getField("logp")) /
+          count(lit(1))).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   def rabinFingerprints(spark: SparkSession, d: DataFrame): DataFrame = {
     import spark.implicits._
     d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]

@@ -40,6 +40,25 @@ class InvertedIndexSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("lmScore: hand-computed add-one bigram log-probs, positional fold, short docs excluded") {
+    import graft.functions.ExactMath.lnOfIntRef
+    // V = {a,b,c} = 3; c1: a=3, b=2, c=1; c2: (a,b)=2, (b,a)=1
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    val lpAB = lnOfIntRef(2L + 1L) - lnOfIntRef(3L + 3L)
+    val lpBA = lnOfIntRef(1L + 1L) - lnOfIntRef(2L + 3L)
+    val want = Seq(
+      (1L, 2L, (0.0 + lpAB + lpBA) / 2L),
+      (2L, 1L, (0.0 + lpAB) / 1L)) // doc 3 has no bigram -> excluded
+    assert(got === want)
+    // partitioning invariance of the positional fold
+    val re = TextStats.lmScore(docs.repartition(5))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(re === got)
+  }
+
   test("bm25: scores equal the textbook formula bitwise; ranking and partitioning stable") {
     // doc 1: 'cat' twice in 4 tokens; doc 2: 'cat' once, longer; doc 3
     // matches nothing (absent from output); doc 4: rare term 'owl'
