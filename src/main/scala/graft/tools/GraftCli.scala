@@ -45,6 +45,8 @@ object GraftCli {
       |  remove-orphans --work-dir DIR --older-than-hours H
       |  permissions --input RES.parquet --id-col COL --name-col COL
       |            --mapping FILE.json --out DIR [--cores N]
+      |  corpus    --input DOCS.parquet --out DIR
+      |            [--ops quality,dedup,sample] [--sample-rate R] [--cores N]
       |  analysis  --work-dir DIR --job-dir JOBS --out DIR
       |            [--params K=V,K2=V2,..] [--update-tag N] [--cores N]
       |  analytics --work-dir DIR --out DIR [--rel-labels L1,L2,..]
@@ -133,6 +135,7 @@ object GraftCli {
       "remove-orphans" -> (global ++ Set("work-dir", "older-than-hours")),
       "permissions" -> (global ++ Set("input", "id-col", "name-col",
         "mapping", "out")),
+      "corpus" -> (global ++ Set("input", "out", "ops", "sample-rate")),
       "analysis" -> (global ++ Set("work-dir", "job-dir", "out", "params",
         "update-tag")),
       "analytics" -> (global ++ Set("work-dir", "out", "rel-labels",
@@ -163,6 +166,7 @@ object GraftCli {
     case "expire" +: rest => expire(flagsFor("expire", rest))
     case "remove-orphans" +: rest => removeOrphans(flagsFor("remove-orphans", rest))
     case "permissions" +: rest => permissions(flagsFor("permissions", rest))
+    case "corpus" +: rest => corpus(flagsFor("corpus", rest))
     case "analysis" +: rest => analysis(flagsFor("analysis", rest))
     case "analytics" +: rest => analytics(flagsFor("analytics", rest))
     case "get-state" +: rest => getState(flagsFor("get-state", rest))
@@ -398,6 +402,82 @@ object GraftCli {
       .write.mode("overwrite").parquet(req(flags, "out"))
     System.err.println(s"[permissions] evaluated ${globs.map(_._1).distinct.size} " +
       s"policies; wrote ${req(flags, "out")}")
+  }
+
+  /** One-command training-corpus curation over a documents parquet
+    * (doc_id, text): the CLI face of the LLM-pipeline operator suite.
+    * `--ops` picks stages (default all):
+    *  - quality: per-doc token counts + quality ratios + language id +
+    *    repetition signals, joined → `out/quality`
+    *  - dedup: MinHash-LSH near-dup clusters (`out/clusters`) and the
+    *    keep-best representative per cluster → `out/kept` (the doc_ids
+    *    a curated corpus retains)
+    *  - sample: deterministic content-hash Bernoulli at `--sample-rate`
+    *    over the kept set (or all docs when dedup is off) →
+    *    `out/sample`
+    * Stages share one cached scan of the input.
+    */
+  private def corpus(flags: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ops = flags.getOrElse("ops", "quality,dedup,sample")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val known = Set("quality", "dedup", "sample")
+    require(ops.nonEmpty && ops.subsetOf(known),
+      s"unknown ops: ${(ops -- known).mkString(", ")} (know: ${known.mkString(", ")})")
+    val rate = flags.getOrElse("sample-rate", "1.0").toDouble
+    val outDir = req(flags, "out")
+    val spark = session(flags, "graft-cli-corpus")
+    val raw = spark.read.parquet(req(flags, "input"))
+    val docs = raw
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .persist()
+    try {
+      val total = docs.count()
+      if (ops("quality")) {
+        // langId passes a declared `lang` column through (its oracle
+        // compares prediction vs truth); CLI inputs may not have one
+        val withLang =
+          if (raw.columns.contains("lang"))
+            raw.select(col("doc_id").cast("long").as("doc_id"),
+              col("text"), col("lang"))
+          else docs.withColumn("lang",
+            org.apache.spark.sql.functions.lit(null).cast("string"))
+        // each stat keeps only its distinctive columns (tokenCounts,
+        // quality and repetitionSignals all re-derive n_tokens/n_chars)
+        graft.text.TextStats.tokenCounts(docs)
+          .join(graft.text.TextStats.quality(docs)
+            .select(col("doc_id"), col("n_stopwords"),
+              col("stopword_ratio"), col("mean_token_len")), "doc_id")
+          .join(graft.text.TextStats.langId(withLang)
+            .select(col("doc_id"), col("pred_lang")), "doc_id")
+          .join(graft.text.TextStats.repetitionSignals(docs)
+            .drop("n_tokens"), "doc_id")
+          .write.mode("overwrite").parquet(s"$outDir/quality")
+        System.err.println(s"[corpus] quality: $total docs -> $outDir/quality")
+      }
+      val kept: org.apache.spark.sql.DataFrame =
+        if (ops("dedup")) {
+          val pairs = graft.dedup.Dedup.minhashLshPairs(spark, docs)
+          val clusters = graft.dedup.Dedup.clusters(spark, docs, pairs,
+            sorted = false).persist()
+          try {
+            clusters.write.mode("overwrite").parquet(s"$outDir/clusters")
+            val reps = graft.dedup.Dedup.keepBest(docs, clusters)
+            val k = reps.select(col("kept_doc").as("doc_id"))
+            k.write.mode("overwrite").parquet(s"$outDir/kept")
+            val nKept = spark.read.parquet(s"$outDir/kept").count()
+            System.err.println(s"[corpus] dedup: $total docs -> $nKept kept " +
+              s"(${total - nKept} near/exact dups removed)")
+            spark.read.parquet(s"$outDir/kept")
+          } finally clusters.unpersist()
+        } else docs.select(col("doc_id"))
+      if (ops("sample")) {
+        val s = graft.sample.Sampling.hashSample(kept, col("doc_id"), rate)
+        s.write.mode("overwrite").parquet(s"$outDir/sample")
+        System.err.println(s"[corpus] sample: rate $rate -> " +
+          s"${spark.read.parquet(s"$outDir/sample").count()} docs in $outDir/sample")
+      }
+    } finally docs.unpersist(): Unit
   }
 
   /** Run every *.json analysis job under --job-dir against the synced

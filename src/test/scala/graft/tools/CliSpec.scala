@@ -509,4 +509,37 @@ class CliSpec extends SparkSpecBase {
     assert(!Files.exists(dead.getParent), "aged orphan dir must be collected")
     assert(nodes.read().count() === before, "committed state untouched")
   }
+
+  test("cli: corpus — quality rows per doc, dedup keeps one rep per dup group, sample nests in kept") {
+    val in = tmp("clicorp")
+    val out = tmp("clicorpout")
+    // 40 base docs with distinctive vocab + near-copies of the multiples
+    // of 4 (one word changed) + exact copies of the multiples of 10
+    def text(i: Long) = (0 until 30).map(w => s"w${i}x$w").mkString(" ")
+    val base = (0L until 40L).map(i => (i, text(i)))
+    val near = (0L until 40L).filter(_ % 4 == 0)
+      .map(i => (i + 1000L, text(i).replace(s"w${i}x7", "CHANGED")))
+    val exact = (0L until 40L).filter(_ % 10 == 0)
+      .map(i => (i + 2000L, text(i)))
+    (base ++ near ++ exact).toDF("doc_id", "text")
+      .write.parquet(s"$in/docs")
+    GraftCli.main(Array("corpus", "--input", s"$in/docs",
+      "--out", out, "--sample-rate", "0.5"))
+    val n = 40 + 10 + 4
+    assert(spark.read.parquet(s"$out/quality").count() === n.toLong)
+    val kept = spark.read.parquet(s"$out/kept")
+      .as[Long].collect().toSet
+    // every dup group collapses to one representative: the near/exact
+    // copies tie or lose on tokens, so the original (smallest id) wins
+    assert(kept === (0L until 40L).toSet)
+    val sample = spark.read.parquet(s"$out/sample")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sample.subsetOf(kept) && sample.nonEmpty && sample.size < kept.size)
+    // unknown op fails fast
+    val e = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("corpus", "--input", s"$in/docs",
+        "--out", out, "--ops", "quality,frobnicate"))
+    }
+    assert(e.getMessage.contains("unknown ops"), e.getMessage)
+  }
 }
