@@ -117,6 +117,7 @@ object SparkEntry {
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
     "qtx15_lm_score" -> (DataOps.qtx15LmScore _),
+    "qtx16_skipgram_ppmi" -> (DataOps.qtx16SkipgramPpmi _),
     "qsp1_hash_sample" -> (DataOps.qsp1HashSample _),
     "qsp2_stratified" -> (DataOps.qsp2Stratified _),
     "qsp3_mix_rates" -> (DataOps.qsp3MixRates _),
@@ -1153,6 +1154,39 @@ object SparkEntry {
          |      FROM jl GROUP BY 1)
          |SELECT doc_id, n_pairs, sm / n_pairs AS lm_score FROM s
          |ORDER BY doc_id""".stripMargin,
+    // qtx16: skip-gram PPMI replayed — exact-position pair join,
+    // integer count products through the ExactMath polynomial ln
+    "qtx16_skipgram_ppmi" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pr AS (SELECT doc_id, CAST(r.i AS BIGINT) AS p, ws[r.i + 1] AS w
+         |       FROM t JOIN range(0, 100000) r(i) ON r.i < len(ws)),
+         |pairs AS (SELECT a.w AS center, b.w AS context
+         |          FROM pr a JOIN pr b ON a.doc_id = b.doc_id
+         |           AND b.p BETWEEN a.p - 2 AND a.p + 2 AND b.p <> a.p),
+         |pc AS (SELECT center, context, COUNT(*) AS n_pair FROM pairs
+         |       GROUP BY 1, 2),
+         |tt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t FROM pc),
+         |cc AS (SELECT center, CAST(SUM(n_pair) AS BIGINT) AS c_center
+         |       FROM pc GROUP BY 1),
+         |cx AS (SELECT context, CAST(SUM(n_pair) AS BIGINT) AS c_context
+         |       FROM pc GROUP BY 1),
+         |j AS (SELECT pc.center, pc.context, pc.n_pair,
+         |        pc.n_pair * (SELECT t FROM tt) AS na,
+         |        c_center * c_context AS nb
+         |      FROM pc JOIN cc USING (center) JOIN cx USING (context)),
+         |ja AS (SELECT *, ${ExactMath.blSql("na")} AS bla,
+         |         ${ExactMath.blSql("nb")} AS blb FROM j),
+         |jm AS (SELECT *, ${ExactMath.mSql("na", "bla")} AS ma,
+         |         ${ExactMath.mSql("nb", "blb")} AS mb FROM ja),
+         |jz AS (SELECT *, ${ExactMath.zSql("ma")} AS za,
+         |         ${ExactMath.zSql("mb")} AS zb FROM jm),
+         |j2 AS (SELECT *, za * za AS za2, zb * zb AS zb2 FROM jz),
+         |jl AS (SELECT center, context, n_pair,
+         |        ${ExactMath.lnFromPartsSql("bla", "za", "za2")}
+         |        - ${ExactMath.lnFromPartsSql("blb", "zb", "zb2")} AS ppmi
+         |       FROM j2)
+         |SELECT center, context, n_pair, ppmi FROM jl
+         |WHERE ppmi > CAST(0.0 AS DOUBLE) ORDER BY center, context""".stripMargin,
     // qtx11: repetition signals — integer token/3-gram counts plus one
     // double division each; docs under 3 tokens get dup_ratio 0.0
     "qtx11_repetition" ->

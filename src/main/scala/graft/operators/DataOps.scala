@@ -349,6 +349,13 @@ object DataOps {
   def qtx12Postings(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.invertedIndex(TextStats.docs(spark, sfDir))
 
+  /** Skip-gram (window 2) positive-PMI co-occurrence pairs — the
+    * word2vec training-pair matrix, engine-portable log on integer
+    * products; see [[TextStats.skipgramPpmi]].
+    */
+  def qtx16SkipgramPpmi(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.skipgramPpmi(TextStats.docs(spark, sfDir), window = 2)
+
   /** Self-trained bigram-LM quality score per document (add-one
     * smoothing, engine-portable polynomial log, sorted positional
     * fold); see [[TextStats.lmScore]].

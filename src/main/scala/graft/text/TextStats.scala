@@ -457,6 +457,54 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Skip-gram pair extraction + PPMI scoring — the word2vec/embedding
+    * training-data step: within each document, (center, context) pairs
+    * over a symmetric `window`, scored
+    * ppmi = max(0, ln(c(pair)·T) − ln(c(center)·c(context))) over the
+    * corpus totals; only positive-PMI pairs survive (the standard
+    * embedding co-occurrence matrix).
+    *
+    * Bit-reproducible: all counts are exact integers and the log is
+    * [[graft.functions.ExactMath.lnOfInt]] on the integer products
+    * (domain: products must stay ≤ 2⁵² — T ≤ 2²⁶ pairs per invocation;
+    * shard larger corpora by source and merge counts first).
+    *
+    * Scale: context generation is an exact-position EQUI-join — each
+    * center explodes to its 2·window candidate positions and joins on
+    * (doc, position) — never a per-document range join (O(len·window)
+    * rows, no quadratic blowup on long docs); the three count tables
+    * are map-side-combinable aggregations.
+    */
+  def skipgramPpmi(d: DataFrame, window: Int = 2): DataFrame = {
+    import graft.functions.ExactMath
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("w"))
+    val offs = (-window to window).filter(_ != 0)
+    val cand = toks.select(col("doc_id"), col("w").as("center"),
+      explode(array(offs.map(o => col("p") + o): _*)).as("pc"))
+    val pairs = cand.join(
+      toks.select(col("doc_id"), col("p").as("pc"), col("w").as("context")),
+      Seq("doc_id", "pc"))
+    // evaluated once, lineage cut, blocks not pinned (the Dedup
+    // cappedBucketPairs pattern) — four consumers follow (T, c_center,
+    // c_context, the final join) and an unpersist-in-finally would fire
+    // before the lazy result plan ever ran
+    val pc = pairs.groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pair")).localCheckpoint(true)
+    val t = pc.agg(sum(col("n_pair"))).head().getLong(0)
+    val cc = pc.groupBy("center").agg(sum(col("n_pair")).as("c_center"))
+    val cx = pc.groupBy("context").agg(sum(col("n_pair")).as("c_context"))
+    val ppmi = ExactMath.lnOfInt(col("n_pair") * t) -
+      ExactMath.lnOfInt(col("c_center") * col("c_context"))
+    pc.join(cc, "center").join(cx, "context")
+      .select(col("center"), col("context"), col("n_pair"),
+        ppmi.as("ppmi"))
+      .filter(col("ppmi") > 0.0)
+      .orderBy("center", "context")
+  }
+
   def rabinFingerprints(spark: SparkSession, d: DataFrame): DataFrame = {
     import spark.implicits._
     d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]

@@ -59,6 +59,27 @@ class InvertedIndexSpec extends SparkSpecBase {
     assert(re === got)
   }
 
+  test("skipgramPpmi: hand-computed window-1 pairs; doc boundaries respected; only positive PMI") {
+    import graft.functions.ExactMath.lnOfIntRef
+    // doc 1 "a b c" w=1: pairs (a,b),(b,a),(b,c),(c,b); doc 2 "d d":
+    // (d,d) twice — no cross-doc pair (a,d) may ever appear
+    val docs = Seq((1L, "a b c"), (2L, "d d")).toDF("doc_id", "text")
+    val got = TextStats.skipgramPpmi(docs, window = 1)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val t = 6L
+    val cc = Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "d" -> 2L)
+    def ppmi(c: String, x: String, n: Long): Double =
+      lnOfIntRef(n * t) - lnOfIntRef(cc(c) * cc(x))
+    val want = Seq(
+      ("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 1L),
+      ("d", "d", 2L))
+      .map { case (c, x, n) => (c, x, n, ppmi(c, x, n)) }
+      .filter(_._4 > 0.0).sortBy(r => (r._1, r._2))
+    assert(got === want)
+    // (d,d): ppmi = ln(2*6) − ln(4) = ln3 > 0 — present exactly once
+    assert(got.count(_._1 == "d") === 1)
+  }
+
   test("bm25: scores equal the textbook formula bitwise; ranking and partitioning stable") {
     // doc 1: 'cat' twice in 4 tokens; doc 2: 'cat' once, longer; doc 3
     // matches nothing (absent from output); doc 4: rare term 'owl'
