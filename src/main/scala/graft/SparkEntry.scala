@@ -77,6 +77,7 @@ object SparkEntry {
     "q32_stream_windows" -> (KgOps.q32StreamWindows _),
     "q35_stream_sessions" -> (KgOps.q35StreamSessions _),
     "q36_stream_enrich" -> (KgOps.q36StreamEnrich _),
+    "q37_stream_dedup_ttl" -> (KgOps.q37StreamDedupTtl _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdc1_contamination" -> (DataOps.qdc1Contamination _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
@@ -377,6 +378,13 @@ object SparkEntry {
         | CAST(MAX(off) + 1800 AS BIGINT) AS end_off,
         | COUNT(*) AS n_events
         |FROM e GROUP BY u, b ORDER BY user_id, start_off""".stripMargin,
+    // q37 oracle: the planted survivor set — first occurrences, the
+    // in-window dup dropped, the post-eviction dup re-emitted
+    "q37_stream_dedup_ttl" ->
+      """SELECT CAST(k AS BIGINT) AS k, CAST(off AS BIGINT) AS off
+        |FROM (VALUES (0, 0), (1, 60), (2, 120), (999, 1800), (0, 1500))
+        |  v(k, off)
+        |ORDER BY off, k""".stripMargin,
     // q36 oracle: inner enrichment join + daily counts — every window is
     // emitted (the sentinel pushed the final watermark past them all)
     "q36_stream_enrich" ->

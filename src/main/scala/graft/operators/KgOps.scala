@@ -965,6 +965,54 @@ object KgOps {
       .orderBy("day", "segment")
   }
 
+  /** Bounded-state streaming dedup under the controlled micro-batch
+    * harness: plants a timeline that exercises all three behaviors —
+    * in-window duplicate DROPPED (key 0 at +5 min, state alive),
+    * watermark advance EVICTS state (the +30 min event moves the
+    * watermark past key 0's +10 min expiry), and a post-eviction
+    * duplicate RE-EMITS (key 0 again at +25 min). Output = the exact
+    * survivor set, closed-form in the oracle.
+    */
+  def q37StreamDedupTtl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val baseSec = 1600000000L
+    def ts(off: Long) = new java.sql.Timestamp((baseSec + off) * 1000L)
+    val srcDir = Files.createTempDirectory("q37src").toString
+    val cp = Files.createTempDirectory("q37cp").toString
+    def add(rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+    add(Seq((0L, ts(0)), (1L, ts(60)), (2L, ts(120))))
+    val in = spark.readStream.schema("k BIGINT, ts TIMESTAMP").parquet(srcDir)
+    val q = graft.streaming.StreamingSync
+      .dedupWithinWatermark(in, "k", "10 minutes")
+      .writeStream.format("memory").queryName("q37dedup")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // wm still at 120-600: key 0's dup at +300 is DROPPED (state
+      // alive); +1800 will advance the watermark to 1200 AFTER this
+      // batch, evicting key 0's state (expiry 0+600)
+      add(Seq((0L, ts(300)), (999L, ts(1800))))
+      q.processAllAvailable()
+      // wm = 1200: key 0 at +1500 finds no state -> RE-EMITTED
+      add(Seq((0L, ts(1500))))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p): Unit
+      }
+      rm(java.nio.file.Paths.get(cp))
+    }
+    spark.table("q37dedup")
+      .select(col("k"), (unix_timestamp(col("ts")) - baseSec).as("off"))
+      .orderBy("off", "k")
+  }
+
   /** Oracle SQL fragments shared by the KG queries. */
   val predCase: String =
     "CASE p WHEN 0 THEN 'works_for' WHEN 1 THEN 'located_in' WHEN 2 THEN 'part_of' WHEN 3 THEN 'founded' ELSE 'acquired' END"

@@ -187,6 +187,22 @@ object StreamingSync {
       .select(col("window.start").as("window_start"), col(attr),
         col("n_events"))
 
+  /** BOUNDED-STATE streaming dedup: Spark's
+    * `dropDuplicatesWithinWatermark` — a key's dedup state lives only
+    * until the event-time watermark passes its timestamp + delay, then
+    * is evicted; a duplicate arriving after eviction re-emits. The
+    * complement of [[firstSeenOnly]] (exact, state grows with distinct
+    * keys forever): at 100 TB the watermark-evicted variant is the
+    * deployable default — state is bounded by keys ACTIVE within the
+    * delay window, and the semantics ("no duplicates closer than the
+    * watermark delay") is the contract most ingest dedup actually
+    * needs.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCol: String,
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Cross-batch streaming exact-dedup: emit only the FIRST page seen
     * for each extracted-text fingerprint; later arrivals (same batch or
     * any later batch) are dropped. State = one boolean per distinct
