@@ -838,14 +838,7 @@ object KgOps {
     } finally {
       q.stop()
       // checkpoint state (offsets/commits/state store) is per-run litter
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.iterator().asScala.foreach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p): Unit
-      }
-      rm(java.nio.file.Paths.get(cp))
+      rmTree(cp); rmTree(srcDir)
     }
     spark.table("q32win")
       .select(((unix_timestamp(col("window_start")) - baseSec) / 60L)
@@ -892,14 +885,7 @@ object KgOps {
       q.processAllAvailable()
     } finally {
       q.stop()
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.iterator().asScala.foreach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p): Unit
-      }
-      rm(java.nio.file.Paths.get(cp))
+      rmTree(cp); rmTree(srcDir)
     }
     spark.table("q35sess").select(col("user_id"),
       (unix_timestamp(col("session_start")) - baseSec).as("start_off"),
@@ -936,7 +922,10 @@ object KgOps {
       .parquet(srcDir)
     val q = graft.streaming.StreamingSync
       .enrichedWindowCounts(in, dim, "user_id", "segment",
-        "1 hour", "1 day")
+        // 45 days > the whole event-table span: the oracle counts EVERY
+        // event, so no second-batch row may ever be late — the split is
+        // by event id, which nothing guarantees tracks event time
+        "45 days", "1 day")
       .writeStream.format("memory").queryName("q36enrich")
       .option("checkpointLocation", cp).outputMode("append").start()
     try {
@@ -950,14 +939,7 @@ object KgOps {
       q.processAllAvailable()
     } finally {
       q.stop()
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.iterator().asScala.foreach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p): Unit
-      }
-      rm(java.nio.file.Paths.get(cp))
+      rmTree(cp); rmTree(srcDir)
     }
     spark.table("q36enrich")
       .select((unix_timestamp(col("window_start")) / 86400).cast("bigint")
@@ -999,18 +981,25 @@ object KgOps {
       q.processAllAvailable()
     } finally {
       q.stop()
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.iterator().asScala.foreach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p): Unit
-      }
-      rm(java.nio.file.Paths.get(cp))
+      rmTree(cp); rmTree(srcDir)
     }
     spark.table("q37dedup")
       .select(col("k"), (unix_timestamp(col("ts")) - baseSec).as("off"))
       .orderBy("off", "k")
+  }
+
+  /** Recursively delete a harness temp dir (checkpoint/source litter
+    * from the controlled micro-batch queries).
+    */
+  private def rmTree(dir: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p): Unit
+    }
+    rm(java.nio.file.Paths.get(dir))
   }
 
   /** Oracle SQL fragments shared by the KG queries. */

@@ -144,7 +144,11 @@ object Sketches {
                 numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
     require(numBits >= 1 && numHashes >= 1,
       s"bad bloom shape $numHashes x $numBits")
-    df.select(explode(bloomCells(col(key), numHashes, numBits)).as("pos"))
+    // NULL keys are skipped, matching semi-join semantics (a null key
+    // can never equi-match; hashing it would also put a null position
+    // row in the output)
+    df.filter(col(key).isNotNull)
+      .select(explode(bloomCells(col(key), numHashes, numBits)).as("pos"))
       .distinct().orderBy("pos")
   }
 
@@ -186,8 +190,14 @@ object Sketches {
     val allSet = udf { (ps: Seq[Long]) =>
       val b = bsB.value; ps.forall(p => b.get(p.toInt))
     }
-    big.filter(allSet(bloomCells(col(bigKey), numHashes, numBits)))
-      .join(small.select(col(smallKey).as(bigKey)).distinct(),
+    // null big-side keys can never match — drop them before hashing
+    // (their position array would contain nulls); no .distinct() on the
+    // residual build side — a semi-join's output is independent of
+    // build-side duplicates, and the dedup would cost a full extra
+    // shuffle of the dimension
+    big.filter(col(bigKey).isNotNull)
+      .filter(allSet(bloomCells(col(bigKey), numHashes, numBits)))
+      .join(small.select(col(smallKey).as(bigKey)),
         Seq(bigKey), "left_semi")
   }
 

@@ -422,7 +422,8 @@ object GraftCli {
     val ops = flags.getOrElse("ops", "quality,dedup,sample")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
     val known = Set("quality", "dedup", "sample")
-    require(ops.nonEmpty && ops.subsetOf(known),
+    require(ops.nonEmpty, s"--ops selected no stages (know: ${known.mkString(", ")})")
+    require(ops.subsetOf(known),
       s"unknown ops: ${(ops -- known).mkString(", ")} (know: ${known.mkString(", ")})")
     val rate = flags.getOrElse("sample-rate", "1.0").toDouble
     val outDir = req(flags, "out")
@@ -465,10 +466,13 @@ object GraftCli {
             val reps = graft.dedup.Dedup.keepBest(docs, clusters)
             val k = reps.select(col("kept_doc").as("doc_id"))
             k.write.mode("overwrite").parquet(s"$outDir/kept")
-            val nKept = spark.read.parquet(s"$outDir/kept").count()
+            // read the written file ONCE: downstream stages consume the
+            // durable artifact, not the (recomputable) plan behind k
+            val keptDf = spark.read.parquet(s"$outDir/kept")
+            val nKept = keptDf.count()
             System.err.println(s"[corpus] dedup: $total docs -> $nKept kept " +
               s"(${total - nKept} near/exact dups removed)")
-            spark.read.parquet(s"$outDir/kept")
+            keptDf
           } finally clusters.unpersist()
         } else docs.select(col("doc_id"))
       if (ops("sample")) {
