@@ -101,6 +101,7 @@ object SparkEntry {
     "qsk3_cms_estimates" -> (DataOps.qsk3CmsEstimates _),
     "qsk4_bloom_bits" -> (DataOps.qsk4BloomBits _),
     "qsk6_hll_merge" -> (DataOps.qsk6HllMerge _),
+    "qsk7_histogram" -> (DataOps.qsk7Histogram _),
     "qsp6_weighted_sample" -> (DataOps.qsp6WeightedSample _),
     "qsk5_bloom_semijoin" -> (DataOps.qsk5BloomSemijoin _),
     "qtx1_tokens" -> (DataOps.qtx1Tokens _),
@@ -892,6 +893,15 @@ object SparkEntry {
          | (lnn - CAST(32.0 AS DOUBLE) * CAST(${ExactMath.Ln2} AS DOUBLE))
          |   / o_totalprice AS sample_priority
          |FROM f ORDER BY sample_priority DESC, o_orderkey LIMIT 50""".stripMargin,
+    // qsk7: histogram bins replayed — same float association, edge
+    // clamping included
+    "qsk7_histogram" ->
+      """SELECT GREATEST(0, LEAST(63,
+        |  CAST(floor((value - CAST(0.0 AS DOUBLE))
+        |    / (CAST(20.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)) * 64) AS BIGINT)))
+        |  AS bin, COUNT(*) AS cnt
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // qsk6: merged half-sketches must equal the whole-corpus registers
     // (same SQL as qsk1 — equivalence proven, not replayed)
     "qsk6_hll_merge" ->

@@ -209,6 +209,15 @@ object DataOps {
     graft.sketch.Sketches.hllMerge(halves)
   }
 
+  /** Histogram sketch (64 bins on [0, 20)) over event values — integer
+    * bin counts, mergeable by sum; see
+    * [[graft.sketch.Sketches.histogram]].
+    */
+  def qsk7Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sketch.Sketches.histogram(
+      spark.read.parquet(s"$sfDir/events.parquet"),
+      col("value"), lo = 0.0, hi = 20.0, bins = 64)
+
   /** Bloom-filter 1-bit positions for the urgent-order key set — the
     * sketch state as data, integer-exact like the HLL/CMS queries; see
     * [[graft.sketch.Sketches.bloomBits]].

@@ -201,6 +201,43 @@ object Sketches {
         Seq(bigKey), "left_semi")
   }
 
+  /** Fixed-grid histogram sketch over a numeric column: integer bin
+    * counts on a [lo, hi) grid (out-of-range values clamp to the edge
+    * bins — total mass is always conserved). Like the HLL/CMS/Bloom
+    * state, the sketch is integer-exact and engine-reproducible; merge
+    * = per-bin SUM (map-side combinable, per-partition state ≤ bins
+    * regardless of input size) — the approximate-quantile primitive at
+    * 100 TB, where an exact per-group sort is a full shuffle.
+    */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, s"bad histogram grid [$lo, $hi) x $bins")
+    val raw = floor((value - lo) / (hi - lo) * bins).cast("bigint")
+    val bin = greatest(lit(0L), least(lit(bins - 1L), raw))
+    df.filter(value.isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
+
+  /** Rank-quantile reader over a collected [[histogram]] (≤ bins rows):
+    * quantile(p) ≈ lower edge of the first bin whose cumulative count
+    * reaches ceil(p·n/100) (the qev4 integer ceil-rank rule). Error is
+    * bounded by one bin width — the sketch trade.
+    */
+  def histogramQuantile(hist: Seq[(Long, Long)], pct: Int,
+                        lo: Double, hi: Double, bins: Int): Double = {
+    require(pct >= 1 && pct <= 100, s"pct out of range: $pct")
+    val n = hist.map(_._2).sum
+    require(n > 0, "empty histogram")
+    val rank = (pct * n + 99L) / 100L // ceil(p·n/100)
+    var cum = 0L
+    for ((b, c) <- hist.sortBy(_._1)) {
+      cum += c
+      if (cum >= rank) return lo + b * ((hi - lo) / bins)
+    }
+    hi
+  }
+
   /** CMS point estimate for one key from a collected [[cmsCounters]]
     * table: the MIN over its depth counters — an upper bound on the
     * true count, exact when no collision hit any of the key's rows.

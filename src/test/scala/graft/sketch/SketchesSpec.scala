@@ -124,6 +124,34 @@ class SketchesSpec extends SparkSpecBase {
     assert(small.count() === 500)
   }
 
+  test("histogram: mass conserved with edge clamping; halves merge by sum; quantiles within one bin width") {
+    import org.apache.spark.sql.functions.col
+    // values 0.005, 0.015, ... ~ uniform on [0, 25): the [20, 25) tail
+    // must clamp into bin 63
+    val vals = (0 until 2500).map(i => i / 100.0 + 0.005)
+    val df = vals.toDF("v")
+    val hist = Sketches.histogram(df, col("v"), 0.0, 20.0, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist.map(_._2).sum === 2500L)
+    assert(hist.toMap.apply(63L) >= 500L) // the clamped tail
+    // merge = per-bin sum of the halves' sketches
+    val h1 = Sketches.histogram(df.filter(col("v") < 10.0), col("v"),
+      0.0, 20.0, 64).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val h2 = Sketches.histogram(df.filter(col("v") >= 10.0), col("v"),
+      0.0, 20.0, 64).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val merged = (h1.keySet ++ h2.keySet).map(b =>
+      b -> (h1.getOrElse(b, 0L) + h2.getOrElse(b, 0L))).toMap
+    assert(merged === hist.toMap)
+    // quantile reads within one bin width of the exact rank value
+    val binW = 20.0 / 64
+    val sorted = vals.sorted
+    for (p <- Seq(25, 50, 75)) {
+      val est = Sketches.histogramQuantile(hist, p, 0.0, 20.0, 64)
+      val exact = sorted(((p * sorted.size + 99) / 100) - 1)
+      assert(math.abs(est - exact) <= binW + 1e-9, s"p$p est=$est exact=$exact")
+    }
+  }
+
   test("hllEstimate: within 15% of the true cardinality at n=5000") {
     val regs = Sketches.hllRegisters((0L until 5000L).toDF("k"), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
