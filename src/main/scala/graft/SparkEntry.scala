@@ -71,6 +71,7 @@ object SparkEntry {
     "qkg21_degree_hist" -> (KgOps.qkg21DegreeHist _),
     "qkg22_hyperball" -> (KgOps.qkg22HyperBall _),
     "qkg16_related" -> (KgOps.qkg16Related _),
+    "qkg23_adamic_adar" -> (KgOps.qkg23AdamicAdar _),
     "qkg17_labelprop" -> (KgOps.qkg17LabelProp _),
     "qkg18_kcore" -> (KgOps.qkg18KCore _),
     "q29_streaming_sync" -> (KgOps.q29StreamingSync _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q35_stream_sessions" -> (KgOps.q35StreamSessions _),
     "q36_stream_enrich" -> (KgOps.q36StreamEnrich _),
     "q37_stream_dedup_ttl" -> (KgOps.q37StreamDedupTtl _),
+    "q38_stream_join" -> (KgOps.q38StreamJoin _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdc1_contamination" -> (DataOps.qdc1Contamination _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
@@ -116,6 +118,7 @@ object SparkEntry {
     "qtx11_repetition" -> (DataOps.qtx11Repetition _),
     "qtx12_postings" -> (DataOps.qtx12Postings _),
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
+    "qtx17_segment_dedup" -> (DataOps.qtx17SegmentDedup _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
     "qtx15_lm_score" -> (DataOps.qtx15LmScore _),
@@ -386,6 +389,18 @@ object SparkEntry {
         |FROM (VALUES (0, 0), (1, 60), (2, 120), (999, 1800), (0, 1500))
         |  v(k, off)
         |ORDER BY off, k""".stripMargin,
+    // q38 oracle: the stream-stream interval join's complete result IS
+    // the batch join (inner joins emit every pair once both sides
+    // arrive; the 45-day watermark out-spans the table so nothing drops)
+    "q38_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        | v.user_id,
+        | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+        |ORDER BY view_id, purchase_id""".stripMargin,
     // q36 oracle: inner enrichment join + daily counts — every window is
     // emitted (the sentinel pushed the final watermark past them all)
     "q36_stream_enrich" ->
@@ -597,6 +612,9 @@ object SparkEntry {
     // qkg16: shared-neighbor Jaccard relatedness (hub cap 8 is proven
     // semantics: the oracle excludes super-hub shared neighbors too)
     "qkg16_related" -> KgOps.relatedOracle,
+    // qkg23: Adamic–Adar — qkg16's wedge algebra + staged ExactMath ln
+    // per capped neighbor degree + sorted per-pair fold (bit-identical)
+    "qkg23_adamic_adar" -> KgOps.adamicAdarOracle,
     // qkg17: 3 synchronous label-propagation rounds over the co-mention
     // graph, majority vote with smallest-label ties — integer counts +
     // string mins, replayed round-for-round by the oracle
@@ -1069,6 +1087,27 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin,
+    // qtx17: cross-document segment dedup — 15-token non-overlapping
+    // segments over the planted-copy corpus, keep-first by the composite
+    // occurrence key doc_id·10⁶ + seg_idx; kept text pinned by ordered
+    // md5 (empty → md5(''))
+    "qtx17_segment_dedup" ->
+      s"""$dedupCorpusCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |segs AS (SELECT doc_id, CAST(r.i // 15 AS BIGINT) AS seg_idx,
+         |    array_to_string(list_slice(ws, r.i + 1, r.i + 15), ' ') AS seg
+         |  FROM t JOIN range(0, 100000) r(i)
+         |    ON r.i < len(ws) AND r.i % 15 = 0),
+         |o AS (SELECT doc_id, seg_idx, seg, md5(seg) AS sh,
+         |    doc_id * 1000000 + seg_idx AS occ FROM segs),
+         |f AS (SELECT sh, MIN(occ) AS keep_occ FROM o GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_segments,
+         |  COUNT(CASE WHEN occ = keep_occ THEN 1 END) AS n_kept,
+         |  md5(COALESCE(string_agg(CASE WHEN occ = keep_occ THEN seg END,
+         |    ' ' ORDER BY seg_idx), '')) AS kept_md5,
+         |  COUNT(*) - COUNT(CASE WHEN occ = keep_occ THEN 1 END) AS n_dropped
+         |FROM o JOIN f USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // qtx13: df-driven token pruning — integer df thresholds (stop ≥ 30%
     // of docs, rare < 2), kept text pinned by md5 in original token order
     "qtx13_df_prune" ->

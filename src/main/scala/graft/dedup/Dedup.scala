@@ -30,13 +30,17 @@ object Dedup {
   def corpusWithCopies(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"))
+    // two selects, not one: in a single select the token's col("doc_id")
+    // would resolve LATERALLY against the `.as("doc_id")` alias beside it
+    // (Spark lateral column aliasing) and silently double-add the offset
     val near = docs.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"),
-        // replace every 17th word (positions 0,17,34,… 0-based) with a
-        // doc-specific token
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      // replace every 17th word (positions 0,17,34,… 0-based) with a
+      // doc-specific token "zz<new doc_id>"
+      .select(col("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           (w, i) => when(i % 17 === 0,
-            concat(lit("zz"), (col("doc_id") + 100000L).cast("string")))
+            concat(lit("zz"), col("doc_id").cast("string")))
             .otherwise(w))).as("text"))
     val exact = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
@@ -306,13 +310,13 @@ object Dedup {
     * bucket-join, verify true Hamming distance ≤ maxHamming.
     *
     * Banding calibration (measured on the synthetic corpus): perturbed
-    * near-copies land at Hamming 5–19, so the default threshold is 20;
-    * 16 bands of 4 bits give ≥99% probability of a clean band at d=20
-    * (vs ~43% for 8×8). Narrow bands mean bigger buckets — the standard
+    * near-copies land at Hamming 5–22, so the default threshold is 24;
+    * 16 bands of 4 bits give ≥98% probability of a clean band at d=24
+    * (vs ~25% for 8×8). Narrow bands mean bigger buckets — the standard
     * recall/candidate-volume tradeoff, tunable per corpus.
     */
   def simhashPairs(spark: SparkSession, corpus: DataFrame,
-                   maxHamming: Int = 20): DataFrame =
+                   maxHamming: Int = 24): DataFrame =
     simhashCandidates(spark, shingleRows(corpus), maxHamming)
       .orderBy("doc_a", "doc_b")
 
@@ -323,7 +327,7 @@ object Dedup {
     * to the exact all-pairs baseline whenever candidate recall is 1.
     */
   def simhashVerifiedPairs(spark: SparkSession, corpus: DataFrame,
-                           maxHamming: Int = 20): DataFrame = {
+                           maxHamming: Int = 24): DataFrame = {
     // one evaluation for signatures + verification (see minhashLshPairs)
     val sh = shingleRows(corpus).localCheckpoint(eager = false)
     verifyPairs(spark, simhashCandidates(spark, sh, maxHamming), sh)

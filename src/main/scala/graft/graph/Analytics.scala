@@ -390,6 +390,64 @@ object Analytics {
     } finally und.unpersist(): Unit
   }
 
+  /** Adamic–Adar link prediction ("Friends and neighbors on the Web",
+    * Adamic & Adar 2003) over the same undirected neighbor sets as
+    * [[neighborJaccard]]: score(a,b) = Σ_z 1/ln(deg z) over common
+    * neighbors z — rarer shared neighbors count more, the damping that
+    * makes AA beat raw common-neighbor counts on Zipf graphs. Same
+    * PROVEN hub-degree cap as neighborJaccard: a super-hub neighbor
+    * (deg > `maxHubDegree`) contributes to no pair, which is both the
+    * stop-word semantics AA's 1/ln only soft-approximates and the bound
+    * that keeps the wedge join's per-key fan-out at cap².
+    *
+    * Bit-reproducible doubles: deg is an exact integer, the log is the
+    * engine-portable [[graft.functions.ExactMath.lnOfInt]], each
+    * contribution is one IEEE division, and the per-pair sum folds in
+    * sorted neighbor order (the qkg10 discipline). A shared neighbor of
+    * a distinct pair has deg ≥ 2, so ln ≥ ln 2 > 0 — no division
+    * hazard.
+    *
+    * Scale shape: one adjacency/degree shuffle, wedge self-join keyed on
+    * the (capped) shared neighbor, then a per-pair sorted fold whose
+    * state is the pair's common-neighbor list — bounded by the smaller
+    * endpoint degree (the price of bit-stability; the salted two-level
+    * pre-fold of [[pageRankSalted]] is the documented escape if a pair
+    * of mega-hubs ever dominates).
+    */
+  def adamicAdar(edges: DataFrame, maxHubDegree: Int): DataFrame = {
+    require(maxHubDegree >= 1, "maxHubDegree must be >= 1")
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val (cu, cv) = (col(cols(0)), col(cols(1)))
+    val und = edges
+      .select(least(cu, cv).as("a"), greatest(cu, cv).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().persist()
+    try {
+      val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+        .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      val deg = adj.groupBy("x").agg(count(lit(1)).as("d"))
+      // d >= 2: a degree-1 node can never mediate a wedge, and its
+      // ln(1) = 0 would otherwise be a division hazard under ANSI mode
+      val capped = deg.filter(col("d") >= 2 && col("d") <= maxHubDegree)
+        .select(col("x").as("nbr"),
+          (lit(1.0) / graft.functions.ExactMath.lnOfInt(col("d")))
+            .as("invln"))
+      val byNbr = adj.join(capped, "nbr")
+      val wedges = byNbr.select(col("x").as("ea"), col("nbr"), col("invln"))
+        .join(byNbr.select(col("x").as("eb"), col("nbr")), "nbr")
+        .filter(col("ea") < col("eb"))
+      wedges.groupBy("ea", "eb")
+        .agg(count(lit(1)).as("common_cnt"),
+          aggregate(array_sort(collect_list(struct(col("nbr"),
+              col("invln")))), lit(0.0),
+            (acc, x) => acc + x.getField("invln")).as("aa_score"))
+        .select(col("ea").as("entity_a"), col("eb").as("entity_b"),
+          col("common_cnt"), col("aa_score"))
+        .localCheckpoint(true)
+    } finally und.unpersist(): Unit
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
     * time algorithm to detect community structures") made DETERMINISTIC:
     * labels start as the node's own id; each iteration every node with

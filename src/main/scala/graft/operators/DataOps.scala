@@ -383,6 +383,15 @@ object DataOps {
     TextStats.bm25(TextStats.docs(spark, sfDir),
       Seq("dup", "spark", "join"))
 
+  /** Cross-document segment dedup (C4-style repeated-span removal) over
+    * the planted-copy corpus: every segment text is kept only at its
+    * first (doc_id, seg_idx) occurrence — exact copies lose every
+    * segment, near copies every segment without a perturbed word; see
+    * [[TextStats.segmentDedup]].
+    */
+  def qtx17SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.segmentDedup(Dedup.corpusWithCopies(spark, sfDir))
+
   /** Corpus-df-driven token pruning: per-document class-wise counts
     * (keep / stop ≥ 30% df / rare df < 2) plus an md5 pin of the kept
     * text; see [[TextStats.dfPrune]].

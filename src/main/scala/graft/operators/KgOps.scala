@@ -477,6 +477,52 @@ object KgOps {
        |FROM w JOIN deg da ON da.x = w.a JOIN deg db ON db.x = w.b
        |ORDER BY entity_a, entity_b""".stripMargin
 
+  /** Adamic–Adar link prediction over the canonical triple graph
+    * ([[graft.graph.Analytics.adamicAdar]], same edge set and hub cap
+    * as qkg16): common-neighbor evidence weighted 1/ln(deg) — the
+    * rarity-damped companion to qkg16's Jaccard, with bit-identical
+    * doubles (exact integer degrees, ExactMath polynomial ln, sorted
+    * per-pair fold).
+    */
+  def qkg23AdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    graft.graph.Analytics.adamicAdar(edges, maxHubDegree = 8)
+      .orderBy("entity_a", "entity_b")
+  }
+
+  /** DuckDB oracle for qkg23: the qkg16 adjacency/degree/wedge algebra
+    * plus the staged ExactMath ln over each capped neighbor's degree and
+    * the sorted per-pair fold — every double bit-matches.
+    */
+  def adamicAdarOracle: String = {
+    import graft.functions.ExactMath
+    s"""$tripleCte,
+       |eg AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS u,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS v FROM cz),
+       |und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |        FROM eg WHERE u <> v),
+       |adj AS (SELECT a AS x, b AS nbr FROM und
+       |        UNION ALL SELECT b AS x, a AS nbr FROM und),
+       |deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY 1),
+       |cp AS (SELECT x, d FROM deg WHERE d BETWEEN 2 AND 8),
+       |ca AS (SELECT *, ${ExactMath.blSql("d")} AS bl FROM cp),
+       |cb AS (SELECT *, ${ExactMath.mSql("d", "bl")} AS mm FROM ca),
+       |cc2 AS (SELECT *, ${ExactMath.zSql("mm")} AS z FROM cb),
+       |cd AS (SELECT *, z * z AS z2 FROM cc2),
+       |ce AS (SELECT x AS nbr,
+       |        CAST(1.0 AS DOUBLE) / ${ExactMath.lnFromPartsSql()} AS invln
+       |       FROM cd),
+       |w AS (SELECT l.x AS ea, r.x AS eb, l.nbr, ce.invln
+       |      FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.x < r.x
+       |      JOIN ce ON ce.nbr = l.nbr)
+       |SELECT ea AS entity_a, eb AS entity_b, COUNT(*) AS common_cnt,
+       |  list_reduce(list_transform(list_sort(
+       |    list({'n': nbr, 'v': invln})), x -> x.v),
+       |    (a, b) -> a + b) AS aa_score
+       |FROM w GROUP BY 1, 2 ORDER BY entity_a, entity_b""".stripMargin
+  }
+
   /** Deterministic synchronous label propagation over the co-mention
     * graph ([[graft.graph.Analytics.labelPropagation]], 3 iterations):
     * community labels from majority neighbor votes with the smallest
@@ -986,6 +1032,59 @@ object KgOps {
     spark.table("q37dedup")
       .select(col("k"), (unix_timestamp(col("ts")) - baseSec).as("off"))
       .orderBy("off", "k")
+  }
+
+  /** Stream-stream interval join under the controlled micro-batch
+    * harness: view and purchase events arrive as two INDEPENDENT streams
+    * (each split in half by event id, so matches routinely straddle
+    * micro-batches and sides), joined on user within a 1-day event-time
+    * horizon ([[graft.streaming.StreamingSync.streamIntervalJoin]]). The
+    * 45-day watermark exceeds the table's whole span, so no pair is ever
+    * late and the complete output equals the batch join the oracle
+    * states.
+    */
+  def q38StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("pts"))
+    val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val vDir = Files.createTempDirectory("q38v").toString
+    val pDir = Files.createTempDirectory("q38p").toString
+    val cp = Files.createTempDirectory("q38cp").toString
+    def dump(d: DataFrame, dir: String): Unit =
+      d.coalesce(1).write.mode("append").parquet(dir)
+    dump(views.filter(col("view_id") <= mid), vDir)
+    dump(purchases.filter(col("purchase_id") <= mid), pDir)
+    val vIn = spark.readStream
+      .schema("view_id BIGINT, user_id BIGINT, vts TIMESTAMP").parquet(vDir)
+    val pIn = spark.readStream
+      .schema("purchase_id BIGINT, p_user_id BIGINT, pts TIMESTAMP")
+      .parquet(pDir)
+    val q = graft.streaming.StreamingSync
+      .streamIntervalJoin(vIn, pIn, "user_id", "p_user_id", "vts", "pts",
+        "45 days", "1 day")
+      .writeStream.format("memory").queryName("q38join")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      dump(views.filter(col("view_id") > mid), vDir)
+      dump(purchases.filter(col("purchase_id") > mid), pDir)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      rmTree(cp); rmTree(vDir); rmTree(pDir)
+    }
+    spark.table("q38join")
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us"))
+      .orderBy("view_id", "purchase_id")
   }
 
   /** Recursively delete a harness temp dir (checkpoint/source litter

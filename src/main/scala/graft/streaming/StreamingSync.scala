@@ -187,6 +187,33 @@ object StreamingSync {
       .select(col("window.start").as("window_start"), col(attr),
         col("n_events"))
 
+  /** Watermarked stream-stream INNER join within an event-time horizon —
+    * the impression⋈conversion pattern (a right event matches a left
+    * event with the same key when it lands in [leftTs, leftTs+horizon]).
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, which is exactly what lets Spark EVICT buffered
+    * state: a left row is dropped once the right watermark passes
+    * leftTs + horizon, a right row once the left watermark passes its
+    * own timestamp — without the time bound a stream-stream join must
+    * buffer both streams forever. Matches emit as soon as both sides
+    * have arrived (inner join needs no watermark to EMIT, only to shed
+    * state), so the complete result is deterministic regardless of how
+    * rows interleave across micro-batches.
+    *
+    * Column names must be disjoint; the caller names the right-side key.
+    * Scale: state is hash-partitioned on the join key; per-key buffer is
+    * bounded by the horizon, not history.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         watermarkDelay: String, horizon: String): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+
   /** BOUNDED-STATE streaming dedup: Spark's
     * `dropDuplicatesWithinWatermark` — a key's dedup state lives only
     * until the event-time watermark passes its timestamp + delay, then

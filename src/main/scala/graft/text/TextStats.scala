@@ -389,6 +389,55 @@ object TextStats {
     regexp_replace(noUtm, s"^($scheme://[^/?#]*)/($$|\\?)", "$1$2")
   }
 
+  /** Cross-document segment-level dedup — the C4/CCNet pass that removes
+    * REPEATED SPANS (boilerplate, licence blocks, mirrored paragraphs)
+    * from otherwise-distinct documents, where document-level dedup
+    * ([[graft.dedup.Dedup]]) can't act. Documents split into
+    * non-overlapping `segTokens`-token segments (the final segment may
+    * be partial — every token belongs to exactly one segment); a segment
+    * text occurring anywhere else in the corpus is kept ONLY at its
+    * first occurrence — the smallest (doc_id, seg_idx) — and dropped
+    * everywhere else, C4's keep-one semantics. Output per document:
+    * segment counts and an md5 pin of the retained text (kept segments
+    * in original order, space-joined — the [[chunkTokens]] trade).
+    *
+    * Scale shape: segmenting is a narrow map+explode; the first-
+    * occurrence table is one groupBy on the segment hash whose MIN is
+    * map-side combinable (a boilerplate segment duplicated across 10⁹
+    * documents partially aggregates before the shuffle); the keep
+    * decision joins back on the same hash (1 build row per distinct
+    * segment, so AQE skew-splits a hot segment cleanly); the per-doc
+    * reassembly sorts only one document's own segments. First-occurrence
+    * order is encoded as the composite `doc_id·10⁶ + seg_idx` so MIN is
+    * a plain integer aggregate (documented bound: documents under 10⁶
+    * segments = 15M tokens at the default; doc_ids under 2⁶³/10⁶).
+    */
+  def segmentDedup(corpus: DataFrame, segTokens: Int = 15): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val segs = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)),
+          lit(segTokens))))
+      .select(col("doc_id"),
+        (col("start") / segTokens).cast("long").as("seg_idx"),
+        array_join(slice(col("ws"), col("start") + 1, lit(segTokens)), " ")
+          .as("seg"))
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        md5(col("seg")).as("sh"),
+        (col("doc_id") * 1000000L + col("seg_idx")).as("occ"))
+    val first = segs.groupBy("sh").agg(min(col("occ")).as("keep_occ"))
+    segs.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        count(when(col("occ") === col("keep_occ"), 1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("occ") === col("keep_occ"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")))).as("kept_md5"))
+      .withColumn("n_dropped", col("n_segments") - col("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** 61-bit Rabin–Karp rolling polynomial hash over the char stream —
     * the streaming fingerprint used at scale (content-defined chunking
     * base). Pure Scala, deterministic.

@@ -433,6 +433,66 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  /** Local reference Adamic–Adar: capped common neighbors, 1/lnOfIntRef
+    * contributions folded in sorted neighbor order (0.0 seed — the same
+    * association as the Column aggregate).
+    */
+  private def refAdamicAdar(edges: Seq[(String, String)], cap: Int)
+      : Map[(String, String), (Long, Double)] = {
+    val und = edges.map { case (u, v) => if (u < v) (u, v) else (v, u) }
+      .filter(p => p._1 != p._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    (for {
+      (a, na) <- adj.toSeq
+      (b, nb) <- adj.toSeq
+      if a < b
+      common = na.intersect(nb).filter(x => deg(x) <= cap).toSeq.sorted
+      if common.nonEmpty
+    } yield (a, b) -> (common.size.toLong,
+        common.foldLeft(0.0)((acc, z) =>
+          acc + 1.0 / graft.functions.ExactMath.lnOfIntRef(deg(z).toLong))))
+      .toMap
+  }
+
+  test("adamicAdar: random graphs match the brute-force reference bit-for-bit (8 cases)") {
+    val rnd = new scala.util.Random(47)
+    (1 to 8).foreach { k =>
+      val n = 3 + rnd.nextInt(15)
+      val edges = (0 until n * 3).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val cap = 2 + rnd.nextInt(5)
+      val got = Analytics.adamicAdar(edges.toDF("u", "v"), cap)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val want = refAdamicAdar(edges, cap)
+      assert(got.keySet === want.keySet, s"case $k (cap $cap)")
+      got.foreach { case (pair, (c, s)) =>
+        assert(c === want(pair)._1, s"case $k $pair common")
+        // bit-identical, not approximately equal — the fold order and
+        // polynomial ln are the contract
+        assert(s === want(pair)._2, s"case $k $pair score")
+      }
+    }
+  }
+
+  test("adamicAdar: rarer shared neighbors outweigh busier ones; capped hubs contribute nothing") {
+    // x,y share z2 (deg 2); p,q share z6 (deg 6, via 4 spokes); both
+    // pair scores are single-neighbor sums → 1/ln(2) > 1/ln(6)
+    val spokes = (0 until 4).map(i => ("z6", s"k$i"))
+    val edges = Seq(("x", "z2"), ("y", "z2"), ("p", "z6"), ("q", "z6")) ++
+      spokes
+    val got = Analytics.adamicAdar(edges.toDF("u", "v"), maxHubDegree = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(got(("x", "y")) > got(("p", "q")))
+    // dropping the cap to 5 removes z6-mediated pairs entirely
+    val capped = Analytics.adamicAdar(edges.toDF("u", "v"), maxHubDegree = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.contains(("x", "y")) && !capped.contains(("p", "q")))
+  }
+
   test("hits: empty node set and edge-free node set both fail with the precondition message, not an NPE") {
     val empty = intercept[IllegalArgumentException] {
       Analytics.hits(Seq(("a", "b")).toDF("src", "dst"),

@@ -127,6 +127,38 @@ class StreamingSpec extends SparkSpecBase {
       (3L, "2026-01-01 13:00:00", "2026-01-01 13:30:00", 1L)))
   }
 
+  test("streamIntervalJoin: matches straddle batches and sides; outside-horizon and wrong-key pairs never emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lv = MemoryStream[(Long, Long, Timestamp)]
+    val rp = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingSync.streamIntervalJoin(
+      lv.toDS().toDF("view_id", "user_id", "vts"),
+      rp.toDS().toDF("purchase_id", "p_user_id", "pts"),
+      "user_id", "p_user_id", "vts", "pts", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    try {
+      // batch 1: view for u1; purchase for u2 whose view arrives LATER
+      lv.addData((10L, 1L, ts("2026-01-01 10:00:00")))
+      rp.addData((20L, 2L, ts("2026-01-01 10:20:00")))
+      q.processAllAvailable()
+      // batch 2: u1's purchase inside the horizon (cross-batch match),
+      // u2's view before its buffered purchase (cross-side order),
+      // u1's second purchase PAST the 30-min horizon, and a purchase for
+      // an unseen user
+      lv.addData((11L, 2L, ts("2026-01-01 10:05:00")))
+      rp.addData((21L, 1L, ts("2026-01-01 10:25:00")),
+        (22L, 1L, ts("2026-01-01 10:45:00")),
+        (23L, 9L, ts("2026-01-01 10:10:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivjoin")
+      .select(col("view_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(rows == Seq((10L, 21L), (11L, 20L)))
+  }
+
   test("enrichedWindowCounts: broadcast dim join drops unmatched keys, windows accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
