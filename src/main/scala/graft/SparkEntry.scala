@@ -28,6 +28,7 @@ object SparkEntry {
     "q7_explode_onetomany" -> (Relational.q7ExplodeTokens _),
     "q8_distinct" -> (Relational.q8Distinct _),
     "q9_range_join" -> (Relational.q9RangeJoin _),
+    "q40_interval_buckets" -> (Relational.q40IntervalBuckets _),
     "q10_string_preds" -> (Relational.q10StringPredicates _),
     "q11_ignorecase_join" -> (Relational.q11IgnoreCaseJoin _),
     "q12_twohop_closure" -> (Relational.q12TwoHop _),
@@ -44,6 +45,7 @@ object SparkEntry {
     "q23_array_any" -> (Analysis.q23ArrayAny _),
     "q24_incremental_sync" -> (GraphOps.q24IncrementalSync _),
     "q34_time_travel" -> (GraphOps.q34TimeTravel _),
+    "q39_changelog" -> (GraphOps.q39Changelog _),
     "q25_clear_props" -> (GraphOps.q25ClearProps _),
     "q26_analysis_job" -> (GraphOps.q26AnalysisJob _),
     "q27_drift_states" -> (GraphOps.q27DriftStates _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "qev6_rolling_active" -> (DataOps.qev6RollingActive _),
     "qev7_locf" -> (DataOps.qev7Locf _),
     "qev8_transitions" -> (DataOps.qev8Transitions _),
+    "qev9_scd2" -> (DataOps.qev9Scd2 _),
     "qsp4_splits" -> (DataOps.qsp4Splits _),
     "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
     "qsk2_cms_counters" -> (DataOps.qsk2CmsCounters _),
@@ -136,6 +139,7 @@ object SparkEntry {
     "qann5_embed_clusters" -> (DataOps.qann5EmbedClusters _),
     "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
     "qmm2_image_dims" -> (DataOps.qmm2ImageDims _),
+    "qmm3_wav_meta" -> (DataOps.qmm3WavMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,6 +199,16 @@ object SparkEntry {
         |SELECT band, COUNT(*) AS n_events
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    // q40: bucketed interval join — the oracle is the PLAIN range join
+    // (bucketing + replication + exact re-check is transparent)
+    "q40_interval_buckets" ->
+      """WITH b AS (SELECT n_name AS band,
+        |        n_nationkey * CAST(0.75 AS DOUBLE) AS lo,
+        |        n_nationkey * CAST(0.75 AS DOUBLE) + CAST(1.5 AS DOUBLE) AS hi
+        |       FROM nation)
+        |SELECT band, lo, hi, COUNT(*) AS n_events
+        |FROM events JOIN b ON value >= lo AND value < hi
+        |GROUP BY 1, 2, 3 ORDER BY band""".stripMargin,
     "q10_string_preds" ->
       """SELECT
         | COUNT(CASE WHEN p_name LIKE 'a%' THEN 1 END) AS n_starts_a,
@@ -498,6 +512,24 @@ object SparkEntry {
         | CAST(CASE WHEN in_a THEN 100 ELSE 200 END AS BIGINT) AS fs_v2,
         | CAST(CASE WHEN in_b THEN 200 ELSE 100 END AS BIGINT) AS lu_v2
         |FROM w WHERE in_a OR in_b ORDER BY id""".stripMargin,
+    // q39: snapshot changelog — both version states recomputed closed-
+    // form; unchanged rows (k ≡ 6 mod 12) must be ABSENT
+    "q39_changelog" ->
+      """WITH c AS (SELECT CAST(c_custkey AS VARCHAR) AS id, c_custkey AS k,
+        |             c_mktsegment AS seg
+        |           FROM customer WHERE c_nationkey = 1),
+        |v1 AS (SELECT id, seg FROM c WHERE k % 2 = 0),
+        |v2 AS (SELECT id, CASE WHEN k % 12 = 0 THEN 'CHANGED-' || seg
+        |              ELSE seg END AS seg
+        |       FROM c WHERE k % 3 = 0),
+        |j AS (SELECT COALESCE(v1.id, v2.id) AS id,
+        |        v1.seg AS seg_before, v2.seg AS seg_after,
+        |        CASE WHEN v1.id IS NULL THEN 'insert'
+        |             WHEN v2.id IS NULL THEN 'delete'
+        |             WHEN v1.seg <> v2.seg THEN 'update' END AS op
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id)
+        |SELECT id, op, seg_before, seg_after FROM j
+        |WHERE op IS NOT NULL ORDER BY id""".stripMargin,
     // Pages over the co-mention cap (MaxComentionEntitiesPerPage = 256
     // distinct entities) are excluded — a no-op at every test scale
     // (≤ 6 entities/page) but part of the operator's contract, so the
@@ -860,6 +892,17 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // qev8: consecutive-event transition counts per user (time order,
     // event_id tiebreak); prob is one double division of exact integers
+    // qev9: SCD-2 validity intervals — LEAD over (us, event_id); value
+    // doubles pass through unchanged so they bit-match
+    "qev9_scd2" ->
+      """SELECT user_id, event_id, value, valid_from_us,
+        | valid_to_us, valid_to_us IS NULL AS is_current
+        |FROM (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS valid_from_us,
+        |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to_us
+        | FROM events) t
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "qev8_transitions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |           FROM events),
@@ -1530,6 +1573,21 @@ object SparkEntry {
         | CAST(160 + octet_length(encode(text)) % 480 AS INT) AS fake_width,
         | CAST(90 + (octet_length(encode(text)) // 7) % 270 AS INT) AS fake_height,
         | CAST(1 + octet_length(encode(text)) % 24 AS INT) AS fake_frames
+        |FROM documents ORDER BY url""".stripMargin,
+    // qmm3: the Spark side PARSES real RIFF/WAV chunk headers; the
+    // oracle recomputes every planted field from doc_id arithmetic
+    // (duration = dataBytes·10⁶ div byteRate — the align factor cancels
+    // exactly, so the spelled-out division equals n_samples·10⁶ div rate)
+    "qmm3_wav_meta" ->
+      """SELECT 'wav://' || CAST(doc_id AS VARCHAR) AS url, 'wav' AS format,
+        | CAST(1 + doc_id % 2 AS INT) AS channels,
+        | CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate,
+        | CAST(8 * (1 + doc_id % 3) AS INT) AS bits_per_sample,
+        | CAST(100 + doc_id % 900 AS BIGINT) AS n_samples,
+        | CAST(((100 + doc_id % 900) * ((1 + doc_id % 2) * (1 + doc_id % 3))
+        |   * CAST(1000000 AS BIGINT))
+        |   // (8000 * (1 + doc_id % 5) * ((1 + doc_id % 2) * (1 + doc_id % 3)))
+        |   AS BIGINT) AS duration_us
         |FROM documents ORDER BY url""".stripMargin,
     // qmm2: the Spark side PARSES real PNG/GIF/BMP/JPEG header bytes; the
     // oracle recomputes the planted dimensions from doc_id arithmetic.

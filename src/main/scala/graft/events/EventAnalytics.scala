@@ -285,4 +285,31 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** SCD Type-2 interval build — turn a change log (key, timestamp,
+    * payload columns) into validity intervals: each change is valid
+    * [its instant, the key's next change), the latest change per key is
+    * open-ended (`valid_to_us` null) and flagged `is_current` — the
+    * dimension-history layout warehouses keep, and the relational twin
+    * of the graph tables' firstseen/lastupdated freshness model (a
+    * node's property history IS this table). Equal-instant changes
+    * order by `tiebreak` (a unique id), so intervals are deterministic;
+    * zero-length intervals (superseded within the same microsecond) are
+    * real rows with valid_from = valid_to — auditable, never silently
+    * merged.
+    *
+    * Scale shape: one shuffle keyed on `key`, one window pass; per-
+    * reducer state is one key's change list. Payload columns pass
+    * through untouched.
+    */
+  def scd2(changes: DataFrame, key: String, tsCol: String,
+           tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("valid_from_us"),
+      col(tiebreak))
+    changes
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .drop(tsCol)
+  }
+
 }

@@ -114,6 +114,72 @@ object BinaryOps {
     None
   }
 
+  /** Parsed audio metadata from REAL RIFF/WAV header bytes. */
+  final case class AudioMeta(url: String, format: String, channels: Int,
+                             sample_rate: Int, bits_per_sample: Int,
+                             n_samples: Long, duration_us: Long)
+
+  /** WAV (RIFF) header parse — chunk scan, no codec: "RIFF"+size+"WAVE",
+    * then id(4)+size(4 LE) chunks in ANY order with odd sizes padded to
+    * even (the RIFF rule real encoders follow). Reads the fmt chunk's
+    * channels / sample rate / byte rate / block align / bits and the
+    * data chunk's byte size; n_samples = data/blockAlign and
+    * duration_us = data·10⁶/byteRate are integer divisions of header
+    * fields (the header's own byte rate is trusted, as players do).
+    * None on truncated/garbage/fmt-less payloads — same fallback
+    * contract as [[imageDims]].
+    */
+  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)).toLong & 0xffffffffL
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var fmt: Option[(Int, Int, Long, Int, Int)] = None
+    var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length)
+        // chunk data: format(0) channels(2) rate(4) byteRate(8)
+        // blockAlign(12) bits(14)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le32(i + 16),
+          le16(i + 20), le16(i + 22)))
+      else if (id == "data") dataBytes = size
+      if (size > Int.MaxValue - 16) return None // corrupt size field
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF even-padding
+    }
+    fmt match {
+      case Some((ch, rate, byteRate, align, bits))
+          if dataBytes >= 0 && ch > 0 && byteRate > 0 && align > 0 =>
+        Some((ch, rate, bits, dataBytes / align,
+          dataBytes * 1000000L / byteRate))
+      case _ => None
+    }
+  }
+
+  /** Per-partition audio-header metadata using the REAL WAV parser;
+    * non-WAV payloads surface as format "unknown" with zeroed audio
+    * fields (the declared codec fallback — MP3/FLAC need real
+    * decoders).
+    */
+  def audioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("url"), col("payload")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (url, bytes) =>
+          wavMeta(bytes) match {
+            case Some((ch, rate, bits, n, durUs)) =>
+              AudioMeta(url, "wav", ch, rate, bits, n, durUs)
+            case None => AudioMeta(url, "unknown", 0, 0, 0, 0L, 0L)
+          }
+        }
+      }
+  }
+
   /** Per-partition image-header metadata over (url, payload) rows using
     * the REAL parsers; unparseable payloads surface as format "unknown"
     * with the stub's deterministic fake dims (the declared codec

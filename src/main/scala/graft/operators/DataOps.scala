@@ -248,6 +248,20 @@ object DataOps {
       .orderBy("l_returnflag")
   }
 
+  /** SCD Type-2 validity intervals from the event change log: each
+    * event's value is valid until the user's next event, the last one
+    * open-ended and flagged current; see
+    * [[graft.events.EventAnalytics.scd2]].
+    */
+  def qev9Scd2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.scd2(
+      graft.events.Sessionize.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      key = "user_id", tsCol = "ts", tiebreak = "event_id")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+
   /** Event-type transition counts with exact-integer-ratio
     * probabilities; see [[graft.events.EventAnalytics.transitions]].
     */
@@ -573,6 +587,52 @@ object DataOps {
     val media = ids.map(id => ("img://" + id, imageBytes(id)))
       .toDF("url", "payload")
     BinaryOps.imageMeta(spark, media).toDF().orderBy("url")
+  }
+
+  /** qmm3: REAL RIFF/WAV header parsing — plant deterministic WAV
+    * headers (channels/rate/bits/sample-count all doc_id arithmetic;
+    * every 4th doc carries an odd-sized LIST chunk before fmt to
+    * exercise RIFF even-padding) and recover the audio metadata through
+    * [[BinaryOps.wavMeta]]'s chunk scan. Builder and parser share no
+    * code: the oracle recomputes expected fields from doc_id, so a
+    * parser that misreads chunk offsets, endianness or the padding rule
+    * hash-mismatches.
+    */
+  def qmm3WavMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map(id => ("wav://" + id, wavBytes(id)))
+      .toDF("url", "payload")
+    BinaryOps.audioMeta(spark, media).toDF().orderBy("url")
+  }
+
+  /** Test-scaffolding WAV builder (the corpus side of qmm3) — the
+    * engine-side parse never sees this code. Sample payload bytes are
+    * omitted (the data chunk declares its size; header sniffing never
+    * reads samples).
+    */
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    val ch = (1 + id % 2).toInt
+    val rate = (8000 * (1 + id % 5)).toInt
+    val bits = (8 * (1 + id % 3)).toInt
+    val n = (100 + id % 900).toInt
+    val align = ch * bits / 8
+    val byteRate = rate * align
+    val dataSize = n * align
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    // odd-sized junk chunk (5 bytes + 1 pad) — the parser must hop the pad
+    val junk = if (id % 4 == 0)
+      "LIST".getBytes("US-ASCII") ++ le32(5) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    else Array.emptyByteArray
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(ch) ++ le32(rate) ++ le32(byteRate) ++ le16(align) ++ le16(bits)
+    val dataHdr = "data".getBytes("US-ASCII") ++ le32(dataSize)
+    val riffSize = 4 + junk.length + fmt.length + dataHdr.length + dataSize
+    "RIFF".getBytes("US-ASCII") ++ le32(riffSize) ++
+      "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ dataHdr
   }
 
   /** Test-scaffolding image builder (the corpus side of qmm2) — the

@@ -163,6 +163,35 @@ object GraphOps {
       .orderBy(col("id"))
   }
 
+  /** q39: row-level changelog between two snapshot versions — the
+    * Iceberg CDC-read analog ([[SnapshotTable.changelog]]): nation 1's
+    * customers committed twice (v1 = even keys; v2 = keys divisible by
+    * 3, with the segment REWRITTEN for keys divisible by 12), read back
+    * as insert / delete / update rows with before/after values.
+    * Unchanged rows (k ≡ 6 mod 12) prove the quiet path: present in
+    * both versions, absent from the changelog. The read is
+    * manifest-pruned — only buckets whose data-dir refs differ between
+    * the two manifests are opened (q15's drift diff reads both full
+    * versions; this is its scale shape).
+    */
+  def q39Changelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = tempRoot()
+    val t = SnapshotTable(spark, s"$root/snap", Some("label"),
+      Some(graft.snapshot.BucketSpec(Seq("id"), 4)))
+    val all = customersOf(spark, sfDir, 1)
+      .select(lit("Customer").as("label"), col("cid").as("id"),
+        col("c_mktsegment").as("seg"), col("cid").cast("long").as("k"))
+    t.commit(all.filter(col("k") % 2 === 0).drop("k"), 100L)
+    t.commit(all.filter(col("k") % 3 === 0)
+      .select(col("label"), col("id"),
+        when(col("k") % 12 === 0, concat(lit("CHANGED-"), col("seg")))
+          .otherwise(col("seg")).as("seg")), 200L)
+    t.changelog(1L, 2L, Seq("label", "id"))
+      .select(col("id"), col("op"),
+        col("_before.seg").as("seg_before"), col("_after.seg").as("seg_after"))
+      .orderBy("id")
+  }
+
   /** Drift detection (driftdetect/detect_deviations.py:66-112): diff two
     * snapshot versions in both directions via anti-joins.
     */

@@ -150,6 +150,68 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** Bucketed interval join — the NON-broadcast scale path for "point
+    * falls in [lo, hi)" lookups (IP→geo range tables, value→band): chop
+    * the number line into `bucketWidth` buckets, replicate each interval
+    * to every bucket it overlaps, equi-join points on their bucket, then
+    * apply the exact range predicate. Where q9's broadcast NLJ requires
+    * the interval table to fit one executor, this is ONE shuffle keyed
+    * on the bucket — the shape that survives a 10⁹-row range table.
+    * Intervals may overlap (a point matches all of them). Replication
+    * factor = span/bucketWidth, hard-capped: an interval wider than
+    * `maxBucketsPerInterval` buckets fails fast with sizing guidance
+    * (an unbounded span — q9's 1e18 catch-all — would explode the
+    * build side; pick bucketWidth near the median span, or route
+    * catch-alls through the broadcast path).
+    */
+  def bucketedIntervalJoin(points: DataFrame, pointCol: String,
+                           intervals: DataFrame, loCol: String,
+                           hiCol: String, bucketWidth: Double,
+                           maxBucketsPerInterval: Long = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val lastBk = floor(col(hiCol) / bucketWidth).cast("long")
+    val firstBk = floor(col(loCol) / bucketWidth).cast("long")
+    val guarded = intervals
+      .withColumn("_nbk", lastBk - firstBk + 1L)
+    // fail loudly, not silently: a dropped wide interval would be a
+    // wrong answer. The check is one narrow aggregate over the
+    // (small-by-assumption-violated) interval table.
+    val worst = guarded.agg(max(col("_nbk"))).head()
+    if (!worst.isNullAt(0)) {
+      val w = worst.getLong(0)
+      require(w <= maxBucketsPerInterval,
+        s"an interval spans $w buckets (cap $maxBucketsPerInterval) at " +
+          s"bucketWidth=$bucketWidth — widen the buckets or route " +
+          "wide/catch-all intervals through the broadcast range join")
+    }
+    val ib = guarded.drop("_nbk")
+      .withColumn("_bk", explode(sequence(firstBk, lastBk)))
+    val pb = points.withColumn("_bk",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    pb.join(ib, "_bk")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bk")
+  }
+
+  /** q40: the bucketed interval join over overlapping nation-derived
+    * bands — each band [k·0.75, k·0.75 + 1.5) spans 2–3 width-1 buckets,
+    * so every point probes multiple replicated interval rows and the
+    * exact predicate prunes the rest; counts per band. The oracle is the
+    * plain range join — bucketing is transparent.
+    */
+  def q40IntervalBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = table(spark, sfDir, "nation")
+      .select(col("n_name").as("band"),
+        (col("n_nationkey") * lit(0.75)).as("lo"),
+        (col("n_nationkey") * lit(0.75) + lit(1.5)).as("hi"))
+    val points = table(spark, sfDir, "events").select(col("value"))
+    bucketedIntervalJoin(points, "value", bands, "lo", "hi",
+        bucketWidth = 1.0)
+      .groupBy(col("band"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("band"))
+  }
+
   /** String-predicate sweep: STARTS WITH / ENDS WITH / CONTAINS / size()
     * (querybuilder.py:123-124; samplequeries.md:27-30) as one aggregate.
     */

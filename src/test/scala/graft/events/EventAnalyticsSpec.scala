@@ -184,4 +184,27 @@ class EventAnalyticsSpec extends SparkSpecBase {
         Map("de" -> 0.25)).select("doc_id").as[Long].collect().toSet
     assert(de25.subsetOf(de50))
   }
+
+  test("scd2: intervals chain per key, last is open and current, same-instant ties order by id") {
+    val changes = Seq(
+      (1L, ts(100), 1L, 10.0), (2L, ts(200), 1L, 20.0),
+      // u2: two changes in the SAME microsecond — event 3 is superseded
+      // by event 4 within the instant (zero-length interval, kept)
+      (3L, ts(50), 2L, 1.0), (4L, ts(50), 2L, 2.0), (5L, ts(60), 2L, 3.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = EventAnalytics.scd2(changes, "user_id", "ts", "event_id")
+      .select("event_id", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((100000000L, Some(200000000L), false)))
+    assert(got(2L) === ((200000000L, None, true)))
+    // zero-length interval: from == to, not merged away
+    assert(got(3L) === ((50000000L, Some(50000000L), false)))
+    assert(got(4L) === ((50000000L, Some(60000000L), false)))
+    assert(got(5L) === ((60000000L, None, true)))
+    // exactly one current row per key
+    val current = got.values.count(_._3)
+    assert(current === 2)
+  }
 }

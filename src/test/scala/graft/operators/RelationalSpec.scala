@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkSpecBase, SparkEntry}
+import org.apache.spark.sql.functions.col
 
 class RelationalSpec extends SparkSpecBase {
 
@@ -31,5 +32,35 @@ class RelationalSpec extends SparkSpecBase {
     val rows = Relational.q11IgnoreCaseJoin(spark, sf1).collect()
     val nNations = spark.read.parquet(s"$sf1/nation.parquet").count()
     assert(rows.length.toLong === nNations)
+  }
+
+  test("bucketedIntervalJoin equals the broadcast range join on overlapping intervals, boundaries half-open") {
+    import spark.implicits._
+    val points = Seq(0.0, 0.5, 1.0, 2.5, 3.0, 7.99, 8.0, -0.5)
+      .toDF("v")
+    val ivs = Seq(("a", 0.0, 1.0), ("b", 0.5, 3.0), ("c", 2.9, 8.0),
+      ("neg", -2.0, 0.0)).toDF("name", "lo", "hi")
+    val got = Relational.bucketedIntervalJoin(points, "v", ivs, "lo", "hi",
+        bucketWidth = 1.0)
+      .select("v", "name").as[(Double, String)].collect().toSet
+    val want = points.join(ivs,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("v", "name").as[(Double, String)].collect().toSet
+    assert(got === want)
+    // half-open boundaries, explicitly: 0.0 ∈ a, 1.0 ∉ a, 8.0 ∉ c,
+    // -0.5 ∈ neg only
+    assert(got.contains((0.0, "a")) && !got.contains((1.0, "a")))
+    assert(!got.contains((8.0, "c")) && got.contains((-0.5, "neg")))
+  }
+
+  test("bucketedIntervalJoin fails fast on an interval wider than the bucket cap") {
+    import spark.implicits._
+    val points = Seq(1.0).toDF("v")
+    val wide = Seq(("catchall", 0.0, 1e9)).toDF("name", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Relational.bucketedIntervalJoin(points, "v", wide, "lo", "hi", 1.0)
+        .count()
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
   }
 }
