@@ -122,6 +122,7 @@ object SparkEntry {
     "qtx12_postings" -> (DataOps.qtx12Postings _),
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qtx17_segment_dedup" -> (DataOps.qtx17SegmentDedup _),
+    "qtx18_bpe_merges" -> (DataOps.qtx18BpeMerges _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
     "qtx15_lm_score" -> (DataOps.qtx15LmScore _),
@@ -1151,6 +1152,8 @@ object SparkEntry {
          |  COUNT(*) - COUNT(CASE WHEN occ = keep_occ THEN 1 END) AS n_dropped
          |FROM o JOIN f USING (sh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // qtx18: 3 unrolled BPE merge iterations (see bpeOracle)
+    "qtx18_bpe_merges" -> bpeOracle(3),
     // qtx13: df-driven token pruning — integer df thresholds (stop ≥ 30%
     // of docs, rare < 2), kept text pinned by md5 in original token order
     "qtx13_df_prune" ->
@@ -1599,6 +1602,53 @@ object SparkEntry {
         | CAST(50 + doc_id % 500 AS INT) AS height
         |FROM documents ORDER BY url""".stripMargin,
   )
+
+  /** qtx18 oracle: 3 unrolled BPE iterations. Each round recounts
+    * adjacent symbol pairs (overlap-counting, frequency-weighted) over
+    * the word-type table, selects the (count desc, pair asc) winner,
+    * and replays the greedy leftmost merge via a list_reduce whose
+    * string state is "result|pending" — the same (result, pending)
+    * automaton as the Spark aggregate HOF, so runs of equal symbols
+    * merge at identical offsets.
+    */
+  private def bpeOracle(iters: Int): String = {
+    def fold(t: String) =
+      s"""list_reduce(list_prepend('|', syms), (acc, s) -> CASE
+         |   WHEN split_part(acc, '|', 2) = $t.a AND s = $t.b
+         |     THEN split_part(acc, '|', 1) || ' ' || $t.a || $t.b || '|'
+         |   WHEN split_part(acc, '|', 2) = ''
+         |     THEN split_part(acc, '|', 1) || '|' || s
+         |   ELSE split_part(acc, '|', 1) || ' ' ||
+         |     split_part(acc, '|', 2) || '|' || s END)""".stripMargin
+    def finalized(t: String) =
+      s"""string_split(ltrim(split_part(${fold(t)}, '|', 1) ||
+         |  CASE WHEN split_part(${fold(t)}, '|', 2) = '' THEN ''
+         |       ELSE ' ' || split_part(${fold(t)}, '|', 2) END, ' '), ' ')""".stripMargin
+    val sb = new StringBuilder(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+        |            FROM documents),
+        |w0 AS (SELECT word, COUNT(*) AS freq, string_split(word, '') AS syms
+        |       FROM tok WHERE length(word) > 0 GROUP BY word)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb ++= s""",
+        |p$k AS (SELECT syms[r.i+1] AS a, syms[r.i+2] AS b,
+        |         CAST(SUM(freq) AS BIGINT) AS n
+        |        FROM w${k - 1} JOIN range(0, 100000) r(i)
+        |          ON r.i < len(syms) - 1
+        |        GROUP BY 1, 2),
+        |t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+        |w$k AS (SELECT word, freq, ${finalized(s"t$k")} AS syms
+        |        FROM w${k - 1} CROSS JOIN t$k),
+        |v$k AS (SELECT COUNT(DISTINCT s) AS vocab
+        |        FROM (SELECT unnest(syms) AS s FROM w$k))""".stripMargin
+    }
+    sb ++= (1 to iters).map(k =>
+      s"""
+         |SELECT CAST($k AS BIGINT) AS rank, t$k.a AS sym_a, t$k.b AS sym_b,
+         | t$k.n AS n_pairs, v$k.vocab AS vocab_after FROM t$k, v$k"""
+        .stripMargin).mkString("", "\nUNION ALL", "\nORDER BY rank")
+    sb.toString
+  }
 
   /** Shared oracle CTE: rebuild the dedup test corpus (originals +
     * perturbed copies + exact copies) in SQL.

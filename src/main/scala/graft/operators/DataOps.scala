@@ -406,6 +406,14 @@ object DataOps {
   def qtx17SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.segmentDedup(Dedup.corpusWithCopies(spark, sfDir))
 
+  /** First 3 BPE merges over the corpus vocabulary (tokenizer
+    * training): most-frequent adjacent symbol pair per round
+    * (lexicographic ties), greedy leftmost merge, vocabulary-size
+    * trajectory; see [[TextStats.bpeMerges]].
+    */
+  def qtx18BpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.bpeMerges(TextStats.docs(spark, sfDir), iterations = 3)
+
   /** Corpus-df-driven token pruning: per-document class-wise counts
     * (keep / stop ≥ 30% df / rare df < 2) plus an md5 pin of the kept
     * text; see [[TextStats.dfPrune]].

@@ -438,6 +438,92 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Greedy leftmost non-overlapping pair merge over a symbol array —
+    * one BPE merge step as a pure column expression (aggregate HOF with
+    * (result, pending) state; overlapping matches like a run of equal
+    * symbols merge at even offsets, the standard BPE semantics).
+    */
+  private[text] def mergePair(syms: Column, a: Column, b: Column): Column = {
+    val init = struct(array().cast("array<string>").as("res"),
+      lit("").as("pend"))
+    aggregate(syms, init,
+      (acc, s) => {
+        val res = acc.getField("res")
+        val p = acc.getField("pend")
+        val merged = p === a && s === b
+        struct(
+          when(merged, concat(res, array(concat(p, s))))
+            .when(p === "", res)
+            .otherwise(concat(res, array(p))).as("res"),
+          when(merged, lit("")).otherwise(s).as("pend"))
+      },
+      acc => when(acc.getField("pend") === "", acc.getField("res"))
+        .otherwise(concat(acc.getField("res"),
+          array(acc.getField("pend")))))
+  }
+
+  /** Byte-pair-encoding merge learning — the first `iterations` merges
+    * of tokenizer training (Sennrich et al. 2016) over the corpus's
+    * whitespace words: symbols start as characters; each round counts
+    * adjacent symbol pairs weighted by word frequency (overlapping
+    * positions count, the reference semantics), picks the most frequent
+    * pair (ties → lexicographically smallest), and greedily merges it
+    * left-to-right in every word. Returns one row per merge: the pair,
+    * its count at selection time, and the corpus-wide distinct-symbol
+    * count after applying it — the vocabulary trajectory that pins the
+    * whole segmentation state, not just the chosen pairs.
+    *
+    * Scale shape: everything runs on the WORD TYPE table (the classic
+    * wordcount — map-side combinable; ~10⁸ rows at web scale, never the
+    * token stream), pair counts aggregate by pair (map-side
+    * combinable), the argmax is a 1-row TakeOrdered, and the merge is a
+    * narrow map over the vocab table with a per-round localCheckpoint
+    * (the LPA discipline — each round references the last, lineage
+    * would stack). Only the winning (pair, count) row ever reaches the
+    * driver. Rounds after pairs run out (all words single-symbol) stop
+    * early.
+    */
+  def bpeMerges(d: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = d.sparkSession
+    // filter: Spark's split("") emits a trailing empty string; DuckDB's
+    // does not — drop empties so both engines see the same symbol lists
+    var words = d.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= iterations && !exhausted) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), col("syms"),
+          posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
+            .as(Seq("i", "a")))
+        .withColumn("b", element_at(col("syms"), col("i") + 2))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        words = words.withColumn("syms",
+          mergePair(col("syms"), lit(a), lit(b))).localCheckpoint(true)
+        val vocab = words.select(explode(col("syms")).as("s"))
+          .agg(countDistinct(col("s"))).head().getLong(0)
+        out += ((k, a, b, n, vocab))
+        k += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("rank", "sym_a", "sym_b", "n_pairs", "vocab_after")
+      .select(col("rank").cast("bigint").as("rank"), col("sym_a"),
+        col("sym_b"), col("n_pairs"), col("vocab_after"))
+      .orderBy("rank")
+  }
+
   /** 61-bit Rabin–Karp rolling polynomial hash over the char stream —
     * the streaming fingerprint used at scale (content-defined chunking
     * base). Pure Scala, deterministic.

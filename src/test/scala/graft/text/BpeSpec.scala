@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Pins [[TextStats.bpeMerges]] on the classic low/lower/lowest corpus
+  * and [[TextStats.mergePair]]'s greedy-run semantics.
+  */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def merge(syms: Seq[String], a: String, b: String): Seq[String] =
+    Seq(Tuple1(syms)).toDF("syms")
+      .select(TextStats.mergePair(col("syms"), lit(a), lit(b)).as("m"))
+      .head().getSeq[String](0)
+
+  test("mergePair: greedy leftmost, runs merge at even offsets, non-matches untouched") {
+    assert(merge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(merge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    // a merged symbol cannot chain into the next match within the pass
+    assert(merge(Seq("a", "b", "b"), "a", "b") === Seq("ab", "b"))
+    assert(merge(Seq("x", "y"), "a", "b") === Seq("x", "y"))
+    assert(merge(Seq("x"), "a", "b") === Seq("x"))
+  }
+
+  test("bpeMerges: low/lower/lowest learns lo, low, lowe with the right counts and vocab sizes") {
+    val docs = Seq((0L, "low low lower lowest")).toDF("doc_id", "text")
+    val got = TextStats.bpeMerges(docs, iterations = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // (l,o) and (o,w) tie at 4 — lexicographic tie-break picks (l,o)
+    assert(got === Seq(
+      (1L, "l", "o", 4L, 6L),
+      (2L, "lo", "w", 4L, 5L),
+      (3L, "low", "e", 2L, 5L)))
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val docs = Seq((0L, "a b c a")).toDF("doc_id", "text")
+    assert(TextStats.bpeMerges(docs, iterations = 3).count() === 0)
+  }
+}
