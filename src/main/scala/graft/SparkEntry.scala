@@ -72,6 +72,7 @@ object SparkEntry {
     "qkg20_walks" -> (KgOps.qkg20Walks _),
     "qkg21_degree_hist" -> (KgOps.qkg21DegreeHist _),
     "qkg22_hyperball" -> (KgOps.qkg22HyperBall _),
+    "qkg24_harmonic" -> (KgOps.qkg24Harmonic _),
     "qkg16_related" -> (KgOps.qkg16Related _),
     "qkg23_adamic_adar" -> (KgOps.qkg23AdamicAdar _),
     "qkg17_labelprop" -> (KgOps.qkg17LabelProp _),
@@ -642,6 +643,9 @@ object SparkEntry {
     // qkg22: HyperBall register state — exact ≤4-hop reach sets rebuilt
     // relationally, registers re-derived via the qsk1 arithmetic
     "qkg22_hyperball" -> KgOps.hyperBallOracle,
+    // qkg24: HyperBall harmonic centrality — raw-estimator floats
+    // bit-identical through bucket- and hop-ordered folds
+    "qkg24_harmonic" -> KgOps.harmonicOracle,
     // qkg16: shared-neighbor Jaccard relatedness (hub cap 8 is proven
     // semantics: the oracle excludes super-hub shared neighbors too)
     "qkg16_related" -> KgOps.relatedOracle,

@@ -766,26 +766,95 @@ object Analytics {
     val e = edges.toDF("src", "dst").distinct().persist()
     val ids = nodes.toDF("id").persist()
     try {
-      var reg = ids
-        .select(col("id"), graft.sketch.Sketches.hllBucketRank(col("id")).as("br"))
-        .select(col("id"), col("br.bucket").as("bucket"), col("br.rank").as("r"))
-        .localCheckpoint(true)
-      var t = 0
-      while (t < maxHops) {
-        val contrib = e
-          .join(reg.select(col("id").as("dst"), col("bucket"), col("r")), "dst")
-          .select(col("src").as("id"), col("bucket"), col("r"))
-        reg = reg.unionByName(contrib)
-          .groupBy("id", "bucket").agg(max("r").as("r"))
-          .localCheckpoint(true)
-        t += 1
-      }
+      val reg = ballRounds(e, ids, maxHops).last
       reg.groupBy("id").agg(
         count(lit(1)).as("n_regs"),
         expr("""cast(sum(cast(shiftleft(cast(1 as bigint),
                |  cast(61 - r as int)) as decimal(38,0))
                |  * (bucket * 2654435761 % 1048576 + 1))
                | % 4611686018427387904 as bigint)""".stripMargin).as("reg_fp"))
+    } finally {
+      e.unpersist(); ids.unpersist(): Unit
+    }
+  }
+
+  /** The HyperBall register iteration shared by [[hyperBall]] and
+    * [[harmonicCentrality]]: element (id, bucket, r) tables for hops
+    * 0..maxHops, each localCheckpoint-ed (safe to consume after the
+    * caller unpersists its inputs).
+    */
+  private def ballRounds(e: DataFrame, ids: DataFrame,
+                         maxHops: Int): IndexedSeq[DataFrame] = {
+    var reg = ids
+      .select(col("id"), graft.sketch.Sketches.hllBucketRank(col("id")).as("br"))
+      .select(col("id"), col("br.bucket").as("bucket"), col("br.rank").as("r"))
+      .localCheckpoint(true)
+    val out = IndexedSeq.newBuilder[DataFrame]
+    out += reg
+    var t = 0
+    while (t < maxHops) {
+      val contrib = e
+        .join(reg.select(col("id").as("dst"), col("bucket"), col("r")), "dst")
+        .select(col("src").as("id"), col("bucket"), col("r"))
+      reg = reg.unionByName(contrib)
+        .groupBy("id", "bucket").agg(max("r").as("r"))
+        .localCheckpoint(true)
+      out += reg
+      t += 1
+    }
+    out.result()
+  }
+
+  /** Approximate harmonic centrality via HyperBall (Boldi & Vigna 2013
+    * — the paper's headline application): H(v) = Σ_{t=1..k}
+    * (|ball_t(v)| − |ball_{t−1}(v)|) / t with ball sizes read from the
+    * per-hop HLL registers through the RAW estimator α·m²/(Σ 2^(−M_j))
+    * — no bias/linear-counting corrections, declared semantics, because
+    * raw keeps every float step engine-reproducible: 2^(−r) is an exact
+    * power of two, the register sum folds in bucket order, hop deltas
+    * and the final harmonic sum fold in hop order, and α is spelled as
+    * the same literal expression in both engines. Registers are
+    * monotone under the MAX propagation, so hop deltas are never
+    * negative.
+    *
+    * Exact all-pairs harmonic centrality is O(n·m); this is the
+    * sketch that made centrality feasible on web graphs — per-node
+    * state is ≤ 256 registers per hop, and every aggregation
+    * pre-reduces map-side (the [[hyperBall]] argument).
+    *
+    * Returns (id, harmonic, ball_est) — ball_est is the raw-estimated
+    * ≤ maxHops ball size.
+    */
+  def harmonicCentrality(edges: DataFrame, nodes: DataFrame,
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.toDF("src", "dst").distinct().persist()
+    val ids = nodes.toDF("id").persist()
+    try {
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      val sumPow = aggregate(
+        array_sort(collect_list(struct(col("bucket"), col("r")))),
+        lit(0.0),
+        (acc, x) => acc + pow(lit(2.0), -x.getField("r").cast("double")))
+      val estCol = alpha * lit(65536.0) /
+        ((lit(256.0) - count(lit(1)).cast("double")) + sumPow)
+      val ests = ballRounds(e, ids, maxHops).zipWithIndex.map {
+        case (reg, t) =>
+          reg.groupBy("id").agg(estCol.as("est"))
+            .select(col("id"), lit(t).cast("int").as("hop"), col("est"))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("hop")
+      ests
+        .withColumn("contrib",
+          when(col("hop") === 0, lit(0.0))
+            .otherwise((col("est") - lag(col("est"), 1).over(w)) /
+              col("hop").cast("double")))
+        .groupBy("id").agg(
+          aggregate(array_sort(collect_list(struct(col("hop"),
+              col("contrib")))), lit(0.0),
+            (acc, x) => acc + x.getField("contrib")).as("harmonic"),
+          max(when(col("hop") === maxHops, col("est"))).as("ball_est"))
     } finally {
       e.unpersist(); ids.unpersist(): Unit
     }

@@ -787,6 +787,76 @@ object KgOps {
        |    % 4611686018427387904 AS BIGINT) AS reg_fp
        |FROM reg GROUP BY s ORDER BY entity_id""".stripMargin
 
+  /** Approximate harmonic centrality over the triple graph via
+    * HyperBall ([[graft.graph.Analytics.harmonicCentrality]], 4 hops) —
+    * the paper's headline application: hop-delta ball sizes from the
+    * raw HLL estimator, every float step engine-reproducible (exact
+    * powers of two, bucket-ordered and hop-ordered folds).
+    */
+  def qkg24Harmonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    graft.graph.Analytics.harmonicCentrality(edges, nodes, maxHops = 4)
+      .select(col("id").as("entity_id"), col("harmonic"), col("ball_est"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg24: exact per-hop balls (min-hop recursive
+    * CTE), qsk1 register arithmetic per hop, the raw estimator with the
+    * identical literal association, LAG hop deltas, and both folds
+    * (register sum in bucket order, harmonic sum in hop order) replayed
+    * with the same 0.0-seeded association.
+    */
+  def harmonicOracle: String =
+    s"""${tripleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+       |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k)),
+       |reach(s, id, hops) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT r.s, e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.id
+       |  WHERE r.hops < 4),
+       |bd AS (SELECT s, id, MIN(hops) AS d FROM reach GROUP BY 1, 2),
+       |hp AS (SELECT unnest(generate_series(0, 4)) AS t),
+       |pr AS (SELECT hp.t, bd.s, md5(bd.id) AS h
+       |       FROM bd CROSS JOIN hp WHERE bd.d <= hp.t),
+       |br AS (SELECT t, s,
+       |        CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS bucket,
+       |        ltrim(substring(h, 3, 15), '0') AS tl FROM pr),
+       |rk AS (SELECT t, s, bucket,
+       |        60 - length(tl) * 4 +
+       |        (CASE substring(tl, 1, 1)
+       |          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |          WHEN '7' THEN 1 ELSE 0 END) + 1 AS rank FROM br),
+       |reg AS (SELECT t, s, bucket, MAX(rank) AS r FROM rk GROUP BY 1, 2, 3),
+       |est AS (SELECT t, s,
+       |        (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |           + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+       |         * CAST(65536.0 AS DOUBLE)
+       |         / ((CAST(256.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE))
+       |            + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                list_transform(list_sort(list({'b': bucket, 'r': r})),
+       |                  x -> power(CAST(2.0 AS DOUBLE),
+       |                    -CAST(x.r AS DOUBLE)))),
+       |                (a, b) -> a + b)) AS est
+       |        FROM reg GROUP BY t, s),
+       |ct AS (SELECT s, t, est,
+       |        CASE WHEN t = 0 THEN CAST(0.0 AS DOUBLE)
+       |             ELSE (est - LAG(est) OVER (PARTITION BY s ORDER BY t))
+       |                  / CAST(t AS DOUBLE) END AS contrib
+       |       FROM est)
+       |SELECT s AS entity_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_sort(list({'t': t, 'c': contrib})),
+       |      x -> x.c)),
+       |    (a, b) -> a + b) AS harmonic,
+       |  MAX(CASE WHEN t = 4 THEN est END) AS ball_est
+       |FROM ct GROUP BY s ORDER BY entity_id""".stripMargin
+
   /** Streaming incremental sync, end-to-end: the corpus is written out
     * as several parquet files, streamed back with AvailableNow +
     * maxFilesPerTrigger=1 (so the run takes MULTIPLE micro-batches), and

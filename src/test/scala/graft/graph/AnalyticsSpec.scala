@@ -493,6 +493,73 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(capped.contains(("x", "y")) && !capped.contains(("p", "q")))
   }
 
+  /** Independent reference: exact balls by set BFS, HLL registers via
+    * MessageDigest md5 + the qsk1 rank rule, raw estimator and both
+    * folds with the SAME association as the Column expressions.
+    */
+  private def refHarmonicCentrality(edges: Seq[(String, String)],
+      nodes: Seq[String], k: Int): Map[String, (Double, Double)] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap.withDefaultValue(Set.empty[String])
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def refRank(h: String): Long = {
+      val t = h.substring(2, 17).dropWhile(_ == '0')
+      val dz = t.headOption match {
+        case Some('1') => 3L
+        case Some(c) if c == '2' || c == '3' => 2L
+        case Some(c) if c >= '4' && c <= '7' => 1L
+        case _ => 0L
+      }
+      (15L - t.length) * 4L + dz + 1L
+    }
+    def rawEst(ball: Set[String]): Double = {
+      val regs = ball.toSeq
+        .map { id => val h = md5hex(id)
+          (Integer.parseInt(h.substring(0, 2), 16), refRank(h)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+      val sumPow = regs.foldLeft(0.0)((acc, br) =>
+        acc + math.pow(2.0, -br._2.toDouble))
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      alpha * 65536.0 / ((256.0 - regs.size.toDouble) + sumPow)
+    }
+    nodes.map { v =>
+      var ball = Set(v)
+      var ests = Vector(rawEst(ball))
+      for (_ <- 1 to k) {
+        ball = ball ++ ball.flatMap(adj)
+        ests :+= rawEst(ball)
+      }
+      val harmonic = (1 to k).foldLeft(0.0)((acc, t) =>
+        acc + (ests(t) - ests(t - 1)) / t.toDouble)
+      v -> ((harmonic, ests(k)))
+    }.toMap
+  }
+
+  test("harmonicCentrality: random digraphs match the exact-ball reference bit-for-bit (6 cases)") {
+    val rnd = new scala.util.Random(83)
+    (1 to 6).foreach { c =>
+      val n = 4 + rnd.nextInt(12)
+      val nodes = (0 until n).map(i => s"n$i")
+      val edges = (0 until n * 2).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter(p => p._1 != p._2)
+      val k = 1 + rnd.nextInt(4)
+      val got = Analytics.harmonicCentrality(edges.toDF("src", "dst"),
+          nodes.toDF("id"), k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2)))).toMap
+      val want = refHarmonicCentrality(edges, nodes, k)
+      assert(got.keySet === want.keySet, s"case $c")
+      got.foreach { case (id, (h, b)) =>
+        assert(h === want(id)._1, s"case $c $id harmonic")
+        assert(b === want(id)._2, s"case $c $id ball_est")
+      }
+      // harmonic is a sum of non-negative hop deltas
+      assert(got.values.forall(_._1 >= 0.0), s"case $c negativity")
+    }
+  }
+
   test("hits: empty node set and edge-free node set both fail with the precondition message, not an NPE") {
     val empty = intercept[IllegalArgumentException] {
       Analytics.hits(Seq(("a", "b")).toDF("src", "dst"),
