@@ -59,7 +59,8 @@ object Bench {
     "qtx6_chunks", "qtx8_bigram_support", "qsp2_stratified",
     "qmm2_image_dims", "qev1_sessionize", "qtx11_repetition",
     "qdd6_cdc_pairs", "qsk5_bloom_semijoin", "qtx14_bm25",
-    "qdd7_keep_best", "qsp6_weighted_sample")
+    "qdd7_keep_best", "qsp6_weighted_sample", "qtx17_segment_dedup",
+    "q40_interval_buckets", "qev10_rfm")
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

@@ -85,6 +85,7 @@ object SparkEntry {
     "q38_stream_join" -> (KgOps.q38StreamJoin _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdc1_contamination" -> (DataOps.qdc1Contamination _),
+    "qdc2_decontaminate" -> (DataOps.qdc2Decontaminate _),
     "qdd2_neardup_allpairs" -> (DataOps.qdd2NearDupAllPairs _),
     "qdd3_dedup_clusters" -> (DataOps.qdd3DedupClusters _),
     "qdd4_minhash_lsh" -> (DataOps.qdd4MinhashLsh _),
@@ -101,6 +102,8 @@ object SparkEntry {
     "qev7_locf" -> (DataOps.qev7Locf _),
     "qev8_transitions" -> (DataOps.qev8Transitions _),
     "qev9_scd2" -> (DataOps.qev9Scd2 _),
+    "qev10_rfm" -> (DataOps.qev10Rfm _),
+    "qsk8_hll_by_type" -> (DataOps.qsk8HllByType _),
     "qsp4_splits" -> (DataOps.qsp4Splits _),
     "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
     "qsk2_cms_counters" -> (DataOps.qsk2CmsCounters _),
@@ -124,6 +127,7 @@ object SparkEntry {
     "qtx10_url_canon" -> (DataOps.qtx10UrlCanon _),
     "qtx17_segment_dedup" -> (DataOps.qtx17SegmentDedup _),
     "qtx18_bpe_merges" -> (DataOps.qtx18BpeMerges _),
+    "qtx19_vocab_growth" -> (DataOps.qtx19VocabGrowth _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
     "qtx15_lm_score" -> (DataOps.qtx15LmScore _),
@@ -695,6 +699,30 @@ object SparkEntry {
         |SELECT t.doc_id AS train_id, e.eval_id, COUNT(*) AS shared_ngrams
         |FROM tsh t JOIN esh e ON e.g = t.g
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // qdc2: the decontamination DECISION table — qdc1's collision
+    // machinery at minShared=13, aggregated per train doc, left-joined
+    // so clean docs report zeros
+    "qdc2_decontaminate" ->
+      """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ev AS (SELECT doc_id AS eval_id, ws[11:60] AS ws FROM tw
+        |       WHERE doc_id % 13 = 0),
+        |tsh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[r.i+1:r.i+13], ' ') AS g
+        |  FROM tw JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 13),
+        |esh AS (SELECT DISTINCT eval_id,
+        |    array_to_string(ws[r.i+1:r.i+13], ' ') AS g
+        |  FROM ev JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 13),
+        |pr AS (SELECT t.doc_id, e.eval_id, COUNT(*) AS n
+        |       FROM tsh t JOIN esh e ON e.g = t.g
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 13),
+        |h AS (SELECT doc_id, COUNT(DISTINCT eval_id) AS n_eval_hits,
+        |        MAX(n) AS max_shared
+        |      FROM pr GROUP BY 1)
+        |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated,
+        |  CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+        |  CAST(COALESCE(h.max_shared, 0) AS BIGINT) AS max_shared
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "qdd1_exact_dedup" ->
       s"""$dedupCorpusCte
          |SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
@@ -897,6 +925,41 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // qev8: consecutive-event transition counts per user (time order,
     // event_id tiebreak); prob is one double division of exact integers
+    // qev10: RFM quintiles — decimal-exact monetary, integer recency,
+    // NTILE(5) with user_id tie-breaks (the SQL-standard split both
+    // engines implement)
+    "qev10_rfm" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+        |u AS (SELECT user_id,
+        |        CAST((mx.m - MAX(epoch_us(ts))) // 86400000000 AS BIGINT)
+        |          AS recency_days,
+        |        COUNT(*) AS frequency,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        |      FROM events, mx GROUP BY user_id, mx.m)
+        |SELECT user_id, recency_days, frequency, monetary,
+        | CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+        |   AS r_score,
+        | CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+        |   AS f_score,
+        | CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+        |   AS m_score
+        |FROM u ORDER BY user_id""".stripMargin,
+    // qsk8: per-group HLL registers — qsk1's arithmetic with the
+    // event_type dimension prefixed
+    "qsk8_hll_by_type" ->
+      """WITH p AS (SELECT event_type,
+        |  CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS bucket,
+        |  ltrim(substring(h, 3, 15), '0') AS t
+        | FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |       FROM events) q)
+        |SELECT event_type, bucket,
+        | MAX(CAST(60 - length(t) * 4 +
+        |  CASE substring(t, 1, 1)
+        |   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |   WHEN '7' THEN 1 ELSE 0 END + 1 AS BIGINT)) AS max_rank,
+        | COUNT(*) AS n_keys
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // qev9: SCD-2 validity intervals — LEAD over (us, event_id); value
     // doubles pass through unchanged so they bit-match
     "qev9_scd2" ->
@@ -1158,6 +1221,29 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // qtx18: 3 unrolled BPE merge iterations (see bpeOracle)
     "qtx18_bpe_merges" -> bpeOracle(3),
+    // qtx19: Heaps vocabulary growth — global token order via doc-table
+    // cumulative offsets, per-term MIN first position, checkpoint counts
+    "qtx19_vocab_growth" ->
+      """WITH dl AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |      FROM documents),
+        |o AS (SELECT doc_id,
+        |       COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         CAST(0 AS BIGINT)) AS off
+        |      FROM dl),
+        |tk AS (SELECT t.doc_id, r.i AS p, t.ws[r.i + 1] AS term
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |             FROM documents) t
+        |       JOIN range(0, 100000) r(i) ON r.i < len(t.ws)
+        |       WHERE length(t.ws[r.i + 1]) > 0),
+        |f AS (SELECT term, MIN(o.off + tk.p + 1) AS first_pos
+        |      FROM tk JOIN o USING (doc_id) GROUP BY term),
+        |cp(n_tokens) AS (VALUES (CAST(1000 AS BIGINT)), (2000), (5000),
+        |                        (10000), (20000), (50000))
+        |SELECT n_tokens,
+        |  (SELECT COUNT(*) FROM f WHERE first_pos <= cp.n_tokens) AS vocab
+        |FROM cp ORDER BY n_tokens""".stripMargin,
     // qtx13: df-driven token pruning — integer df thresholds (stop ≥ 30%
     // of docs, rare < 2), kept text pinned by md5 in original token order
     "qtx13_df_prune" ->

@@ -64,6 +64,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Decontamination REMOVAL decision per training document — the pass
+    * that consumes [[contamination]]'s collisions: every train doc with
+    * its distinct-eval-hit count, worst shared-n-gram count, and the
+    * contaminated flag (≥ 1 eval doc sharing ≥ `minShared` n-grams).
+    * Clean docs report zeros — the full-corpus decision table, not just
+    * the hits, so the kept set is `!contaminated` by construction.
+    *
+    * Scale shape: [[contamination]]'s broadcast-eval map-side join, one
+    * train_id-keyed aggregate (map-side combinable), one left join back
+    * to the corpus ids (hits side is contaminated-docs-sized — tiny).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                    minShared: Long = 1L): DataFrame = {
+    val hits = contamination(train, evalDocs, n, minShared)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        max(col("shared_ngrams")).as("max_shared"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_eval_hits").isNotNull.as("contaminated"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+  }
+
   /** Benchmark decontamination: (train doc, eval doc) pairs sharing at
     * least `minShared` DISTINCT word n-grams, with the shared count —
     * the train-data hygiene pass that catches evaluation text leaking

@@ -285,6 +285,36 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** RFM behavioral scoring — the classic user-value segmentation:
+    * per user, Recency (whole days since their last event, measured
+    * from the corpus's own max timestamp so the result is input-
+    * determined), Frequency (event count) and Monetary (value sum
+    * through decimal(18,6) — exact, order-independent — then double),
+    * each quintile-ranked by NTILE(5) with the user id as the
+    * deterministic tie-break (r: recent first; f/m: largest first).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combinable); the
+    * three NTILEs are global sorts of the USER table (corpus-row-free),
+    * range-partitioned by Spark's window exchange.
+    */
+  def rfm(ev: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val maxUs = ev.agg(max(us)).head().getLong(0)
+    val perUser = ev.groupBy("user_id").agg(
+      ((lit(maxUs) - max(us)) / lit(86400000000L)).cast("bigint")
+        .as("recency_days"),
+      count(lit(1)).as("frequency"),
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("monetary"))
+    def score(order: Seq[Column]) = ntile(5).over(
+      Window.orderBy(order :+ col("user_id"): _*))
+    perUser
+      .withColumn("r_score",
+        score(Seq(col("recency_days").asc)).cast("bigint"))
+      .withColumn("f_score", score(Seq(col("frequency").desc)).cast("bigint"))
+      .withColumn("m_score", score(Seq(col("monetary").desc)).cast("bigint"))
+      .orderBy("user_id")
+  }
+
   /** SCD Type-2 interval build — turn a change log (key, timestamp,
     * payload columns) into validity intervals: each change is valid
     * [its instant, the key's next change), the latest change per key is

@@ -36,6 +36,20 @@ object DataOps {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Decontamination decision table over the qdc1 leak plant: every
+    * training doc with its eval-hit counts and the contaminated flag
+    * (docs ≥ 13 shared 13-grams with a planted eval excerpt); clean
+    * docs report zeros; see [[Dedup.decontaminate]].
+    */
+  def qdc2Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = TextStats.docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("eval_id"),
+        array_join(slice(split(col("text"), " "), 11, 50), " ").as("text"))
+    Dedup.decontaminate(docs, evalDocs, n = 13, minShared = 13L)
+      .orderBy("doc_id")
+  }
+
   def qdd3DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Dedup.corpusWithCopies(spark, sfDir)
     val pairs = Dedup.allPairsJaccard(spark, corpus)
@@ -194,6 +208,16 @@ object DataOps {
       col("o_orderkey"), col("o_totalprice"), k = 50)
       .orderBy(col("sample_priority").desc, col("o_orderkey"))
 
+  /** Per-event-type HLL user sketches — approximate distinct users per
+    * dimension value as engine-exact register state; see
+    * [[graft.sketch.Sketches.hllRegistersBy]].
+    */
+  def qsk8HllByType(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sketch.Sketches.hllRegistersBy(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_type"), col("user_id")),
+      group = "event_type", key = "user_id")
+
   /** HLL mergeability as data: two half-corpus register tables (even /
     * odd doc_ids) merged by elementwise MAX must equal the whole-corpus
     * sketch — the distributed-combine property; see
@@ -247,6 +271,14 @@ object DataOps {
           .as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** RFM user segmentation over the events table — recency/frequency/
+    * monetary with NTILE(5) quintile scores, deterministic tie-breaks;
+    * see [[graft.events.EventAnalytics.rfm]].
+    */
+  def qev10Rfm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.rfm(
+      graft.events.Sessionize.events(spark, sfDir))
 
   /** SCD Type-2 validity intervals from the event change log: each
     * event's value is valid until the user's next event, the last one
@@ -405,6 +437,13 @@ object DataOps {
     */
   def qtx17SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.segmentDedup(Dedup.corpusWithCopies(spark, sfDir))
+
+  /** Vocabulary growth curve at fixed token checkpoints under the
+    * canonical (doc_id, position) global order — the Heaps'-law
+    * profile; see [[TextStats.vocabGrowth]].
+    */
+  def qtx19VocabGrowth(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.vocabGrowth(TextStats.docs(spark, sfDir))
 
   /** First 3 BPE merges over the corpus vocabulary (tokenizer
     * training): most-frequent adjacent symbol pair per round

@@ -35,6 +35,21 @@ object Sketches {
       .agg(max(col("rank")).as("max_rank"), count(lit(1)).as("n_keys"))
       .orderBy("bucket")
 
+  /** Per-group [[hllRegisters]] — approximate COUNT(DISTINCT key) per
+    * dimension value as mergeable sketch state (the "distinct users per
+    * day/segment/source" workhorse): one ≤ 256-register table per group
+    * where exact per-group distinct shuffles every (group, key) pair.
+    * Same engine-exact integer register arithmetic as the global
+    * sketch; groups merge independently via [[hllMerge]]'s MAX rule.
+    */
+  def hllRegistersBy(df: DataFrame, group: String, key: String): DataFrame =
+    df.select(col(group), hllBucketRank(col(key)).as("br"))
+      .select(col(group), col("br.bucket").as("bucket"),
+        col("br.rank").as("rank"))
+      .groupBy(group, "bucket")
+      .agg(max(col("rank")).as("max_rank"), count(lit(1)).as("n_keys"))
+      .orderBy(group, "bucket")
+
   /** Merge [[hllRegisters]] tables: elementwise register MAX — the
     * associative/commutative/idempotent combine that makes HLL a
     * DISTRIBUTED sketch: per-partition (or per-day, per-source) sketches

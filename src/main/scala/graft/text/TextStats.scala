@@ -438,6 +438,49 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary growth curve — the Heaps'-law observable a corpus
+    * profile reports before tokenizer/vocab sizing: distinct-term count
+    * within the first N tokens of the corpus, for each checkpoint N,
+    * under the canonical global token order (documents by doc_id,
+    * tokens by position). Checkpoints beyond the corpus report the full
+    * vocabulary (the curve's plateau), so the output is always
+    * |checkpoints| rows.
+    *
+    * Scale shape: the global order needs only a cumulative-offset
+    * window over the DOCUMENT table (corpus-row-free; range-partitioned
+    * sort of ~10⁹ doc rows, never the token stream) joined back to the
+    * exploded tokens; per-term first positions are a map-side-combinable
+    * MIN; the curve itself is |checkpoints| counting aggregates over the
+    * first-position table (vocabulary-sized).
+    */
+  def vocabGrowth(d: DataFrame,
+                  checkpoints: Seq[Long] = Seq(1000L, 2000L, 5000L, 10000L,
+                    20000L, 50000L)): DataFrame = {
+    require(checkpoints.nonEmpty, "no checkpoints")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = d
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+    val firsts = d
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+      .filter(length(col("term")) > 0)
+      .join(offsets.select(col("doc_id"), col("off")), "doc_id")
+      .groupBy("term")
+      .agg(min(col("off") + col("p") + 1L).as("first_pos"))
+    // one conditional aggregate over the first-position table (no
+    // checkpoint⋈vocabulary theta join), unpivoted to (N, vocab) rows
+    val aggs = checkpoints.map(cp =>
+      count(when(col("first_pos") <= cp, 1)).as(s"c$cp"))
+    firsts.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(checkpoints.flatMap(cp =>
+        Seq(lit(cp), col(s"c$cp"))): _*)).as(Seq("n_tokens", "vocab")))
+      .orderBy("n_tokens")
+  }
+
   /** Greedy leftmost non-overlapping pair merge over a symbol array —
     * one BPE merge step as a pure column expression (aggregate HOF with
     * (result, pending) state; overlapping matches like a run of equal

@@ -46,7 +46,9 @@ object GraftCli {
       |  permissions --input RES.parquet --id-col COL --name-col COL
       |            --mapping FILE.json --out DIR [--cores N]
       |  corpus    --input DOCS.parquet --out DIR
-      |            [--ops quality,dedup,sample] [--sample-rate R] [--cores N]
+      |            [--ops quality,dedup,segdedup,decontam,sample]
+      |            [--sample-rate R] [--eval-input EVAL.parquet]
+      |            [--seg-tokens N] [--cores N]
       |  analysis  --work-dir DIR --job-dir JOBS --out DIR
       |            [--params K=V,K2=V2,..] [--update-tag N] [--cores N]
       |  analytics --work-dir DIR --out DIR [--rel-labels L1,L2,..]
@@ -135,7 +137,8 @@ object GraftCli {
       "remove-orphans" -> (global ++ Set("work-dir", "older-than-hours")),
       "permissions" -> (global ++ Set("input", "id-col", "name-col",
         "mapping", "out")),
-      "corpus" -> (global ++ Set("input", "out", "ops", "sample-rate")),
+      "corpus" -> (global ++ Set("input", "out", "ops", "sample-rate",
+        "eval-input", "seg-tokens")),
       "analysis" -> (global ++ Set("work-dir", "job-dir", "out", "params",
         "update-tag")),
       "analytics" -> (global ++ Set("work-dir", "out", "rel-labels",
@@ -421,10 +424,15 @@ object GraftCli {
     import org.apache.spark.sql.functions.col
     val ops = flags.getOrElse("ops", "quality,dedup,sample")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
-    val known = Set("quality", "dedup", "sample")
+    val known = Set("quality", "dedup", "segdedup", "decontam", "sample")
     require(ops.nonEmpty, s"--ops selected no stages (know: ${known.mkString(", ")})")
     require(ops.subsetOf(known),
       s"unknown ops: ${(ops -- known).mkString(", ")} (know: ${known.mkString(", ")})")
+    // decontam's eval benchmark must be named up front, not after dedup
+    // has already run for minutes
+    val evalInput = flags.get("eval-input")
+    require(!ops("decontam") || evalInput.isDefined,
+      s"--ops decontam needs --eval-input EVAL.parquet (doc_id, text)\n$usage")
     val rate = flags.getOrElse("sample-rate", "1.0").toDouble
     val outDir = req(flags, "out")
     val spark = session(flags, "graft-cli-corpus")
@@ -475,8 +483,32 @@ object GraftCli {
             keptDf
           } finally clusters.unpersist()
         } else docs.select(col("doc_id"))
+      if (ops("segdedup")) {
+        // C4-style repeated-span removal REPORT (kept-text md5 per doc);
+        // runs over the full input — span dedup is orthogonal to
+        // document-level dedup
+        val segTokens = flags.getOrElse("seg-tokens", "15").toInt
+        graft.text.TextStats.segmentDedup(docs, segTokens)
+          .write.mode("overwrite").parquet(s"$outDir/segdedup")
+        System.err.println(s"[corpus] segdedup: $segTokens-token segments " +
+          s"-> $outDir/segdedup")
+      }
+      val clean: org.apache.spark.sql.DataFrame =
+        if (ops("decontam")) {
+          val ev = spark.read.parquet(evalInput.get)
+            .select(col("doc_id").cast("long").as("eval_id"), col("text"))
+          val dec = graft.dedup.Dedup.decontaminate(docs, ev)
+          dec.write.mode("overwrite").parquet(s"$outDir/decontam")
+          val decDf = spark.read.parquet(s"$outDir/decontam")
+          val nBad = decDf.filter(col("contaminated")).count()
+          System.err.println(s"[corpus] decontam: $nBad contaminated docs " +
+            s"flagged -> $outDir/decontam")
+          // downstream sample draws from kept MINUS contaminated
+          kept.join(decDf.filter(col("contaminated"))
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        } else kept
       if (ops("sample")) {
-        val s = graft.sample.Sampling.hashSample(kept, col("doc_id"), rate)
+        val s = graft.sample.Sampling.hashSample(clean, col("doc_id"), rate)
         s.write.mode("overwrite").parquet(s"$outDir/sample")
         System.err.println(s"[corpus] sample: rate $rate -> " +
           s"${spark.read.parquet(s"$outDir/sample").count()} docs in $outDir/sample")

@@ -116,5 +116,19 @@ class DedupParitySpec extends SparkSpecBase {
     val gated = Dedup.contamination(train, evalDocs, n = 13, minShared = 2L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gated === Set((1L, 10L)))
+
+    // decontaminate: the per-doc decision table — doc 1 and 3 flagged
+    // with their hit counts, doc 2 clean with zeros
+    val dec = Dedup.decontaminate(train, evalDocs, n = 13, minShared = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(dec === Map(
+      1L -> ((true, 1L, 8L)),
+      2L -> ((false, 0L, 0L)),
+      3L -> ((true, 1L, 1L))))
+    // raising the gate de-flags the single-collision doc
+    val dec2 = Dedup.decontaminate(train, evalDocs, n = 13, minShared = 2L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(dec2 === Map(1L -> true, 2L -> false, 3L -> false))
   }
 }

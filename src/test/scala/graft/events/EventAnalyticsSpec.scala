@@ -185,6 +185,32 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(de25.subsetOf(de50))
   }
 
+  test("rfm: recency anchors at the corpus max, monetary is decimal-exact, quintiles split 2-2-1-1-1 over 7 users") {
+    // user u's last event at day (7-u); values make monetary rank = id
+    val rows = (1L to 7L).flatMap { u =>
+      Seq((u * 10, (7 - u) * day, u, "view", u * 1.5),
+        (u * 10 + 1, (7 - u) * day + 100, u, "view", 0.25))
+    }
+    val ev = rows.map { case (eid, sec, uid, t, v) =>
+      (eid, ts(sec), uid, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventAnalytics.rfm(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // corpus max ts = u1's 6*day+100; u7's last = 0*day+100 → 6 days ago
+    assert(got(7L)._1 === 6L)
+    assert(got(1L)._1 === 0L)
+    assert(got.values.forall(_._2 === 2L)) // frequency 2 each
+    assert(got(3L)._3 === 3 * 1.5 + 0.25)
+    // r_score: recency asc + user tie → u1,u2 in q1 … u7 alone in q5
+    assert(got(1L)._4 === 1L && got(2L)._4 === 1L && got(3L)._4 === 2L)
+    assert(got(7L)._4 === 5L)
+    // m_score: monetary desc → u7,u6 in q1; u1 alone in q5
+    assert(got(7L)._6 === 1L && got(6L)._6 === 1L && got(1L)._6 === 5L)
+    // f_score: all tie on frequency → pure user-id order 2-2-1-1-1
+    assert((1L to 7L).map(got(_)._5) === Seq(1L, 1L, 2L, 2L, 3L, 4L, 5L))
+  }
+
   test("scd2: intervals chain per key, last is open and current, same-instant ties order by id") {
     val changes = Seq(
       (1L, ts(100), 1L, 10.0), (2L, ts(200), 1L, 20.0),

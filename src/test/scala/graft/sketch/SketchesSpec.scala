@@ -33,6 +33,25 @@ class SketchesSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("hllRegistersBy: each group's registers equal its own global sketch; groups never bleed") {
+    val rows = (0L until 1200L).map(k => (s"g${k % 3}", k))
+    val got = Sketches.hllRegistersBy(rows.toDF("g", "k"), "g", "k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    (0 until 3).foreach { gi =>
+      val keys = rows.filter(_._1 == s"g$gi").map(_._2)
+      val want = Sketches.hllRegisters(keys.toDF("k"), "k")
+        .collect()
+        .map(r => (s"g$gi", r.getLong(0)) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(want.forall { case (k, v) => got.get(k).contains(v) }, s"g$gi")
+    }
+    assert(got.size === (0 until 3).map(gi =>
+      Sketches.hllRegisters(
+        rows.filter(_._1 == s"g$gi").map(_._2).toDF("k"), "k").count()).sum)
+  }
+
   test("hllRegisters: duplicates cannot move a register") {
     val once = Sketches.hllRegisters((0L until 500L).toDF("k"), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

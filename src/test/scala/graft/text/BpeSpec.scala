@@ -40,4 +40,12 @@ class BpeSpec extends SparkSpecBase {
     val docs = Seq((0L, "a b c a")).toDF("doc_id", "text")
     assert(TextStats.bpeMerges(docs, iterations = 3).count() === 0)
   }
+
+  test("vocabGrowth: first-occurrence positions follow the (doc_id, position) global order") {
+    val docs = Seq((0L, "a b a"), (1L, "c a d")).toDF("doc_id", "text")
+    // global positions: a=1 b=2 (doc0), c=4 d=6 (doc1 offset 3)
+    val got = TextStats.vocabGrowth(docs, Seq(1L, 2L, 3L, 5L, 10L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 3L, 10L -> 4L))
+  }
 }

@@ -542,4 +542,36 @@ class CliSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("unknown ops"), e.getMessage)
   }
+
+  test("cli: corpus segdedup + decontam — contaminated docs leave the sample; span report lands") {
+    val in = tmp("clicorp2")
+    val out = tmp("clicorp2out")
+    def text(i: Long) = (0 until 30).map(w => s"w${i}x$w").mkString(" ")
+    (0L until 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .write.parquet(s"$in/docs")
+    // eval benchmark = words 5..24 of docs 3 and 7 → both contaminated
+    Seq((100L, (4 until 24).map(w => s"w3x$w").mkString(" ")),
+      (101L, (4 until 24).map(w => s"w7x$w").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$in/eval")
+    GraftCli.main(Array("corpus", "--input", s"$in/docs", "--out", out,
+      "--ops", "dedup,segdedup,decontam,sample",
+      "--eval-input", s"$in/eval", "--seg-tokens", "10"))
+    val dec = spark.read.parquet(s"$out/decontam")
+    assert(dec.filter(col("contaminated")).select("doc_id").as[Long]
+      .collect().toSet === Set(3L, 7L))
+    val sample = spark.read.parquet(s"$out/sample")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!sample.contains(3L) && !sample.contains(7L),
+      "contaminated docs must not reach the sample")
+    // span report: distinct-vocab docs keep all 3 10-token segments
+    val seg = spark.read.parquet(s"$out/segdedup")
+    assert(seg.count() === 20L)
+    assert(seg.filter(col("n_dropped") > 0).count() === 0L)
+    // decontam without --eval-input fails before any work
+    val e = intercept[IllegalArgumentException] {
+      GraftCli.main(Array("corpus", "--input", s"$in/docs",
+        "--out", out, "--ops", "decontam"))
+    }
+    assert(e.getMessage.contains("eval-input"), e.getMessage)
+  }
 }
