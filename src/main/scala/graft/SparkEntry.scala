@@ -83,6 +83,7 @@ object SparkEntry {
     "q36_stream_enrich" -> (KgOps.q36StreamEnrich _),
     "q37_stream_dedup_ttl" -> (KgOps.q37StreamDedupTtl _),
     "q38_stream_join" -> (KgOps.q38StreamJoin _),
+    "q41_stream_left_join" -> (KgOps.q41StreamLeftJoin _),
     "qdd1_exact_dedup" -> (DataOps.qdd1ExactDedup _),
     "qdc1_contamination" -> (DataOps.qdc1Contamination _),
     "qdc2_decontaminate" -> (DataOps.qdc2Decontaminate _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "qmm1_media_meta" -> (DataOps.qmm1MediaMeta _),
     "qmm2_image_dims" -> (DataOps.qmm2ImageDims _),
     "qmm3_wav_meta" -> (DataOps.qmm3WavMeta _),
+    "qmm4_media_dispatch" -> (DataOps.qmm4MediaDispatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -420,6 +422,19 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    // q41: the left-outer variant — unmatched views flush once the
+    // sentinel-advanced global watermark closes their windows, so the
+    // complete output is the batch LEFT join
+    "q41_stream_left_join" ->
+      """SELECT v.event_id AS view_id, v.user_id,
+        | p.event_id AS purchase_id,
+        | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v LEFT JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+        |WHERE v.event_type = 'view'
         |ORDER BY view_id, purchase_id""".stripMargin,
     // q36 oracle: inner enrichment join + daily counts — every window is
     // emitted (the sentinel pushed the final watermark past them all)
@@ -1666,6 +1681,28 @@ object SparkEntry {
         | CAST(160 + octet_length(encode(text)) % 480 AS INT) AS fake_width,
         | CAST(90 + (octet_length(encode(text)) // 7) % 270 AS INT) AS fake_height,
         | CAST(1 + octet_length(encode(text)) % 24 AS INT) AS fake_frames
+        |FROM documents ORDER BY url""".stripMargin,
+    // qmm4: the sniffing dispatcher — expected kind/format/meta per
+    // doc_id%3 branch, recomputed arithmetically (image dims, wav
+    // rate/duration, raw byte length)
+    "qmm4_media_dispatch" ->
+      """SELECT 'mixed://' || CAST(doc_id AS VARCHAR) AS url,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'unknown' END AS kind,
+        | CASE doc_id % 3
+        |  WHEN 0 THEN (CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |               WHEN 2 THEN 'bmp' ELSE 'jpeg' END)
+        |  WHEN 1 THEN 'wav' ELSE 'unknown' END AS format,
+        | CAST(CASE doc_id % 3
+        |  WHEN 0 THEN 100 + doc_id % 900
+        |  WHEN 1 THEN 8000 * (1 + doc_id % 5)
+        |  ELSE octet_length(encode(text)) END AS BIGINT) AS meta_a,
+        | CAST(CASE doc_id % 3
+        |  WHEN 0 THEN 50 + doc_id % 500
+        |  WHEN 1 THEN ((100 + doc_id % 900) * ((1 + doc_id % 2) * (1 + doc_id % 3))
+        |    * CAST(1000000 AS BIGINT))
+        |    // (8000 * (1 + doc_id % 5) * ((1 + doc_id % 2) * (1 + doc_id % 3)))
+        |  ELSE 0 END AS BIGINT) AS meta_b
         |FROM documents ORDER BY url""".stripMargin,
     // qmm3: the Spark side PARSES real RIFF/WAV chunk headers; the
     // oracle recomputes every planted field from doc_id arithmetic

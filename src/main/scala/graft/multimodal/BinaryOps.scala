@@ -180,6 +180,35 @@ object BinaryOps {
       }
   }
 
+  /** Unified media metadata from magic-byte sniffing. */
+  final case class SniffedMeta(url: String, kind: String, format: String,
+                               meta_a: Long, meta_b: Long)
+
+  /** Magic-byte dispatch over a MIXED media column — the ingest-side
+    * router every multimodal pipeline needs before format-specific
+    * processing: try the image parsers, then the WAV parser, else
+    * "unknown". Unified numeric fields: image → (width, height); audio
+    * → (sample_rate, duration_us); unknown → (byte length, 0).
+    */
+  def mediaKind(b: Array[Byte]): (String, String, Long, Long) =
+    imageDims(b) match {
+      case Some((f, w, h)) => ("image", f, w.toLong, h.toLong)
+      case None => wavMeta(b) match {
+        case Some((_, rate, _, _, durUs)) => ("audio", "wav", rate.toLong, durUs)
+        case None => ("unknown", "unknown", b.length.toLong, 0L)
+      }
+    }
+
+  /** Per-partition sniffing dispatch over (url, payload) rows. */
+  def sniffMeta(spark: SparkSession, media: DataFrame): Dataset[SniffedMeta] = {
+    import spark.implicits._
+    media.select(col("url"), col("payload")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, bytes) =>
+        val (k, f, a, b) = mediaKind(bytes)
+        SniffedMeta(url, k, f, a, b)
+      })
+  }
+
   /** Per-partition image-header metadata over (url, payload) rows using
     * the REAL parsers; unparseable payloads surface as format "unknown"
     * with the stub's deterministic fake dims (the declared codec

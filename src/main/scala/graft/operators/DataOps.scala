@@ -654,6 +654,26 @@ object DataOps {
     BinaryOps.audioMeta(spark, media).toDF().orderBy("url")
   }
 
+  /** qmm4: magic-byte dispatch over a MIXED media column — payload kind
+    * cycles image/WAV/raw-text by doc_id, and [[BinaryOps.sniffMeta]]
+    * must route each to the right parser; the oracle recomputes the
+    * unified metadata from doc_id arithmetic per branch.
+    */
+  def qmm4MediaDispatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val media = rows.map { case (id, text) =>
+      val payload = (id % 3) match {
+        case 0 => imageBytes(id)
+        case 1 => wavBytes(id)
+        case _ => text.getBytes("UTF-8")
+      }
+      ("mixed://" + id, payload)
+    }.toDF("url", "payload")
+    BinaryOps.sniffMeta(spark, media).toDF().orderBy("url")
+  }
+
   /** Test-scaffolding WAV builder (the corpus side of qmm3) — the
     * engine-side parse never sees this code. Sample payload bytes are
     * omitted (the data chunk declares its size; header sniffing never

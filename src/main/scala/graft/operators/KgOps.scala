@@ -1157,6 +1157,67 @@ object KgOps {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** LEFT-OUTER stream-stream interval join: q38's shape with the
+    * unmatched side kept — a view with no purchase in its 1-day horizon
+    * emits with null purchase columns, and ONLY once the global
+    * watermark (min of both streams) has closed its match window; the
+    * far-future sentinel on BOTH streams is what pushes every real
+    * window closed, making the complete output the deterministic batch
+    * left join. Sentinels themselves are filtered from the result
+    * (their own windows never close).
+    */
+  def q41StreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("pts"))
+    val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val vDir = Files.createTempDirectory("q41v").toString
+    val pDir = Files.createTempDirectory("q41p").toString
+    val cp = Files.createTempDirectory("q41cp").toString
+    def dump(d: DataFrame, dir: String): Unit =
+      d.coalesce(1).write.mode("append").parquet(dir)
+    dump(views.filter(col("view_id") <= mid), vDir)
+    dump(purchases.filter(col("purchase_id") <= mid), pDir)
+    val vIn = spark.readStream
+      .schema("view_id BIGINT, user_id BIGINT, vts TIMESTAMP").parquet(vDir)
+    val pIn = spark.readStream
+      .schema("purchase_id BIGINT, p_user_id BIGINT, pts TIMESTAMP")
+      .parquet(pDir)
+    val q = graft.streaming.StreamingSync
+      .streamIntervalJoin(vIn, pIn, "user_id", "p_user_id", "vts", "pts",
+        "45 days", "1 day", joinType = "left_outer")
+      .writeStream.format("memory").queryName("q41join")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      dump(views.filter(col("view_id") > mid), vDir)
+      dump(purchases.filter(col("purchase_id") > mid), pDir)
+      q.processAllAvailable()
+      val far = new java.sql.Timestamp(4102444800000L) // 2100-01-01
+      Seq((-1L, -1L, far)).toDF("view_id", "user_id", "vts")
+        .coalesce(1).write.mode("append").parquet(vDir)
+      Seq((-2L, -1L, far)).toDF("purchase_id", "p_user_id", "pts")
+        .coalesce(1).write.mode("append").parquet(pDir)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      rmTree(cp); rmTree(vDir); rmTree(pDir)
+    }
+    spark.table("q41join")
+      .filter(col("user_id") >= 0)
+      .select(col("view_id"), col("user_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   /** Recursively delete a harness temp dir (checkpoint/source litter
     * from the controlled micro-batch queries).
     */

@@ -207,12 +207,18 @@ object StreamingSync {
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTs: String, rightTs: String,
-                         watermarkDelay: String, horizon: String): DataFrame =
+                         watermarkDelay: String, horizon: String,
+                         joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermarkDelay)
       .join(right.withWatermark(rightTs, watermarkDelay),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"),
+        joinType)
+    // left_outer: an unmatched left row emits (right columns null) only
+    // once the GLOBAL watermark (min of both streams) closes its match
+    // window [leftTs, leftTs+horizon] — the time bound is what makes
+    // outer emission decidable at all; matches still emit immediately.
 
   /** BOUNDED-STATE streaming dedup: Spark's
     * `dropDuplicatesWithinWatermark` — a key's dedup state lives only

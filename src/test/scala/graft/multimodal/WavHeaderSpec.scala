@@ -49,6 +49,17 @@ class WavHeaderSpec extends AnyFunSuite {
       Some((1, 8000, 16, 80L, 10000L)))
   }
 
+  test("mediaKind dispatch: image → image parser, wav → audio, text → unknown with byte length") {
+    assert(BinaryOps.mediaKind(graft.operators.DataOps.imageBytes(8L))
+      ._1 === "image")
+    val (k, f, a, b) = BinaryOps.mediaKind(wavBytes(1L))
+    assert((k, f) === (("audio", "wav")))
+    assert(a === 8000L * 2 && b === 101L * 1000000L / 16000L)
+    val txt = "just some words".getBytes("UTF-8")
+    assert(BinaryOps.mediaKind(txt) === (("unknown", "unknown",
+      txt.length.toLong, 0L)))
+  }
+
   test("truncation, garbage, and missing chunks fall back to None") {
     assert(wavMeta(Array.emptyByteArray).isEmpty)
     assert(wavMeta("RIFF".getBytes("US-ASCII")).isEmpty)

@@ -159,6 +159,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows == Seq((10L, 21L), (11L, 20L)))
   }
 
+  test("streamIntervalJoin left_outer: unmatched lefts emit with nulls only after the global watermark closes their window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lv = MemoryStream[(Long, Long, Timestamp)]
+    val rp = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingSync.streamIntervalJoin(
+      lv.toDS().toDF("view_id", "user_id", "vts"),
+      rp.toDS().toDF("purchase_id", "p_user_id", "pts"),
+      "user_id", "p_user_id", "vts", "pts", "10 minutes", "30 minutes",
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("ivleft")
+      .outputMode("append").start()
+    try {
+      // u1 will match; u5's view never matches anything
+      lv.addData((10L, 1L, ts("2026-01-01 10:00:00")),
+        (12L, 5L, ts("2026-01-01 10:00:00")))
+      rp.addData((21L, 1L, ts("2026-01-01 10:25:00")))
+      q.processAllAvailable()
+      // before any watermark advance the unmatched view must NOT emit
+      val early = spark.table("ivleft")
+        .select(col("view_id")).as[Long].collect().toSet
+      assert(early === Set(10L), s"got $early")
+      // advance BOTH watermarks past 10:40+10min → u5's window closes
+      lv.addData((99L, 9L, ts("2026-01-01 12:00:00")))
+      rp.addData((98L, 9L, ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivleft")
+      .select(col("view_id"), col("purchase_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((10L, Some(21L))))
+    assert(rows.contains((12L, None)), s"unmatched view missing: $rows")
+  }
+
   test("enrichedWindowCounts: broadcast dim join drops unmatched keys, windows accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
