@@ -139,18 +139,21 @@ object BinaryOps {
       b(11) != 'E') return None
     var fmt: Option[(Int, Int, Long, Int, Int)] = None
     var dataBytes = -1L
-    var i = 12
+    // Long cursor: an adversarial near-2³¹ chunk size would overflow an
+    // Int cursor into a negative index and crash the task instead of
+    // taking the documented None fallback
+    var i = 12L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = le32(i + 4)
+      val ii = i.toInt
+      val id = new String(b, ii, 4, "US-ASCII")
+      val size = le32(ii + 4)
       if (id == "fmt " && size >= 16 && i + 24 <= b.length)
         // chunk data: format(0) channels(2) rate(4) byteRate(8)
         // blockAlign(12) bits(14)
-        fmt = Some((le16(i + 10), le32(i + 12).toInt, le32(i + 16),
-          le16(i + 20), le16(i + 22)))
+        fmt = Some((le16(ii + 10), le32(ii + 12).toInt, le32(ii + 16),
+          le16(ii + 20), le16(ii + 22)))
       else if (id == "data") dataBytes = size
-      if (size > Int.MaxValue - 16) return None // corrupt size field
-      i += 8 + size.toInt + (size.toInt & 1) // RIFF even-padding
+      i += 8L + size + (size & 1L) // RIFF even-padding
     }
     fmt match {
       case Some((ch, rate, byteRate, align, bits))

@@ -1113,60 +1113,22 @@ object KgOps {
     * late and the complete output equals the batch join the oracle
     * states.
     */
-  def q38StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id").cast("long").as("event_id"),
-        col("user_id").cast("long").as("user_id"), col("ts"),
-        col("event_type"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id"),
-        col("ts").as("vts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user_id"), col("ts").as("pts"))
-    val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-    val vDir = Files.createTempDirectory("q38v").toString
-    val pDir = Files.createTempDirectory("q38p").toString
-    val cp = Files.createTempDirectory("q38cp").toString
-    def dump(d: DataFrame, dir: String): Unit =
-      d.coalesce(1).write.mode("append").parquet(dir)
-    dump(views.filter(col("view_id") <= mid), vDir)
-    dump(purchases.filter(col("purchase_id") <= mid), pDir)
-    val vIn = spark.readStream
-      .schema("view_id BIGINT, user_id BIGINT, vts TIMESTAMP").parquet(vDir)
-    val pIn = spark.readStream
-      .schema("purchase_id BIGINT, p_user_id BIGINT, pts TIMESTAMP")
-      .parquet(pDir)
-    val q = graft.streaming.StreamingSync
-      .streamIntervalJoin(vIn, pIn, "user_id", "p_user_id", "vts", "pts",
-        "45 days", "1 day")
-      .writeStream.format("memory").queryName("q38join")
-      .option("checkpointLocation", cp).outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      dump(views.filter(col("view_id") > mid), vDir)
-      dump(purchases.filter(col("purchase_id") > mid), pDir)
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      rmTree(cp); rmTree(vDir); rmTree(pDir)
-    }
-    spark.table("q38join")
+  def q38StreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    streamJoinHarness(spark, sfDir, "q38join", "inner", sentinels = false)
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us"))
       .orderBy("view_id", "purchase_id")
-  }
 
-  /** LEFT-OUTER stream-stream interval join: q38's shape with the
-    * unmatched side kept — a view with no purchase in its 1-day horizon
-    * emits with null purchase columns, and ONLY once the global
-    * watermark (min of both streams) has closed its match window; the
-    * far-future sentinel on BOTH streams is what pushes every real
-    * window closed, making the complete output the deterministic batch
-    * left join. Sentinels themselves are filtered from the result
-    * (their own windows never close).
+  /** Shared q38/q41 scaffolding: views and purchases as two independent
+    * file-source streams (each split in half by event id so matches
+    * straddle batches AND sides), joined on user within a 1-day
+    * event-time horizon; `sentinels` appends far-future rows to BOTH
+    * streams after the real data (left-outer needs the global watermark
+    * to close every real window before unmatched rows can emit).
     */
-  def q41StreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  private def streamJoinHarness(spark: SparkSession, sfDir: String,
+                                queryName: String, joinType: String,
+                                sentinels: Boolean): DataFrame = {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id").cast("long").as("event_id"),
@@ -1179,9 +1141,9 @@ object KgOps {
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("pts"))
     val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-    val vDir = Files.createTempDirectory("q41v").toString
-    val pDir = Files.createTempDirectory("q41p").toString
-    val cp = Files.createTempDirectory("q41cp").toString
+    val vDir = Files.createTempDirectory(s"${queryName}v").toString
+    val pDir = Files.createTempDirectory(s"${queryName}p").toString
+    val cp = Files.createTempDirectory(s"${queryName}cp").toString
     def dump(d: DataFrame, dir: String): Unit =
       d.coalesce(1).write.mode("append").parquet(dir)
     dump(views.filter(col("view_id") <= mid), vDir)
@@ -1193,30 +1155,45 @@ object KgOps {
       .parquet(pDir)
     val q = graft.streaming.StreamingSync
       .streamIntervalJoin(vIn, pIn, "user_id", "p_user_id", "vts", "pts",
-        "45 days", "1 day", joinType = "left_outer")
-      .writeStream.format("memory").queryName("q41join")
+        "45 days", "1 day", joinType)
+      .writeStream.format("memory").queryName(queryName)
       .option("checkpointLocation", cp).outputMode("append").start()
     try {
       q.processAllAvailable()
       dump(views.filter(col("view_id") > mid), vDir)
       dump(purchases.filter(col("purchase_id") > mid), pDir)
       q.processAllAvailable()
-      val far = new java.sql.Timestamp(4102444800000L) // 2100-01-01
-      Seq((-1L, -1L, far)).toDF("view_id", "user_id", "vts")
-        .coalesce(1).write.mode("append").parquet(vDir)
-      Seq((-2L, -1L, far)).toDF("purchase_id", "p_user_id", "pts")
-        .coalesce(1).write.mode("append").parquet(pDir)
-      q.processAllAvailable()
+      if (sentinels) {
+        val far = new java.sql.Timestamp(4102444800000L) // 2100-01-01
+        Seq((-1L, -1L, far)).toDF("view_id", "user_id", "vts")
+          .coalesce(1).write.mode("append").parquet(vDir)
+        Seq((-2L, -1L, far)).toDF("purchase_id", "p_user_id", "pts")
+          .coalesce(1).write.mode("append").parquet(pDir)
+        q.processAllAvailable()
+      }
     } finally {
       q.stop()
       rmTree(cp); rmTree(vDir); rmTree(pDir)
     }
-    spark.table("q41join")
+    spark.table(queryName)
+  }
+
+  /** LEFT-OUTER stream-stream interval join: q38's shape with the
+    * unmatched side kept — a view with no purchase in its 1-day horizon
+    * emits with null purchase columns, and ONLY once the global
+    * watermark (min of both streams) has closed its match window; the
+    * far-future sentinel on BOTH streams is what pushes every real
+    * window closed, making the complete output the deterministic batch
+    * left join. Sentinels themselves are filtered from the result
+    * (their own windows never close).
+    */
+  def q41StreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
+    streamJoinHarness(spark, sfDir, "q41join", "left_outer",
+        sentinels = true)
       .filter(col("user_id") >= 0)
       .select(col("view_id"), col("user_id"), col("purchase_id"),
         (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us"))
       .orderBy("view_id", "purchase_id")
-  }
 
   /** Recursively delete a harness temp dir (checkpoint/source litter
     * from the controlled micro-batch queries).

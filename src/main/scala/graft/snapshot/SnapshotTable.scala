@@ -262,8 +262,12 @@ final class SnapshotTable(val spark: SparkSession, val root: String,
       case (Some(b), Some(a)) => SnapshotTable.diff(b, a, keyCols)
       case (Some(b), None) => SnapshotTable.diff(b, b.limit(0), keyCols)
       case (None, Some(a)) => SnapshotTable.diff(a.limit(0), a, keyCols)
-      case (None, None) => sys.error(
-        s"snapshot table $root: versions $fromV and $toV share no data")
+      case (None, None) =>
+        // no bucket ref differs — the versions are byte-identical (an
+        // idempotent no-change sync, or fromV == toV): a legitimate
+        // EMPTY changelog, not an error
+        val z = readVersion(toV).limit(0)
+        SnapshotTable.diff(z, z, keyCols)
     }
   }
 

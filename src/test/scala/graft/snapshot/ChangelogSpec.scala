@@ -51,6 +51,18 @@ class ChangelogSpec extends SparkSpecBase {
     }
   }
 
+  test("identical versions (all buckets carried) yield an EMPTY changelog, not an error") {
+    val root = Files.createTempDirectory("chlogid").toString
+    val t = SnapshotTable(spark, s"$root/t", Some("label"),
+      Some(BucketSpec(Seq("id"), 2)))
+    val all = Seq(("X", "1", 10), ("X", "2", 20)).toDF("label", "id", "v")
+    t.commit(all, 100L)
+    // idempotent re-sync: rewrite nothing, carry every bucket
+    t.commitPhysical(all, 200L, Seq.empty)
+    assert(t.changelog(1L, 2L, Seq("label", "id")).count() === 0L)
+    assert(t.changelog(1L, 1L, Seq("label", "id")).count() === 0L)
+  }
+
   test("changelog opens only buckets whose manifest refs changed; carried buckets stay closed") {
     val root = Files.createTempDirectory("chlog").toString
     val t = SnapshotTable(spark, s"$root/t", Some("label"),

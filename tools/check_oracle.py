@@ -33,7 +33,9 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = "%.12g" % v if not math.isnan(v) else "nan"
+                # repr round-trips doubles exactly - the bit-identical-float
+                # oracles need no quantization here
+                v = repr(v) if not math.isnan(v) else "nan"
             vals.append(repr(v))
         out.append("".join(vals))
     return sorted(out)
