@@ -104,7 +104,10 @@ object SparkEntry {
     "qev8_transitions" -> (DataOps.qev8Transitions _),
     "qev9_scd2" -> (DataOps.qev9Scd2 _),
     "qev10_rfm" -> (DataOps.qev10Rfm _),
+    "qev11_time_to_convert" -> (DataOps.qev11TimeToConvert _),
+    "qsp7_epoch_order" -> (DataOps.qsp7EpochOrder _),
     "qsk8_hll_by_type" -> (DataOps.qsk8HllByType _),
+    "qkg25_community_graph" -> (KgOps.qkg25CommunityGraph _),
     "qsp4_splits" -> (DataOps.qsp4Splits _),
     "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
     "qsk2_cms_counters" -> (DataOps.qsk2CmsCounters _),
@@ -675,6 +678,9 @@ object SparkEntry {
     // graph, majority vote with smallest-label ties — integer counts +
     // string mins, replayed round-for-round by the oracle
     "qkg17_labelprop" -> KgOps.labelPropOracle,
+    // qkg25: the co-mention graph contracted by its LPA labels — the
+    // qkg17 replay chain + least/greatest pair contraction
+    "qkg25_community_graph" -> KgOps.communityGraphOracle,
     // qkg18: 3-core of the co-mention graph by iterative peeling; the
     // oracle unrolls 12 rounds (≥ the measured fixpoint depth at every
     // scale; peeling is idempotent at the fixpoint)
@@ -940,6 +946,33 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // qev8: consecutive-event transition counts per user (time order,
     // event_id tiebreak); prob is one double division of exact integers
+    // qev11: time-to-convert — two conditional MINs per user, integer gap
+    "qev11_time_to_convert" ->
+      """SELECT user_id, first_from_us, first_to_us,
+        | first_to_us - first_from_us AS ttc_us
+        |FROM (SELECT user_id,
+        |       MIN(CASE WHEN event_type = 'view'
+        |           THEN epoch_us(ts) END) AS first_from_us,
+        |       MIN(CASE WHEN event_type = 'purchase'
+        |           THEN epoch_us(ts) END) AS first_to_us
+        |      FROM events GROUP BY 1) t
+        |WHERE first_from_us IS NOT NULL AND first_to_us >= first_from_us
+        |ORDER BY user_id""".stripMargin,
+    // qsp7: per-epoch shuffled order — shard = first md5 byte, rank
+    // within (epoch, shard) by (hash, key)
+    "qsp7_epoch_order" ->
+      """WITH e AS (SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
+        |    md5(CAST(ep.epoch AS VARCHAR) || ':'
+        |      || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d CROSS JOIN
+        |   (SELECT unnest(generate_series(0, 1)) AS epoch) ep),
+        |s AS (SELECT epoch, doc_id, h,
+        |    CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS shard
+        |  FROM e)
+        |SELECT epoch, shard, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+        |    ORDER BY h, doc_id) AS BIGINT) AS ord
+        |FROM s ORDER BY epoch, shard, ord""".stripMargin,
     // qev10: RFM quintiles — decimal-exact monetary, integer recency,
     // NTILE(5) with user_id tie-breaks (the SQL-standard split both
     // engines implement)

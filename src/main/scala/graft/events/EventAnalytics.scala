@@ -285,6 +285,24 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Time-to-convert: for every user whose first `toType` event comes
+    * at-or-after their first `fromType` event, the microsecond gap
+    * between the two firsts — the funnel-latency companion to
+    * [[funnel]] (which counts conversions; this measures them). One
+    * user-keyed aggregate of two conditional MINs; integer-exact.
+    */
+  def timeToConvert(ev: DataFrame, fromType: String,
+                    toType: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === fromType, us)).as("first_from_us"),
+        min(when(col("event_type") === toType, us)).as("first_to_us"))
+      .filter(col("first_from_us").isNotNull &&
+        col("first_to_us") >= col("first_from_us"))
+      .withColumn("ttc_us", col("first_to_us") - col("first_from_us"))
+      .orderBy("user_id")
+  }
+
   /** RFM behavioral scoring — the classic user-value segmentation:
     * per user, Recency (whole days since their last event, measured
     * from the corpus's own max timestamp so the result is input-

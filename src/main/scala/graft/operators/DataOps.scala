@@ -272,6 +272,27 @@ object DataOps {
       .orderBy("l_returnflag")
   }
 
+  /** Funnel latency: per converting user, the gap between their first
+    * view and first at-or-after purchase; see
+    * [[graft.events.EventAnalytics.timeToConvert]].
+    */
+  def qev11TimeToConvert(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.EventAnalytics.timeToConvert(
+      graft.events.Sessionize.events(spark, sfDir), "view", "purchase")
+
+  /** Deterministic per-epoch shuffled ordering (2 epochs, 256 shards):
+    * the reproducible training-batch order; see
+    * [[graft.sample.Sampling.epochOrder]].
+    */
+  def qsp7EpochOrder(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sample.Sampling.epochOrder(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id")),
+        col("doc_id"), epochs = 2)
+      .select(col("epoch").cast("bigint").as("epoch"), col("shard"),
+        col("k").as("doc_id"), col("ord").cast("bigint").as("ord"))
+      .orderBy("epoch", "shard", "ord")
+
   /** RFM user segmentation over the events table — recency/frequency/
     * monetary with NTILE(5) quintile scores, deterministic tie-breaks;
     * see [[graft.events.EventAnalytics.rfm]].

@@ -562,7 +562,14 @@ object KgOps {
     * ASC) (the operator's exact tie order), voteless nodes keep their
     * label via COALESCE.
     */
-  def labelPropOracle: String = {
+  def labelPropOracle: String =
+    s"""$lpaCte
+       |SELECT id AS entity_id, label FROM l3 ORDER BY entity_id""".stripMargin
+
+  /** The qkg17 LPA replay as a reusable CTE chain (through `l3`, with
+    * `eg`/`nodes` in scope) — shared with the qkg25 contraction.
+    */
+  private def lpaCte: String = {
     val iters = (1 to 3).map { j =>
       s"""v$j AS (SELECT adj.id, l.label, COUNT(*) AS cnt
          |  FROM adj JOIN l${j - 1} l ON l.id = adj.nbr GROUP BY 1, 2),
@@ -577,9 +584,40 @@ object KgOps {
        |adj AS (SELECT u AS id, v AS nbr FROM eg
        |        UNION ALL SELECT v, u FROM eg),
        |l0 AS (SELECT id, id AS label FROM nodes),
-       |$iters
-       |SELECT id AS entity_id, label FROM l3 ORDER BY entity_id""".stripMargin
+       |$iters""".stripMargin
   }
+
+  /** Community supergraph — the co-mention graph CONTRACTED by its
+    * qkg17 LPA labels: one row per (community, community) pair with the
+    * inter-community edge count (the diagonal holds internal density) —
+    * the graph-summarization step that lets a planner reason about a
+    * 10⁹-node graph through its ~10⁴ communities. One labels join per
+    * endpoint + a count keyed on the label pair (map-side combinable).
+    */
+  def qkg25CommunityGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    val labels = graft.graph.Analytics
+      .labelPropagation(comentionPairs(res), nodes, iterations = 3)
+      .select(col("id"), col("label"))
+    val eg = comentionPairs(res).distinct()
+    eg.join(labels.select(col("id").as("u"), col("label").as("la")), "u")
+      .join(labels.select(col("id").as("v"), col("label").as("lb")), "v")
+      .select(least(col("la"), col("lb")).as("comm_a"),
+        greatest(col("la"), col("lb")).as("comm_b"))
+      .groupBy("comm_a", "comm_b").agg(count(lit(1)).as("n_edges"))
+      .orderBy("comm_a", "comm_b")
+  }
+
+  /** DuckDB oracle for qkg25: the qkg17 LPA chain + the same two label
+    * joins and least/greatest pair contraction.
+    */
+  def communityGraphOracle: String =
+    s"""$lpaCte
+       |SELECT LEAST(la.label, lb.label) AS comm_a,
+       |  GREATEST(la.label, lb.label) AS comm_b, COUNT(*) AS n_edges
+       |FROM eg JOIN l3 la ON la.id = eg.u JOIN l3 lb ON lb.id = eg.v
+       |GROUP BY 1, 2 ORDER BY comm_a, comm_b""".stripMargin
 
   /** 3-core of the co-mention graph
     * ([[graft.graph.Analytics.kCore]], k = 3): the dense backbone of

@@ -174,4 +174,33 @@ object Sampling {
       // (anchor, positive, draw, negative) contract
       .select(col(anchor), col(positive), col("draw"), col("negative"))
   }
+
+  /** Deterministic per-epoch shuffling — the training-data ordering
+    * pass: each epoch gets its OWN pseudorandom permutation of the
+    * corpus, reproducible under any partitioning and independent across
+    * epochs — rerunning epoch 3 on a different cluster replays
+    * byte-identical batch order, which is what makes training curves
+    * comparable. The permutation is sharded the way shuffled-shard
+    * writers actually lay data out: shard = first md5 byte of
+    * "epoch:key" (256 shards per epoch), `ord` ranks within the shard
+    * by (hash, key), and the epoch's total order is (shard, ord)
+    * lexicographically — so the rank window partitions by
+    * (epoch, shard) and per-reducer state is ONE shard, never the
+    * corpus (a bare per-epoch ordinal would be a single-reducer sort).
+    */
+  def epochOrder(df: DataFrame, key: Column, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(key.as("k"))
+      .crossJoin(broadcast((0 until epochs).toDF("epoch")))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("k").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("bigint"))
+    e.withColumn("ord", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(col("h"), col("k"))))
+      .select(col("epoch"), col("shard"), col("k"), col("ord"))
+  }
 }

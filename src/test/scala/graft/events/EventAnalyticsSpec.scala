@@ -185,6 +185,18 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(de25.subsetOf(de50))
   }
 
+  test("timeToConvert: firsts only, purchase-before-view and non-converting users excluded, same-instant counts as 0") {
+    val rows = Seq(
+      (1L, 100L, 1L, "view"), (2L, 50L, 1L, "view"),    // first view at 50
+      (3L, 300L, 1L, "purchase"), (4L, 400L, 1L, "purchase"),
+      (5L, 200L, 2L, "purchase"), (6L, 250L, 2L, "view"), // converted BEFORE first view
+      (7L, 10L, 3L, "view"),                             // never converts
+      (8L, 70L, 4L, "view"), (9L, 70L, 4L, "purchase"))  // same instant
+    val got = EventAnalytics.timeToConvert(ev(rows), "view", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 250000000L, 4L -> 0L))
+  }
+
   test("rfm: recency anchors at the corpus max, monetary is decimal-exact, quintiles split 2-2-1-1-1 over 7 users") {
     // user u's last event at day (7-u); values make monetary rank = id
     val rows = (1L to 7L).flatMap { u =>

@@ -141,4 +141,28 @@ class SamplingSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toMap
     assert(split.forall { case (k, s) => grown(k) == s })
   }
+
+  test("epochOrder: complete per-epoch permutations, contiguous shard ranks, epochs independent, repartition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 3000L).toDF("doc_id")
+    val ord = Sampling.epochOrder(docs, col("doc_id"), epochs = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // every (epoch, doc) appears exactly once
+    assert(ord.length === 6000)
+    assert(ord.map(t => (t._1, t._3)).distinct.length === 6000)
+    // within each (epoch, shard) ranks are contiguous 1..n
+    ord.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
+    }
+    // the two epochs produce genuinely different orders
+    val e0 = ord.filter(_._1 == 0).sortBy(t => (t._2, t._4)).map(_._3).toSeq
+    val e1 = ord.filter(_._1 == 1).sortBy(t => (t._2, t._4)).map(_._3).toSeq
+    assert(e0 !== e1)
+    // reproducible under a different partitioning
+    val re = Sampling.epochOrder(docs.repartition(17), col("doc_id"), 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(t => (t._1, t._2, t._4))
+    assert(re.toSeq === ord.sortBy(t => (t._1, t._2, t._4)).toSeq)
+  }
 }
