@@ -107,6 +107,7 @@ object SparkEntry {
     "qev11_time_to_convert" -> (DataOps.qev11TimeToConvert _),
     "qsp7_epoch_order" -> (DataOps.qsp7EpochOrder _),
     "qsk8_hll_by_type" -> (DataOps.qsk8HllByType _),
+    "qsk9_hll_overlap" -> (DataOps.qsk9HllOverlap _),
     "qkg25_community_graph" -> (KgOps.qkg25CommunityGraph _),
     "qsp4_splits" -> (DataOps.qsp4Splits _),
     "qsk1_hll_registers" -> (DataOps.qsk1HllRegisters _),
@@ -992,6 +993,44 @@ object SparkEntry {
         | CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
         |   AS m_score
         |FROM u ORDER BY user_id""".stripMargin,
+    // qsk9: HLL audience overlap — per-segment registers, union by MAX,
+    // raw estimates (bucket-ordered folds), inclusion–exclusion
+    "qsk9_hll_overlap" ->
+      """WITH vp AS (SELECT event_type AS tag,
+        |        md5(CAST(user_id AS VARCHAR)) AS h
+        |      FROM events WHERE event_type IN ('view', 'purchase')),
+        |p AS (SELECT tag,
+        |       CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS bucket,
+        |       ltrim(substring(h, 3, 15), '0') AS t FROM vp),
+        |rk AS (SELECT tag, bucket,
+        |        MAX(CAST(60 - length(t) * 4 +
+        |         CASE substring(t, 1, 1)
+        |          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |          WHEN '7' THEN 1 ELSE 0 END + 1 AS BIGINT)) AS r
+        |       FROM p GROUP BY 1, 2),
+        |un AS (SELECT 'union' AS tag, bucket, MAX(r) AS r FROM rk
+        |       GROUP BY bucket),
+        |allr AS (SELECT * FROM rk UNION ALL SELECT * FROM un),
+        |est AS (SELECT tag,
+        |        (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |           + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |         * CAST(65536.0 AS DOUBLE)
+        |         / ((CAST(256.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE))
+        |            + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                list_transform(list_sort(list({'b': bucket, 'r': r})),
+        |                  x -> power(CAST(2.0 AS DOUBLE),
+        |                    -CAST(x.r AS DOUBLE)))),
+        |                (a, b) -> a + b)) AS est
+        |        FROM allr GROUP BY tag),
+        |sel AS (SELECT
+        |    MAX(CASE WHEN tag = 'view' THEN est END) AS est_view,
+        |    MAX(CASE WHEN tag = 'purchase' THEN est END) AS est_purchase,
+        |    MAX(CASE WHEN tag = 'union' THEN est END) AS est_union
+        |  FROM est)
+        |SELECT est_view, est_purchase, est_union,
+        | est_view + est_purchase - est_union AS est_overlap
+        |FROM sel""".stripMargin,
     // qsk8: per-group HLL registers — qsk1's arithmetic with the
     // event_type dimension prefixed
     "qsk8_hll_by_type" ->

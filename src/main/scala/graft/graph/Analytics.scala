@@ -831,13 +831,8 @@ object Analytics {
     val e = edges.toDF("src", "dst").distinct().persist()
     val ids = nodes.toDF("id").persist()
     try {
-      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-      val sumPow = aggregate(
-        array_sort(collect_list(struct(col("bucket"), col("r")))),
-        lit(0.0),
-        (acc, x) => acc + pow(lit(2.0), -x.getField("r").cast("double")))
-      val estCol = alpha * lit(65536.0) /
-        ((lit(256.0) - count(lit(1)).cast("double")) + sumPow)
+      val estCol = graft.sketch.Sketches
+        .rawEstimateCol(col("bucket"), col("r"))
       val ests = ballRounds(e, ids, maxHops).zipWithIndex.map {
         case (reg, t) =>
           reg.groupBy("id").agg(estCol.as("est"))

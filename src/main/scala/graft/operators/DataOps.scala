@@ -218,6 +218,32 @@ object DataOps {
         .select(col("event_type"), col("user_id")),
       group = "event_type", key = "user_id")
 
+  /** HLL audience overlap by inclusion–exclusion: distinct viewers,
+    * distinct purchasers, their union sketch (register MAX), and
+    * overlap = a + b − union — the cross-segment audience arithmetic
+    * HLL supports WITHOUT storing pairs (intersections aren't
+    * mergeable; inclusion–exclusion over union sketches is the standard
+    * workaround). Raw estimator → every double engine-reproducible; see
+    * [[graft.sketch.Sketches.rawEstimateCol]].
+    */
+  def qsk9HllOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sketch.Sketches
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("user_id"))
+    def regs(t: String) = Sketches.hllRegisters(
+      ev.filter(col("event_type") === t).select(col("user_id")), "user_id")
+    def est(df: DataFrame, name: String) =
+      df.agg(Sketches.rawEstimateCol(col("bucket"), col("max_rank"))
+        .as(name))
+    val a = regs("view")
+    val b = regs("purchase")
+    val u = Sketches.hllMerge(Seq(a, b))
+    est(a, "est_view").crossJoin(est(b, "est_purchase"))
+      .crossJoin(est(u, "est_union"))
+      .withColumn("est_overlap",
+        col("est_view") + col("est_purchase") - col("est_union"))
+  }
+
   /** HLL mergeability as data: two half-corpus register tables (even /
     * odd doc_ids) merged by elementwise MAX must equal the whole-corpus
     * sketch — the distributed-combine property; see

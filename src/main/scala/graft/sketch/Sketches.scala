@@ -35,6 +35,24 @@ object Sketches {
       .agg(max(col("rank")).as("max_rank"), count(lit(1)).as("n_keys"))
       .orderBy("bucket")
 
+  /** RAW HLL estimator as an aggregate Column over register rows
+    * (bucketCol, rankCol): α·m² / ((m − occupied) + Σ 2^(−rank)) with
+    * NO bias/linear-counting corrections — the declared semantics that
+    * keeps every float step engine-reproducible (2^(−r) are exact
+    * powers of two, the register sum folds in bucket order, α is the
+    * same literal expression in any engine). Shared by the HyperBall
+    * centralities and the overlap estimates.
+    */
+  def rawEstimateCol(bucketCol: Column, rankCol: Column): Column = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val sumPow = aggregate(
+      array_sort(collect_list(struct(bucketCol.as("b"), rankCol.as("r")))),
+      lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), -x.getField("r").cast("double")))
+    alpha * lit(65536.0) /
+      ((lit(256.0) - count(lit(1)).cast("double")) + sumPow)
+  }
+
   /** Per-group [[hllRegisters]] — approximate COUNT(DISTINCT key) per
     * dimension value as mergeable sketch state (the "distinct users per
     * day/segment/source" workhorse): one ≤ 256-register table per group

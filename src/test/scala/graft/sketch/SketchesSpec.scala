@@ -52,6 +52,22 @@ class SketchesSpec extends SparkSpecBase {
         rows.filter(_._1 == s"g$gi").map(_._2).toDF("k"), "k").count()).sum)
   }
 
+  test("rawEstimateCol + inclusion-exclusion recovers a planted overlap within sketch error") {
+    import org.apache.spark.sql.functions.col
+    val a = Sketches.hllRegisters((1L to 1000L).toDF("k"), "k")
+    val b = Sketches.hllRegisters((501L to 1500L).toDF("k"), "k")
+    val u = Sketches.hllMerge(Seq(a, b))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(Sketches.rawEstimateCol(col("bucket"), col("max_rank")))
+        .head().getDouble(0)
+    val (ea, eb, eu) = (est(a), est(b), est(u))
+    assert(math.abs(ea - 1000.0) / 1000.0 < 0.15, s"est_a $ea")
+    assert(math.abs(eu - 1500.0) / 1500.0 < 0.15, s"est_u $eu")
+    val overlap = ea + eb - eu
+    // 256-bucket raw estimator: overlap error compounds three sketches
+    assert(math.abs(overlap - 500.0) < 250.0, s"overlap $overlap")
+  }
+
   test("hllRegisters: duplicates cannot move a register") {
     val once = Sketches.hllRegisters((0L until 500L).toDF("k"), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
