@@ -106,6 +106,7 @@ object SparkEntry {
     "qev10_rfm" -> (DataOps.qev10Rfm _),
     "qev11_time_to_convert" -> (DataOps.qev11TimeToConvert _),
     "qsp7_epoch_order" -> (DataOps.qsp7EpochOrder _),
+    "qsp8_token_budget" -> (DataOps.qsp8TokenBudget _),
     "qsk8_hll_by_type" -> (DataOps.qsk8HllByType _),
     "qsk9_hll_overlap" -> (DataOps.qsk9HllOverlap _),
     "qkg25_community_graph" -> (KgOps.qkg25CommunityGraph _),
@@ -959,6 +960,26 @@ object SparkEntry {
         |      FROM events GROUP BY 1) t
         |WHERE first_from_us IS NOT NULL AND first_to_us >= first_from_us
         |ORDER BY user_id""".stripMargin,
+    // qsp8: token-budget mixture — the two-level prefix sum equals a
+    // naive per-stratum running total under the (shard, h, key) order,
+    // which is what the oracle states; boundary doc included
+    "qsp8_token_budget" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    md5(lang || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |b(lang, budget) AS (VALUES ('en', 40000), ('de', 15000),
+        |                           ('es', 100000000)),
+        |s AS (SELECT d.*, b.budget,
+        |    CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS shard
+        |  FROM d JOIN b USING (lang)),
+        |c AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY lang
+        |    ORDER BY shard, h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    CAST(0 AS BIGINT)) AS cum_before FROM s)
+        |SELECT lang, doc_id, n AS n_tokens, cum_before
+        |FROM c WHERE cum_before < budget
+        |ORDER BY lang, doc_id""".stripMargin,
     // qsp7: per-epoch shuffled order — shard = first md5 byte, rank
     // within (epoch, shard) by (hash, key)
     "qsp7_epoch_order" ->

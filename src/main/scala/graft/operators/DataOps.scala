@@ -306,6 +306,22 @@ object DataOps {
     graft.events.EventAnalytics.timeToConvert(
       graft.events.Sessionize.events(spark, sfDir), "view", "purchase")
 
+  /** Token-budget mixture sample: en capped at 40k tokens, de at 15k,
+    * es uncapped (budget above its total — keep-all edge), fr/zh absent
+    * from the recipe (dropped); see
+    * [[graft.sample.Sampling.tokenBudgetSample]].
+    */
+  def qsp8TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sample.Sampling.tokenBudgetSample(
+        TextStats.docs(spark, sfDir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        stratum = "lang", key = col("doc_id"), tokens = col("n_tok"),
+        budgets = Map("en" -> 40000L, "de" -> 15000L, "es" -> 100000000L))
+      .select(col("lang"), col("k").as("doc_id"), col("n_tokens"),
+        col("cum_before"))
+      .orderBy("lang", "doc_id")
+
   /** Deterministic per-epoch shuffled ordering (2 epochs, 256 shards):
     * the reproducible training-batch order; see
     * [[graft.sample.Sampling.epochOrder]].

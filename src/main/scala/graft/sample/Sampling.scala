@@ -175,6 +175,56 @@ object Sampling {
       .select(col(anchor), col(positive), col("draw"), col("negative"))
   }
 
+  /** Token-budget mixture sampling — the LLM data-recipe primitive:
+    * each stratum gets a TOKEN budget (not a doc count or rate), and
+    * the sampler keeps its documents in deterministic content-hash
+    * order until the budget is reached (the boundary doc — the first
+    * whose preceding cumulative tokens are still under budget — is
+    * included, so every stratum overshoots by less than one document).
+    * Strata absent from the budget map are DROPPED ([[mixByRates]]'s
+    * allowlist semantics); a budget above the stratum's total keeps it
+    * whole. Unlike [[hashSample]], the kept set is budget-exact rather
+    * than growth-stable — the trade a mixture recipe wants.
+    *
+    * Scale shape — a two-level distributed prefix sum, because a naive
+    * per-stratum running total would sort a corpus-sized stratum on one
+    * reducer: docs shard by their first hash byte (256 shards per
+    * stratum); within-shard prefix sums run in parallel (reducer state
+    * = one shard); shard TOTALS (≤ 256 rows per stratum) take a tiny
+    * second-level prefix; global position = shard prefix + within-shard
+    * prefix, under the total order (shard, hash, key).
+    */
+  def tokenBudgetSample(docs: DataFrame, stratum: String, key: Column,
+                        tokens: Column,
+                        budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "empty budget map")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = md5(concat(col(stratum), lit(":"), key.cast("string")))
+    val base = docs
+      .select(col(stratum).as("s"), key.as("k"),
+        tokens.cast("long").as("n"), h.as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("bigint"))
+      .join(broadcast(budgets.toSeq.toDF("s", "budget")), Seq("s"))
+    val wIn = Window.partitionBy("s", "shard").orderBy(col("h"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = base.withColumn("cum_in_shard",
+      coalesce(sum(col("n")).over(wIn), lit(0L)))
+    val wShard = Window.partitionBy("s").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardPrefix = base.groupBy("s", "shard")
+      .agg(sum(col("n")).as("t"))
+      .withColumn("pfx", coalesce(sum(col("t")).over(wShard), lit(0L)))
+      .select(col("s"), col("shard"), col("pfx"))
+    within.join(shardPrefix, Seq("s", "shard"))
+      .withColumn("cum_before", col("pfx") + col("cum_in_shard"))
+      .filter(col("cum_before") < col("budget"))
+      .select(col("s").as(stratum), col("k"), col("n").as("n_tokens"),
+        col("cum_before"))
+  }
+
   /** Deterministic per-epoch shuffling — the training-data ordering
     * pass: each epoch gets its OWN pseudorandom permutation of the
     * corpus, reproducible under any partitioning and independent across

@@ -142,6 +142,42 @@ class SamplingSpec extends SparkSpecBase {
     assert(split.forall { case (k, s) => grown(k) == s })
   }
 
+  test("tokenBudgetSample: budget-exact with boundary doc, keep-all above total, absent strata dropped, two-level ≡ naive prefix") {
+    import org.apache.spark.sql.functions.col
+    val docs = ((1L to 400L).map(i => (i, "en", 10L + i % 7)) ++
+      (1000L to 1050L).map(i => (i, "de", 20L)) ++
+      (2000L to 2020L).map(i => (i, "fr", 5L)))
+      .toDF("doc_id", "lang", "n_tok")
+    val budgets = Map("en" -> 1000L, "de" -> 100000L)
+    val kept = Sampling.tokenBudgetSample(docs, "lang", col("doc_id"),
+        col("n_tok"), budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // fr absent from the recipe → dropped entirely
+    assert(!kept.exists(_._1 == "fr"))
+    // de budget above total → every de doc kept
+    assert(kept.count(_._1 == "de") === 51)
+    // en: boundary semantics — total kept ≥ budget, minus the last doc < budget
+    val en = kept.filter(_._1 == "en")
+    val enTotal = en.map(_._3).sum
+    assert(enTotal >= 1000L, s"$enTotal")
+    assert(enTotal - en.maxBy(_._4)._3 < 1000L, s"$enTotal")
+    // two-level prefix equals the naive per-stratum running total under
+    // the (shard, hash, key) order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val naive = (1L to 400L).map { i =>
+      val h = md5hex(s"en:$i")
+      (java.lang.Long.parseLong(h.substring(0, 2), 16), h, i, 10L + i % 7)
+    }.sortBy(t => (t._1, t._2, t._3))
+      .scanLeft((0L, 0L, 0L)) { case ((cum, _, _), (_, _, i, n)) =>
+        (cum + n, i, n) }
+      .sliding(2).collect { case Seq((cum, _, _), (_, i, n))
+        if cum < 1000L => (i, n, cum) }.toSeq
+    assert(en.map(t => (t._2, t._3, t._4)).sortBy(_._1) ===
+      naive.map(t => (t._1, t._2, t._3)).sortBy(_._1))
+  }
+
   test("epochOrder: complete per-epoch permutations, contiguous shard ranks, epochs independent, repartition-invariant") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 3000L).toDF("doc_id")
