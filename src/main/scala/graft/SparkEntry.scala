@@ -973,10 +973,10 @@ object SparkEntry {
         |s AS (SELECT d.*, b.budget,
         |    CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS shard
         |  FROM d JOIN b USING (lang)),
-        |c AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY lang
+        |c AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang
         |    ORDER BY shard, h, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |    CAST(0 AS BIGINT)) AS cum_before FROM s)
+        |    0) AS BIGINT) AS cum_before FROM s)
         |SELECT lang, doc_id, n AS n_tokens, cum_before
         |FROM c WHERE cum_before < budget
         |ORDER BY lang, doc_id""".stripMargin,

@@ -235,8 +235,11 @@ object DataOps {
     def est(df: DataFrame, name: String) =
       df.agg(Sketches.rawEstimateCol(col("bucket"), col("max_rank"))
         .as(name))
-    val a = regs("view")
-    val b = regs("purchase")
+    // eager checkpoint: each sketch is ≤ 256 rows but its LINEAGE ends
+    // in a full events scan — est() and the merge would otherwise
+    // re-execute it (4 scans per query)
+    val a = regs("view").localCheckpoint(true)
+    val b = regs("purchase").localCheckpoint(true)
     val u = Sketches.hllMerge(Seq(a, b))
     est(a, "est_view").crossJoin(est(b, "est_purchase"))
       .crossJoin(est(u, "est_union"))
@@ -315,7 +318,7 @@ object DataOps {
     graft.sample.Sampling.tokenBudgetSample(
         TextStats.docs(spark, sfDir)
           .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast("long").as("n_tok")),
+            TextStats.nTokensCol(col("text")).as("n_tok")),
         stratum = "lang", key = col("doc_id"), tokens = col("n_tok"),
         budgets = Map("en" -> 40000L, "de" -> 15000L, "es" -> 100000000L))
       .select(col("lang"), col("k").as("doc_id"), col("n_tokens"),

@@ -597,10 +597,12 @@ object KgOps {
   def qkg25CommunityGraph(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, res) = pipelineFor(spark, sfDir)
     val nodes = res.canonical.select(col("canonical_id")).distinct()
+    // one pair generation for both consumers (LPA + the contraction)
+    val pairs = comentionPairs(res)
     val labels = graft.graph.Analytics
-      .labelPropagation(comentionPairs(res), nodes, iterations = 3)
+      .labelPropagation(pairs, nodes, iterations = 3)
       .select(col("id"), col("label"))
-    val eg = comentionPairs(res).distinct()
+    val eg = pairs.distinct()
     eg.join(labels.select(col("id").as("u"), col("label").as("la")), "u")
       .join(labels.select(col("id").as("v"), col("label").as("lb")), "v")
       .select(least(col("la"), col("lb")).as("comm_a"),

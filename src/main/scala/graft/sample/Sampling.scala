@@ -198,7 +198,6 @@ object Sampling {
                         tokens: Column,
                         budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "empty budget map")
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     val h = md5(concat(col(stratum), lit(":"), key.cast("string")))
@@ -240,7 +239,6 @@ object Sampling {
     */
   def epochOrder(df: DataFrame, key: Column, epochs: Int): DataFrame = {
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val e = df.select(key.as("k"))

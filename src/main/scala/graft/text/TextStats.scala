@@ -14,12 +14,20 @@ object TextStats {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
 
+  /** THE whitespace-token-count column — the single tokenization proxy
+    * shared by every token-counting operator (qtx1, BM25's dl, vocab
+    * growth, the token-budget sampler), so the contract can only change
+    * in one place.
+    */
+  def nTokensCol(text: Column): Column =
+    size(split(text, " ")).cast("bigint")
+
   /** Whitespace token counts + char stats — the BPE-ish proxy for token
     * budgeting. Pure integer outputs so any engine reproduces them.
     */
   def tokenCounts(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      nTokensCol(col("text")).as("n_tokens"),
       length(col("text")).cast("bigint").as("n_chars"),
       size(array_distinct(split(col("text"), " "))).cast("bigint").as("n_distinct_tokens"))
       .orderBy("doc_id")
@@ -461,8 +469,7 @@ object TextStats {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
     val offsets = d
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n"))
+      .select(col("doc_id"), nTokensCol(col("text")).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
     val firsts = d
       .select(col("doc_id"),
@@ -713,8 +720,7 @@ object TextStats {
   def bm25(d: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty && topK > 0, "empty query or topK")
-    val dl = d.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
+    val dl = d.select(col("doc_id"), nTokensCol(col("text")).as("dl"))
     val corpus = dl.agg(count(lit(1)), sum(col("dl"))).head()
     val n = corpus.getLong(0)
     val avgdl = corpus.getLong(1).toDouble / n.toDouble
