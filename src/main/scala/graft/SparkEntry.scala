@@ -134,6 +134,8 @@ object SparkEntry {
     "qtx17_segment_dedup" -> (DataOps.qtx17SegmentDedup _),
     "qtx18_bpe_merges" -> (DataOps.qtx18BpeMerges _),
     "qtx19_vocab_growth" -> (DataOps.qtx19VocabGrowth _),
+    "qtx20_source_profile" -> (DataOps.qtx20SourceProfile _),
+    "qkg26_squares" -> (KgOps.qkg26Squares _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
     "qtx15_lm_score" -> (DataOps.qtx15LmScore _),
@@ -1329,6 +1331,22 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // qtx18: 3 unrolled BPE merge iterations (see bpeOracle)
     "qtx18_bpe_merges" -> bpeOracle(3),
+    // qtx20: per-source profile — counts + dominant-language argmax
+    "qtx20_source_profile" ->
+      """WITH p AS (SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       COUNT(DISTINCT lang) AS n_langs
+        |      FROM documents GROUP BY 1),
+        |lc AS (SELECT source, lang, COUNT(*) AS c FROM documents
+        |       GROUP BY 1, 2),
+        |t AS (SELECT source, lang AS top_lang, c AS top_lang_docs,
+        |       ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY c DESC, lang) AS rn FROM lc)
+        |SELECT p.source, n_docs, n_tokens, n_langs, top_lang, top_lang_docs
+        |FROM p JOIN t ON t.source = p.source AND t.rn = 1
+        |ORDER BY p.source""".stripMargin,
+    // qkg26: square counts — qkg16's wedge algebra + C(c,2) integer div
+    "qkg26_squares" -> KgOps.squaresOracle,
     // qtx19: Heaps vocabulary growth — global token order via doc-table
     // cumulative offsets, per-term MIN first position, checkpoint counts
     "qtx19_vocab_growth" ->

@@ -390,6 +390,21 @@ object Analytics {
     } finally und.unpersist(): Unit
   }
 
+  /** Square (4-cycle) counts per diagonal pair — the motif one step up
+    * from triangles: a pair (a, b) sharing c common neighbors closes
+    * C(c, 2) squares through them (each square is counted once per
+    * diagonal; halve the global sum for distinct squares). Squares are
+    * the bipartite-core signal — high square density with few
+    * triangles marks two-mode structure (pages⇄entities, spam farms).
+    * Same capped wedge machinery as [[neighborJaccard]] (a shared
+    * neighbor above `maxHubDegree` mediates nothing), integer-exact.
+    */
+  def squareCounts(edges: DataFrame, maxHubDegree: Int): DataFrame =
+    neighborJaccard(edges, maxHubDegree)
+      .filter(col("common_cnt") >= 2)
+      .select(col("entity_a"), col("entity_b"), col("common_cnt"),
+        expr("common_cnt * (common_cnt - 1) div 2").as("n_squares"))
+
   /** Adamic–Adar link prediction ("Friends and neighbors on the Web",
     * Adamic & Adar 2003) over the same undirected neighbor sets as
     * [[neighborJaccard]]: score(a,b) = Σ_z 1/ln(deg z) over common

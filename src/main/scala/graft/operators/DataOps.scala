@@ -504,6 +504,14 @@ object DataOps {
   def qtx17SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.segmentDedup(Dedup.corpusWithCopies(spark, sfDir))
 
+  /** Per-source corpus profile over the documents table's `source`
+    * dimension; see [[TextStats.sourceProfile]].
+    */
+  def qtx20SourceProfile(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.sourceProfile(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("lang"), col("text")))
+
   /** Vocabulary growth curve at fixed token checkpoints under the
     * canonical (doc_id, position) global order — the Heaps'-law
     * profile; see [[TextStats.vocabGrowth]].

@@ -491,6 +491,40 @@ object KgOps {
       .orderBy("entity_a", "entity_b")
   }
 
+  /** Square (4-cycle) counts per diagonal pair over the triple graph
+    * ([[graft.graph.Analytics.squareCounts]], same edges and hub cap as
+    * qkg16) — the two-mode-structure motif signal next to qkg9's
+    * triangles.
+    */
+  def qkg26Squares(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    graft.graph.Analytics.squareCounts(edges, maxHubDegree = 8)
+      .orderBy("entity_a", "entity_b")
+  }
+
+  /** DuckDB oracle for qkg26: the qkg16 wedge algebra, filtered to
+    * pairs with ≥ 2 capped common neighbors, C(c, 2) via integer div.
+    */
+  def squaresOracle: String =
+    s"""$tripleCte,
+       |eg AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS u,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS v FROM cz),
+       |und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |        FROM eg WHERE u <> v),
+       |adj AS (SELECT a AS x, b AS nbr FROM und
+       |        UNION ALL SELECT b AS x, a AS nbr FROM und),
+       |deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY 1),
+       |cnt AS (SELECT x AS nbr FROM deg WHERE d <= 8),
+       |w AS (SELECT l.x AS a, r.x AS b, COUNT(*) AS common_cnt
+       |      FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.x < r.x
+       |      JOIN cnt c ON c.nbr = l.nbr
+       |      GROUP BY 1, 2)
+       |SELECT a AS entity_a, b AS entity_b, common_cnt,
+       |  common_cnt * (common_cnt - 1) // 2 AS n_squares
+       |FROM w WHERE common_cnt >= 2
+       |ORDER BY entity_a, entity_b""".stripMargin
+
   /** DuckDB oracle for qkg23: the qkg16 adjacency/degree/wedge algebra
     * plus the staged ExactMath ln over each capped neighbor's degree and
     * the sorted per-pair fold — every double bit-matches.

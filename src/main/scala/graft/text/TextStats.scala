@@ -397,6 +397,29 @@ object TextStats {
     regexp_replace(noUtm, s"^($scheme://[^/?#]*)/($$|\\?)", "$1$2")
   }
 
+  /** Per-source corpus profile — the per-domain report crawl curation
+    * reads before setting mixture rates ([[graft.sample.Sampling
+    * .mixByRates]]/[[graft.sample.Sampling.tokenBudgetSample]] budgets
+    * come from exactly this table): doc and token counts, language
+    * spread, and the dominant language (count desc, lang tiebreak) per
+    * source. Two map-side-combinable aggregates + a per-source argmax
+    * window whose state is one source's language set.
+    */
+  def sourceProfile(d: DataFrame): DataFrame = {
+    val per = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTokensCol(col("text"))).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val langCounts = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("lang"))
+    val top = langCounts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_lang_docs"))
+    per.join(top, "source").orderBy("source")
+  }
+
   /** Cross-document segment-level dedup — the C4/CCNet pass that removes
     * REPEATED SPANS (boilerplate, licence blocks, mirrored paragraphs)
     * from otherwise-distinct documents, where document-level dedup

@@ -477,6 +477,28 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("squareCounts: C(common,2) per diagonal; the 4-cycle K_{2,2} yields one square per diagonal") {
+    // K_{2,2}: a,b on one side, x,y on the other — squares through
+    // diagonal (a,b): C(2,2)=1; through (x,y): 1; adjacent pairs share
+    // 0 or 1 neighbors → absent
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    val got = Analytics.squareCounts(edges.toDF("u", "v"), maxHubDegree = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(("a", "b") -> ((2L, 1L)), ("x", "y") -> ((2L, 1L))))
+    // parity with the jaccard reference's common counts on random graphs
+    val rnd = new scala.util.Random(59)
+    val n = 10
+    val redges = (0 until 30).map(_ =>
+      (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+    val sq = Analytics.squareCounts(redges.toDF("u", "v"), 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    val want = refJaccard(redges, 5).filter(_._3 >= 2)
+      .map(t => (t._1, t._2) -> t._3 * (t._3 - 1) / 2).toMap
+    assert(sq === want)
+  }
+
   test("adamicAdar: rarer shared neighbors outweigh busier ones; capped hubs contribute nothing") {
     // x,y share z2 (deg 2); p,q share z6 (deg 6, via 4 spokes); both
     // pair scores are single-neighbor sums → 1/ln(2) > 1/ln(6)

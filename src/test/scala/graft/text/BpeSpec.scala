@@ -41,6 +41,20 @@ class BpeSpec extends SparkSpecBase {
     assert(TextStats.bpeMerges(docs, iterations = 3).count() === 0)
   }
 
+  test("sourceProfile: counts, language spread, and dominant language with count-then-lang tie order") {
+    val docs = Seq(
+      (0L, "s1", "en", "a b c"), (1L, "s1", "en", "d e"),
+      (2L, "s1", "de", "f g h i"),
+      // s2: en and de tie at 1 doc each → 'de' wins lexicographically
+      (3L, "s2", "en", "x"), (4L, "s2", "de", "y z"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = TextStats.sourceProfile(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    assert(got("s1") === ((3L, 9L, 2L, "en", 2L)))
+    assert(got("s2") === ((2L, 3L, 2L, "de", 1L)))
+  }
+
   test("vocabGrowth: first-occurrence positions follow the (doc_id, position) global order") {
     val docs = Seq((0L, "a b a"), (1L, "c a d")).toDF("doc_id", "text")
     // global positions: a=1 b=2 (doc0), c=4 d=6 (doc1 offset 3)
