@@ -145,6 +145,7 @@ object SparkEntry {
     "qsp3_mix_rates" -> (DataOps.qsp3MixRates _),
     "qann1_topk" -> (DataOps.qann1TopK _),
     "qann2_pairs_above" -> (DataOps.qann2PairsAbove _),
+    "qann9_filtered_topk" -> (DataOps.qann9FilteredTopK _),
     "qann3_lsh_topk" -> (DataOps.qann3LshTopK _),
     "qann4_ivf_topk" -> (DataOps.qann4IvfTopK _),
     "qann6_pq_codes" -> (DataOps.qann6PqCodes _),
@@ -1618,6 +1619,21 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |      FROM s)
         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // qann9: filtered search — the label predicate joins BEFORE ranking
+    "qann9_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        c.label, list_cosine_similarity(q.v, c.v) AS cos
+        |      FROM e q JOIN e c
+        |        ON c.vec_id <> q.vec_id AND c.label = q.label
+        |      WHERE q.vec_id < 20),
+        |r AS (SELECT query_id, neighbor_id, label,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, label FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "qann2_pairs_above" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -59,6 +59,37 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** FILTERED vector search — exact top-k restricted to corpus vectors
+    * sharing the query's `label` (search-within-tenant/category, the
+    * metadata-constrained ANN every production vector store exposes as
+    * "filtered search"): the predicate applies BEFORE ranking, so k is
+    * k MATCHING neighbors, never k-then-filter (which silently returns
+    * fewer). Same broadcast-queries shape as [[bruteForceTopK]]; at
+    * scale, a label-partitioned corpus turns the equality predicate
+    * into partition pruning — the scan never touches other labels.
+    */
+  def filteredTopK(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                   k: Int): DataFrame = {
+    import graft.functions.VecOps.fvecDot
+    val embN = emb.withColumn("_nrm",
+      sqrt(fvecDot(col("embedding"), col("embedding"))))
+    val q = embN.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("_nrm").as("_qnrm"), col("label").as("_qlabel"))
+    val joined = embN.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("label") === col("_qlabel"))
+      .withColumn("cos",
+        fvecDot(col("qv"), col("embedding")) / (col("_qnrm") * col("_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Pairs with cosine ≥ threshold (brute-force; the exact near-dup
     * baseline for embedding-space dedup). `sorted=false` skips the
     * terminal presentation sort — a full shuffle-sort of the n²/2 pair

@@ -605,6 +605,15 @@ object DataOps {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"),
         col("neighbor_id"))
 
+  /** Filtered vector search — top-5 restricted to the query's own
+    * label (k matching neighbors, never k-then-filter); see
+    * [[Knn.filteredTopK]].
+    */
+  def qann9FilteredTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Knn.filteredTopK(spark, Knn.embeddings(spark, sfDir), annQueryIds, annK)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"), col("label"))
+
   def qann2PairsAbove(spark: SparkSession, sfDir: String): DataFrame =
     Knn.pairsAbove(spark, Knn.embeddings(spark, sfDir), 0.42)
 

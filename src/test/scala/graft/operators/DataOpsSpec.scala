@@ -41,6 +41,29 @@ class DataOpsSpec extends SparkSpecBase {
       s"missed ${missedNear.size} of ${plantedNear.size} planted near copies")
   }
 
+  test("filteredTopK: every neighbor shares the query's label, ranking agrees with brute force restricted to that label") {
+    val emb = Knn.embeddings(spark, sf1)
+    val qids = (0L until 10L)
+    val labels = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Knn.filteredTopK(spark, emb, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.forall { case (q, _, _, l) => l == labels(q) })
+    // parity: the filtered ranking equals brute force over the
+    // label-restricted corpus, per query
+    qids.foreach { q =>
+      val sub = emb.filter(col("label") === labels(q) ||
+        col("vec_id") === q)
+      val bf = Knn.bruteForceTopK(spark, sub, Seq(q), 5)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+      val mine = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      // brute force over the restricted corpus may include the query's
+      // own label-mates only — identical set and order expected
+      assert(mine === bf.filter(id => id != q), s"query $q")
+    }
+  }
+
   test("LSH ANN: recall@5 >= 0.7 vs brute force, and bucket probing shrinks candidates") {
     val emb = Knn.embeddings(spark, sf1)
     val qids = (0L until 20L)
