@@ -136,6 +136,7 @@ object SparkEntry {
     "qtx19_vocab_growth" -> (DataOps.qtx19VocabGrowth _),
     "qtx20_source_profile" -> (DataOps.qtx20SourceProfile _),
     "qkg26_squares" -> (KgOps.qkg26Squares _),
+    "qkg27_katz" -> (KgOps.qkg27Katz _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
     "qtx14_bm25" -> (DataOps.qtx14Bm25 _),
     "qtx15_lm_score" -> (DataOps.qtx15LmScore _),
@@ -1348,6 +1349,8 @@ object SparkEntry {
         |ORDER BY p.source""".stripMargin,
     // qkg26: square counts — qkg16's wedge algebra + C(c,2) integer div
     "qkg26_squares" -> KgOps.squaresOracle,
+    // qkg27: truncated Katz — integer path counts, dyadic damping
+    "qkg27_katz" -> KgOps.katzOracle,
     // qtx19: Heaps vocabulary growth — global token order via doc-table
     // cumulative offsets, per-term MIN first position, checkpoint counts
     "qtx19_vocab_growth" ->

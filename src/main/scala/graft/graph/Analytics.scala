@@ -390,6 +390,38 @@ object Analytics {
     } finally und.unpersist(): Unit
   }
 
+  /** Hop-bounded Katz influence — Σ_{l=1..3} β^l · (# directed paths of
+    * length l from v): the truncated Katz centrality (the bound is the
+    * semantics — no spectral-radius convergence precondition, and path
+    * counts stay integer-exact). With a DYADIC β (0.5 by default) every
+    * β^l·count product is exact IEEE and the three-term sum adds in
+    * fixed l order, so the score is bit-reproducible cross-engine.
+    * Path counts compose by two join-aggregates (c_{l+1}(v) = Σ over
+    * out-edges of c_l(u)) — map-side combinable, a Zipf-head's
+    * contributions pre-reduce; counts must stay under 2⁶³ (documented:
+    * at web scale use more hops only with the salted-fold discipline).
+    */
+  def katzBounded(edges: DataFrame, nodes: DataFrame,
+                  beta: Double = 0.5): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct()
+    val c1 = e.groupBy("src").agg(count(lit(1)).as("c1"))
+    val c2 = e.join(c1.withColumnRenamed("src", "dst"), "dst")
+      .groupBy("src").agg(sum("c1").as("c2"))
+    val c3 = e.join(c2.withColumnRenamed("src", "dst"), "dst")
+      .groupBy("src").agg(sum("c2").as("c3"))
+    nodes.toDF("id")
+      .join(c1.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(c2.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(c3.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c3"), lit(0L)).as("c3"))
+      .withColumn("katz",
+        lit(beta) * col("c1") + lit(beta * beta) * col("c2") +
+          lit(beta * beta * beta) * col("c3"))
+  }
+
   /** Square (4-cycle) counts per diagonal pair — the motif one step up
     * from triangles: a pair (a, b) sharing c common neighbors closes
     * C(c, 2) squares through them (each square is counted once per

@@ -503,6 +503,48 @@ object KgOps {
       .orderBy("entity_a", "entity_b")
   }
 
+  /** Truncated Katz influence (β = 0.5, ≤ 3 hops) over the DIRECTED
+    * triple graph ([[graft.graph.Analytics.katzBounded]]) — integer
+    * path counts, dyadic damping, bit-exact doubles.
+    */
+  def qkg27Katz(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, res) = pipelineFor(spark, sfDir)
+    val edges = res.triples.select(col("subj"), col("obj")).distinct()
+    val nodes = res.canonical.select(col("canonical_id")).distinct()
+    graft.graph.Analytics.katzBounded(edges, nodes)
+      .select(col("id").as("entity_id"), col("c1"), col("c2"), col("c3"),
+        col("katz"))
+      .orderBy("entity_id")
+  }
+
+  /** DuckDB oracle for qkg27: two unrolled path-count join-aggregates
+    * + the same dyadic three-term sum.
+    */
+  def katzOracle: String =
+    s"""$tripleCte,
+       |eg AS (SELECT DISTINCT 'e' || lpad(CAST(cs AS VARCHAR), 4, '0') AS src,
+       |        'e' || lpad(CAST(co AS VARCHAR), 4, '0') AS dst FROM cz),
+       |nodes AS (SELECT 'e' || lpad(CAST(k AS VARCHAR), 4, '0') AS id
+       |          FROM range(800) t(k)),
+       |c1 AS (SELECT src, COUNT(*) AS c1 FROM eg GROUP BY 1),
+       |c2 AS (SELECT e.src, CAST(SUM(c1.c1) AS BIGINT) AS c2
+       |       FROM eg e JOIN c1 ON c1.src = e.dst GROUP BY 1),
+       |c3 AS (SELECT e.src, CAST(SUM(c2.c2) AS BIGINT) AS c3
+       |       FROM eg e JOIN c2 ON c2.src = e.dst GROUP BY 1)
+       |SELECT n.id AS entity_id,
+       |  COALESCE(c1.c1, CAST(0 AS BIGINT)) AS c1,
+       |  COALESCE(c2.c2, CAST(0 AS BIGINT)) AS c2,
+       |  COALESCE(c3.c3, CAST(0 AS BIGINT)) AS c3,
+       |  CAST(0.5 AS DOUBLE) * COALESCE(c1.c1, CAST(0 AS BIGINT))
+       |   + CAST(0.25 AS DOUBLE) * COALESCE(c2.c2, CAST(0 AS BIGINT))
+       |   + CAST(0.125 AS DOUBLE) * COALESCE(c3.c3, CAST(0 AS BIGINT))
+       |   AS katz
+       |FROM nodes n
+       |LEFT JOIN c1 ON c1.src = n.id
+       |LEFT JOIN c2 ON c2.src = n.id
+       |LEFT JOIN c3 ON c3.src = n.id
+       |ORDER BY entity_id""".stripMargin
+
   /** DuckDB oracle for qkg26: the qkg16 wedge algebra, filtered to
     * pairs with ≥ 2 capped common neighbors, C(c, 2) via integer div.
     */

@@ -477,6 +477,21 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("katzBounded: path counts on a chain and a diamond match by hand; isolated nodes score 0") {
+    // chain a->b->c->d: c1(a)=1,c2(a)=1,c3(a)=1; diamond x->{y,z}->w
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("x", "y"), ("x", "z"), ("y", "w"), ("z", "w"))
+    val nodes = Seq("a", "b", "c", "d", "x", "y", "z", "w", "iso")
+    val got = Analytics.katzBounded(edges.toDF("u", "v"), nodes.toDF("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((1L, 1L, 1L, 0.5 * 1 + 0.25 * 1 + 0.125 * 1)))
+    assert(got("b") === ((1L, 1L, 0L, 0.75)))
+    assert(got("x") === ((2L, 2L, 0L, 1.5)))
+    assert(got("y") === ((1L, 0L, 0L, 0.5)))
+    assert(got("iso") === ((0L, 0L, 0L, 0.0)))
+  }
+
   test("squareCounts: C(common,2) per diagonal; the 4-cycle K_{2,2} yields one square per diagonal") {
     // K_{2,2}: a,b on one side, x,y on the other — squares through
     // diagonal (a,b): C(2,2)=1; through (x,y): 1; adjacent pairs share
