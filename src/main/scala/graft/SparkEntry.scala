@@ -135,6 +135,7 @@ object SparkEntry {
     "qtx18_bpe_merges" -> (DataOps.qtx18BpeMerges _),
     "qtx19_vocab_growth" -> (DataOps.qtx19VocabGrowth _),
     "qtx20_source_profile" -> (DataOps.qtx20SourceProfile _),
+    "qtx21_novelty" -> (DataOps.qtx21Novelty _),
     "qkg26_squares" -> (KgOps.qkg26Squares _),
     "qkg27_katz" -> (KgOps.qkg27Katz _),
     "qtx13_df_prune" -> (DataOps.qtx13DfPrune _),
@@ -1333,6 +1334,24 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // qtx18: 3 unrolled BPE merge iterations (see bpeOracle)
     "qtx18_bpe_merges" -> bpeOracle(3),
+    // qtx21: novelty — per-gram first occurrence on the composite
+    // doc_id·10⁶+pos, fraction of occurrences introduced by this doc
+    "qtx21_novelty" ->
+      s"""$dedupCorpusCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |g AS (SELECT doc_id, r.i AS p,
+         |    array_to_string(ws[r.i+1:r.i+3], ' ') AS gram
+         |  FROM t JOIN range(0, 100000) r(i) ON r.i <= len(ws) - 3
+         |  WHERE len(ws) >= 3),
+         |o AS (SELECT doc_id, gram, doc_id * 1000000 + p AS occ FROM g),
+         |f AS (SELECT gram, MIN(occ) AS first_occ FROM o GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  COUNT(CASE WHEN first_occ // 1000000 = doc_id THEN 1 END)
+         |    AS n_novel,
+         |  CAST(COUNT(CASE WHEN first_occ // 1000000 = doc_id THEN 1 END)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+         |FROM o JOIN f USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // qtx20: per-source profile — counts + dominant-language argmax
     "qtx20_source_profile" ->
       """WITH p AS (SELECT source, COUNT(*) AS n_docs,

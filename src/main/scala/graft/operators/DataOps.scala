@@ -504,6 +504,13 @@ object DataOps {
   def qtx17SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.segmentDedup(Dedup.corpusWithCopies(spark, sfDir))
 
+  /** Corpus novelty over the planted-copy corpus: originals introduce
+    * their grams; exact copies score 0, near copies are novel only at
+    * their perturbed positions; see [[TextStats.noveltyScore]].
+    */
+  def qtx21Novelty(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.noveltyScore(Dedup.corpusWithCopies(spark, sfDir))
+
   /** Per-source corpus profile over the documents table's `source`
     * dimension; see [[TextStats.sourceProfile]].
     */

@@ -397,6 +397,39 @@ object TextStats {
     regexp_replace(noUtm, s"^($scheme://[^/?#]*)/($$|\\?)", "$1$2")
   }
 
+  /** Corpus novelty score — per document, the fraction of its `n`-gram
+    * OCCURRENCES whose gram is INTRODUCED by this document (its first
+    * corpus occurrence, under the canonical (doc_id, position) order,
+    * lies here). The dual of [[bigramSupport]]: support measures how
+    * recycled a doc's language is, novelty measures how much NEW
+    * surface it contributes — the curation signal for dedup-adjacent
+    * originality ranking and for ordering crawl snapshots. Documents
+    * under `n` tokens have no grams and are excluded (declared).
+    *
+    * Scale shape: gram explode (narrow) → first-occurrence MIN on the
+    * composite doc_id·10⁶ + pos (map-side combinable — the
+    * [[segmentDedup]] trick and bound) → join back on the gram (1 build
+    * row per distinct gram; AQE skew-splits boilerplate grams) →
+    * per-doc counts. One double division of exact integers per doc.
+    */
+  def noveltyScore(d: DataFrame, n: Int = 3): DataFrame = {
+    val ws = split(col("text"), " ")
+    val occ = d.filter(size(ws) >= n).select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("gram"),
+        (col("doc_id") * 1000000L + col("p")).as("occ"))
+    val first = occ.groupBy("gram").agg(min("occ").as("first_occ"))
+    occ.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(expr("first_occ div 1000000") === col("doc_id"), 1))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus profile — the per-domain report crawl curation
     * reads before setting mixture rates ([[graft.sample.Sampling
     * .mixByRates]]/[[graft.sample.Sampling.tokenBudgetSample]] budgets

@@ -46,6 +46,22 @@ class SegmentDedupSpec extends SparkSpecBase {
     assert(got(1L) === ((2L, 1L, md5hex("c d"), 1L)))
   }
 
+  test("noveltyScore: originals introduce all grams, exact copies none, short docs excluded") {
+    val docs = Seq(
+      (0L, "a b c d e"),        // 3 grams, all first here → novelty 1
+      (5L, "a b c d e"),        // exact copy → 0
+      (7L, "a b c x y z"),      // grams: abc (old), bcx,cxy,xyz (new) → 3/4
+      (9L, "t u"))              // < 3 tokens → excluded
+      .toDF("doc_id", "text")
+    val got = TextStats.noveltyScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 3L, 1.0)),
+      5L -> ((3L, 0L, 0.0)),
+      7L -> ((4L, 3L, 0.75))))
+  }
+
   test("total kept across the corpus equals the distinct-segment count") {
     val docs = (0L until 40L).map(i =>
       (i, (0 until 20).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")))
