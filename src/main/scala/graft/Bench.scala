@@ -235,6 +235,15 @@ object Bench {
       val thruBig = pagesN / secBig
       val thruSmall = pagesN / secSmall
       val eff = (thruBig / thruSmall) / (bigCores.toDouble / smallCores)
+      // symmetric paired estimator — min over the PAIRED passes only
+      // (same sample count per leg), published alongside the
+      // tightened-floor headline so rounds that added extra big-leg
+      // samples stay comparable to rounds that didn't: min over more
+      // samples on one leg only can systematically lower that leg's
+      // floor relative to the other.
+      val secBigPaired = passes.map(_.big._3).min
+      val effPaired =
+        ((pagesN / secBigPaired) / thruSmall) / (bigCores.toDouble / smallCores)
       val total = qtimes.map(_._2).sum + secBig
       val qs = (qtimes ++ Seq(
         "kg_pipeline" -> secBig, s"kg_pipeline_${smallCores}core" -> secSmall))
@@ -244,7 +253,7 @@ object Bench {
       val peakFields = peak.map { case (pp, pt, ps) =>
         f""""kg_peak_cores":$peakCores,"kg_pipeline_peak_sec":$ps%.3f,"kg_pages_per_sec_peak":${pp / ps}%.1f,"kg_triples_per_sec_peak":${pt / ps}%.1f,"""
       }.getOrElse("")
-      f"""{"metric":"headline+kg_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pages":$pagesN,"kg_triples":$triplesN,"kg_noise_words":$noise,"kg_pages_per_sec":$thruBig%.1f,"kg_triples_per_sec":${triplesN / secBig}%.1f,"kg_pages_per_sec_small":$thruSmall%.1f,$peakFields"kg_runs_sec":{"c$bigCores":$rawBig,"c$smallCores":$rawSmall},"scaling_cores":[$smallCores,$bigCores],"scaling_efficiency":$eff%.3f,"probe_pages_per_sec":$probeThru%.1f,"passes":${passes.size},"note":"$note"}"""
+      f"""{"metric":"headline+kg_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pages":$pagesN,"kg_triples":$triplesN,"kg_noise_words":$noise,"kg_pages_per_sec":$thruBig%.1f,"kg_triples_per_sec":${triplesN / secBig}%.1f,"kg_pages_per_sec_small":$thruSmall%.1f,$peakFields"kg_runs_sec":{"c$bigCores":$rawBig,"c$smallCores":$rawSmall},"scaling_cores":[$smallCores,$bigCores],"scaling_efficiency":$eff%.3f,"scaling_efficiency_paired":$effPaired%.3f,"probe_pages_per_sec":$probeThru%.1f,"passes":${passes.size},"note":"$note"}"""
     }
 
     var pass = 0
@@ -309,8 +318,17 @@ object Bench {
     }
 
     val finalLine = metricLine("final")
+    // Two sidecars: BENCH_LOCAL.json (scratch, every run overwrites it
+    // — including the driver's own post-round run) and, when
+    // SPARK_GRAFT_BENCH_FINAL=1, BENCH_FINAL.json — the COMMITTED
+    // closing-run artifact docs may headline. Round 4's headline number
+    // became unverifiable precisely because the only sidecar was the
+    // overwritten scratch file.
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), finalLine + "\n")
     catch { case _: Exception => () }
+    if (sys.env.get("SPARK_GRAFT_BENCH_FINAL").contains("1"))
+      try Files.writeString(Paths.get("BENCH_FINAL.json"), finalLine + "\n")
+      catch { case _: Exception => () }
     println(finalLine)
   }
 }

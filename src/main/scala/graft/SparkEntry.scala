@@ -48,6 +48,7 @@ object SparkEntry {
     "q39_changelog" -> (GraphOps.q39Changelog _),
     "q25_clear_props" -> (GraphOps.q25ClearProps _),
     "q26_analysis_job" -> (GraphOps.q26AnalysisJob _),
+    "q42_shipped_jobs" -> (GraphOps.q42ShippedJobs _),
     "q27_drift_states" -> (GraphOps.q27DriftStates _),
     "q28_selected_rels" -> (GraphOps.q28SelectedRels _),
     "q30_multi_tenant" -> (GraphOps.q30MultiTenant _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "qmm2_image_dims" -> (DataOps.qmm2ImageDims _),
     "qmm3_wav_meta" -> (DataOps.qmm3WavMeta _),
     "qmm4_media_dispatch" -> (DataOps.qmm4MediaDispatch _),
+    "qmm5_image_neardup" -> (DataOps.qmm5ImageNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -471,6 +473,56 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS exposed_left
         |FROM customer WHERE c_nationkey = 1 AND c_acctbal > 5000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q42: three SHIPPED analysis jobs (data/jobs/analysis) over a
+    // deterministic TPC-H graph slice — every report row recomputed
+    // arithmetically; absent groups (e.g. zero dangling dsts) must be
+    // absent on both sides (HAVING mirrors Spark's empty GROUP BY)
+    "q42_shipped_jobs" ->
+      """WITH cust AS (SELECT * FROM customer WHERE c_nationkey = 1),
+        |nodes AS (
+        |  SELECT 'Customer' AS label, CAST(c_custkey AS VARCHAR) AS id,
+        |         c_acctbal > 7000 AS exposed,
+        |         CASE WHEN c_custkey % 2 = 0 THEN 200 ELSE 100 END AS lu
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT 'Supplier', CAST(s_suppkey AS VARCHAR), s_acctbal > 5000,
+        |         200
+        |  FROM supplier WHERE s_nationkey IN (1, 2)),
+        |edges AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS src_id,
+        |                  CAST(o_custkey AS VARCHAR) AS dst_id
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cust ON o_custkey = c_custkey),
+        |rpt AS (
+        |  SELECT 'exposure_propagation' AS job, 'exposed_reachable' AS metric,
+        |         'Customer' AS k, COUNT(*) AS n
+        |  FROM (SELECT e.dst_id FROM edges e
+        |        JOIN nodes x ON x.label = 'Supplier' AND x.exposed
+        |                    AND e.src_id = x.id
+        |        GROUP BY e.dst_id) r
+        |  HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'exposure_propagation', 'exposed_sources', label, COUNT(*)
+        |  FROM nodes WHERE exposed GROUP BY label
+        |  UNION ALL
+        |  SELECT 'stale_asset_report', 'stale_nodes', label,
+        |         COUNT(CASE WHEN lu < 200 THEN 1 END)
+        |  FROM nodes GROUP BY label
+        |  UNION ALL
+        |  SELECT 'stale_asset_report', 'total_nodes', label, COUNT(*)
+        |  FROM nodes GROUP BY label
+        |  UNION ALL
+        |  SELECT 'dangling_edge_audit', 'dangling_src', 'SUPPLIES', COUNT(*)
+        |  FROM edges e WHERE NOT EXISTS (SELECT 1 FROM nodes n
+        |    WHERE n.label = 'Supplier' AND n.id = e.src_id)
+        |  HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'dangling_edge_audit', 'dangling_dst', 'SUPPLIES', COUNT(*)
+        |  FROM edges e WHERE NOT EXISTS (SELECT 1 FROM nodes n
+        |    WHERE n.label = 'Customer' AND n.id = e.dst_id)
+        |  HAVING COUNT(*) > 0)
+        |SELECT job, metric, k, CAST(n AS BIGINT) AS n FROM rpt
+        |ORDER BY job, metric, k""".stripMargin,
     "q27_drift_states" ->
       """WITH cp AS (
         |  SELECT CAST(c_custkey AS VARCHAR) AS id,
@@ -1831,6 +1883,49 @@ object SparkEntry {
         | CAST(90 + (octet_length(encode(text)) // 7) % 270 AS INT) AS fake_height,
         | CAST(1 + octet_length(encode(text)) % 24 AS INT) AS fake_frames
         |FROM documents ORDER BY url""".stripMargin,
+    // qmm5: perceptual image near-dup — every dHash recomputed from the
+    // pixel FORMULA (9×8 nearest-neighbor grid, adjacent-sample
+    // comparisons, bit 63 via the signed min-long addend), banded 4×16
+    // self-join, hamming via bit_count(xor). The Spark side decodes
+    // real PNG bytes; any defilter/zlib/luma drift mismatches here.
+    "qmm5_image_neardup" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |img AS (SELECT id,
+        |    CASE WHEN id % 4 = 1 THEN id - 1 ELSE id END AS cid,
+        |    (id % 4 = 1) AS pert FROM ids),
+        |dims AS (SELECT id, cid, pert,
+        |    CAST(24 + (cid % 5) * 3 AS BIGINT) AS w,
+        |    CAST(16 + (cid % 7) * 2 AS BIGINT) AS h FROM img),
+        |samp AS (
+        |  SELECT t.id, t.y, t.x,
+        |    (t.px * 7 + t.py * 13 + t.cid * 31
+        |     + CASE WHEN t.pert AND (t.px + t.py) % 7 = 0 THEN 1 ELSE 0 END)
+        |    % 256 AS g
+        |  FROM (SELECT d.id, d.cid, d.pert, gy.y, gx.x,
+        |               (gx.x * d.w) // 9 AS px, (gy.y * d.h) // 8 AS py
+        |        FROM dims d, range(0, 8) gy(y), range(0, 9) gx(x)) t),
+        |bits AS (
+        |  SELECT a.id, a.y * 8 + a.x AS idx,
+        |         CASE WHEN b.g < a.g THEN 1 ELSE 0 END AS bit
+        |  FROM samp a JOIN samp b ON a.id = b.id AND a.y = b.y
+        |                         AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(CASE WHEN bit = 1 THEN
+        |      CASE WHEN idx = 63 THEN -9223372036854775808
+        |           ELSE (CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) END
+        |    ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY id),
+        |bands AS (SELECT id, dhash, r.b AS band,
+        |    (dhash >> CAST(16 * r.b AS INTEGER)) & 65535 AS bv
+        |  FROM hashes, range(0, 4) r(b)),
+        |pairs AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |    a.dhash AS ah, b.dhash AS bh
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(ah, bh)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     // qmm4: the sniffing dispatcher — expected kind/format/meta per
     // doc_id%3 branch, recomputed arithmetically (image dims, wav
     // rate/duration, raw byte length)

@@ -52,4 +52,26 @@ object Graft {
   /** Read one of the driver-generated TPC-H-ish tables. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Query scratch space, deleted recursively at JVM exit — the
+    * graph-replay and streaming queries need throwaway table roots /
+    * checkpoint dirs that must OUTLIVE the returned (lazy) DataFrame
+    * but not the process. One shutdown hook total; dirs register into
+    * it (a hook per dir would pile up threads across a 139-query run).
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchLock.synchronized {
+      if (scratchDirs.isEmpty)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scratchDirs.foreach(d =>
+            try graft.snapshot.SnapshotTable.deleteTree(d)
+            catch { case _: Exception => () })))
+      scratchDirs += p
+    }
+    p.toString
+  }
+  private val scratchLock = new Object
+  private val scratchDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
 }

@@ -311,9 +311,20 @@ object EventAnalytics {
     * each quintile-ranked by NTILE(5) with the user id as the
     * deterministic tie-break (r: recent first; f/m: largest first).
     *
-    * Scale shape: one user-keyed aggregate (map-side combinable); the
-    * three NTILEs are global sorts of the USER table (corpus-row-free),
-    * range-partitioned by Spark's window exchange.
+    * Scale shape: one user-keyed aggregate (map-side combinable,
+    * localCheckpointed once); each quintile is a
+    * [[graft.sample.DistOrder]] two-level global rank — range shards
+    * of the metric from a quantile pass, per-shard ROW_NUMBER
+    * (partitioned window: one shard per reducer, never the user
+    * table), driver-prefixed shard counts — turned into the
+    * SQL-standard NTILE split by pure rank arithmetic, bit-identical
+    * to `ntile(5) OVER (ORDER BY metric, user_id)` without the
+    * single-partition sort an unpartitioned window would force. The
+    * three score columns join back on user_id (user-keyed shuffles,
+    * the same exchange class the three window sorts cost). If one
+    * metric value dominates (e.g. near-constant frequency), its ties
+    * collapse into one shard — correct, just as unbalanced as any
+    * global sort of that data.
     */
   def rfm(ev: DataFrame): DataFrame = {
     val us = unix_micros(col("ts"))
@@ -323,13 +334,18 @@ object EventAnalytics {
         .as("recency_days"),
       count(lit(1)).as("frequency"),
       sum(col("value").cast("decimal(18,6)")).cast("double").as("monetary"))
-    def score(order: Seq[Column]) = ntile(5).over(
-      Window.orderBy(order :+ col("user_id"): _*))
+      .localCheckpoint()
+    def score(metric: Column, asc: Boolean, name: String): DataFrame = {
+      val (ranked, n) = graft.sample.DistOrder.rankBy(
+        perUser, metric, asc, col("user_id"), "__rank")
+      ranked.select(col("user_id"),
+        graft.sample.DistOrder.ntileFromRank(col("__rank"), n, 5)
+          .cast("bigint").as(name))
+    }
     perUser
-      .withColumn("r_score",
-        score(Seq(col("recency_days").asc)).cast("bigint"))
-      .withColumn("f_score", score(Seq(col("frequency").desc)).cast("bigint"))
-      .withColumn("m_score", score(Seq(col("monetary").desc)).cast("bigint"))
+      .join(score(col("recency_days"), asc = true, "r_score"), "user_id")
+      .join(score(col("frequency"), asc = false, "f_score"), "user_id")
+      .join(score(col("monetary"), asc = false, "m_score"), "user_id")
       .orderBy("user_id")
   }
 

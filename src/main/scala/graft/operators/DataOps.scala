@@ -764,6 +764,109 @@ object DataOps {
     BinaryOps.sniffMeta(spark, media).toDF().orderBy("url")
   }
 
+  /** qmm5: perceptual image near-dup over REAL PNG pixel decode — the
+    * image analog of SimHash dedup, completing the multimodal story
+    * past header parsing: plant arithmetically generated full PNGs
+    * (real zlib streams, real CRCs, all five scanline filters cycled
+    * per row; ids ≡ 1 (mod 4) are near-copies of id−1 with a sparse
+    * +1-gray perturbation), decode through
+    * [[BinaryOps.pngPixels]] (Inflater + defilter), dHash, and find
+    * pairs within hamming ≤ 6 via the banded 4×16 join. The oracle
+    * recomputes every dHash from the pixel FORMULA (never the PNG
+    * bytes), so a decoder that misreads any filter, the zlib framing,
+    * or the luma/downsample arithmetic hash-mismatches. Output also
+    * carries each side's dhash so the pair evidence is auditable.
+    */
+  def qmm5ImageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map(id => ("png://" + id, pngBytes(id)))
+      .toDF("url", "payload")
+    val hashes = BinaryOps.imageHashes(spark, media).toDF()
+    // pair order inside imageNearDupPairs is LEXICAL on urls; re-normalize
+    // numerically so ("png://10","png://9") lands as (9, 10)
+    BinaryOps.imageNearDupPairs(hashes, maxHamming = 6)
+      .select(
+        regexp_replace(col("a_url"), "png://", "").cast("bigint").as("ai"),
+        regexp_replace(col("b_url"), "png://", "").cast("bigint").as("bi"),
+        col("hamming"))
+      .select(least(col("ai"), col("bi")).as("a_id"),
+        greatest(col("ai"), col("bi")).as("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Test-scaffolding full-PNG builder (the corpus side of qmm5) — the
+    * engine-side decode never sees this code; the oracle recomputes
+    * pixels from the same id-arithmetic independently. Gray value at
+    * (x, y) is `(x·7 + y·13 + cid·31 (+1 on the sparse (x+y)%7==0
+    * lattice for near-copies)) mod 256`; even cids encode as color
+    * type 0 (gray), odd as type 2 (RGB with R=G=B, so integer luma is
+    * the identity); scanline filter cycles `y mod 5` to exercise every
+    * defilter branch.
+    */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val cid = if (id % 4 == 1) id - 1 else id
+    val pert = id % 4 == 1
+    val w = (24 + (cid % 5) * 3).toInt
+    val h = (16 + (cid % 7) * 2).toInt
+    val colorType = if (cid % 2 == 0) 0 else 2
+    val bpp = if (colorType == 0) 1 else 3
+    def gray(x: Int, y: Int): Int =
+      (((x * 7 + y * 13 + cid * 31) % 256 +
+        (if (pert && (x + y) % 7 == 0) 1 else 0)) % 256).toInt
+    val stride = w * bpp
+    val pix = new Array[Byte](h * stride)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
+      pix(y * stride + x * bpp + c) = gray(x, y).toByte
+    // forward-filter each scanline (filter = y % 5) over ORIGINAL bytes
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = pix(y * stride + x) & 0xff
+        val a = if (x >= bpp) pix(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) pix((y - 1) * stride + x - bpp) & 0xff
+          else 0
+        val paeth = {
+          val p = a + up - c
+          val pa = math.abs(p - a); val pb = math.abs(p - up)
+          val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - up
+          case 3 => cur - (a + up) / 2
+          case 4 => cur - paeth
+        }
+        raw(y * (1 + stride) + 1 + x) = (f & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** Test-scaffolding WAV builder (the corpus side of qmm3) — the
     * engine-side parse never sees this code. Sample payload bytes are
     * omitted (the data chunk declares its size; header sniffing never

@@ -29,7 +29,7 @@ object GraphOps {
       ref = KwargRef("nation_id"))))
 
   private def tempRoot(): String =
-    Files.createTempDirectory("graftq").toString
+    graft.core.Graft.scratchDir("graftq")
 
   private def customersOf(spark: SparkSession, sfDir: String, nationKey: Int): DataFrame =
     Graft.table(spark, sfDir, "customer")
@@ -269,6 +269,79 @@ object GraphOps {
     val (_, out) = job.run(spark, Map("nodes" -> nodes0),
       Map("THRESHOLD" -> "5000.0"))
     out.get
+  }
+
+  /** q42: the SHIPPED analysis-job corpus end-to-end — loads real job
+    * FILES from `data/jobs/analysis/` (the repo's analog of the
+    * reference's in-package job library, cartography/data/jobs/
+    * analysis *.json via intel/analysis.py:12-42), runs three of them
+    * against a deterministic graph slice built from the TPC-H tables,
+    * and unions their report outputs. The oracle recomputes every
+    * report row arithmetically, so a drift in ANY of: the job JSON on
+    * disk, the `$param` binding, the statement-chaining view semantics,
+    * or the jobs' SQL itself shows up as a value mismatch.
+    *
+    * Graph slice: nation-1 customers (exposed when acctbal > 7000;
+    * odd keys stale at tag 200) and nation-1/2 suppliers (exposed when
+    * acctbal > 5000) as nodes; distinct (lineitem supplier → order
+    * customer) SUPPLIES edges, deliberately NOT filtered to the
+    * supplier node set so out-of-scope suppliers are genuine dangling
+    * sources for the audit job.
+    */
+  def q42ShippedJobs(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.jobs.GraphJob.shippedDir.getOrElse(
+      sys.error("shipped analysis-job corpus not found (data/jobs/analysis)"))
+    def load(stem: String) = graft.jobs.GraphJob.fromJson(
+      Files.readString(java.nio.file.Paths.get(dir, s"$stem.json")))
+    val noProps = map().cast("map<string,string>")
+    val cust = Graft.table(spark, sfDir, "customer")
+      .filter(col("c_nationkey") === 1)
+    val custNodes = cust.select(
+      lit("Customer").as("label"),
+      col("c_custkey").cast("string").as("id"),
+      when(col("c_acctbal") > 7000, map(lit("exposed"), lit("true")))
+        .otherwise(noProps).as("props"),
+      lit("nation:1").as("sub_resource_id"),
+      lit(100L).as("firstseen"),
+      when(col("c_custkey") % 2 === 0, 200L).otherwise(100L)
+        .as("lastupdated"))
+    val suppNodes = Graft.table(spark, sfDir, "supplier")
+      .filter(col("s_nationkey").isin(1, 2))
+      .select(
+        lit("Supplier").as("label"),
+        col("s_suppkey").cast("string").as("id"),
+        when(col("s_acctbal") > 5000, map(lit("exposed"), lit("true")))
+          .otherwise(noProps).as("props"),
+        concat(lit("nation:"), col("s_nationkey")).as("sub_resource_id"),
+        lit(100L).as("firstseen"),
+        lit(200L).as("lastupdated"))
+    val nodes = custNodes.unionByName(suppNodes)
+    val edges = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Graft.table(spark, sfDir, "orders")
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        lit("Supplier").as("src_label"),
+        col("l_suppkey").cast("string").as("src_id"),
+        lit("SUPPLIES").as("rel_label"),
+        lit("Customer").as("dst_label"),
+        col("o_custkey").cast("string").as("dst_id"))
+      .distinct()
+      .select(col("*"), noProps.as("props"), lit(200L).as("firstseen"),
+        lit(200L).as("lastupdated"))
+    val views = Map("nodes" -> nodes, "edges" -> edges)
+    Seq("exposure_propagation", "stale_asset_report", "dangling_edge_audit")
+      .map { stem =>
+        val (_, read) = load(stem).run(spark, views,
+          Map("UPDATE_TAG" -> "200"))
+        read.getOrElse(sys.error(s"shipped job $stem has no read statement"))
+          .select(lit(stem).as("job"), col("metric"), col("k"), col("n"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("job", "metric", "k")
   }
 
   /** q27: canonicalized drift-state artifacts + validated both-direction

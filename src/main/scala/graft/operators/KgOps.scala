@@ -24,7 +24,7 @@ object KgOps {
 
   private def pipelineFor(spark: SparkSession, sfDir: String): (KgPipeline, KgPipeline#Result) =
     cache.getOrElseUpdate(sfDir, {
-      val work = Files.createTempDirectory("kgops").toString
+      val work = graft.core.Graft.scratchDir("kgops")
       val pipe = new KgPipeline(spark, work)
       val res = pipe.run(Corpus.pages(spark, sfDir), Corpus.aliasRows, 100L,
         mergeGraph = true)
@@ -986,7 +986,7 @@ object KgOps {
     */
   def q29StreamingSync(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("kgstream").toString
+    val tmp = graft.core.Graft.scratchDir("kgstream")
     Corpus.pages(spark, sfDir).toDF()
       .repartition(3).write.mode("overwrite").parquet(s"$tmp/pages")
     val pages = spark.readStream
@@ -1037,8 +1037,8 @@ object KgOps {
     def page(i: Long): graft.kg.Page = graft.kg.Page(
       s"p$i", new java.sql.Timestamp((baseSec + i * 60L) * 1000L),
       Array.emptyByteArray, "", if (i % 2 == 0) "en" else "de")
-    val srcDir = Files.createTempDirectory("q32src").toString
-    val cp = Files.createTempDirectory("q32cp").toString
+    val srcDir = graft.core.Graft.scratchDir("q32src")
+    val cp = graft.core.Graft.scratchDir("q32cp")
     // one file per append → one micro-batch per processAllAvailable()
     def addData(is: Seq[Long]): Unit =
       spark.createDataset(is.map(page)).toDF()
@@ -1099,8 +1099,8 @@ object KgOps {
         (lit(baseSec) + col("doc_id") * 30L +
           floor(col("doc_id") / 100).cast("long") * 3600L)
           .cast("timestamp").as("ts"))
-    val srcDir = Files.createTempDirectory("q35src").toString
-    val cp = Files.createTempDirectory("q35cp").toString
+    val srcDir = graft.core.Graft.scratchDir("q35src")
+    val cp = graft.core.Graft.scratchDir("q35cp")
     ev.coalesce(1).write.mode("append").parquet(srcDir)
     val in = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
       .parquet(srcDir)
@@ -1144,8 +1144,8 @@ object KgOps {
       .select(col("c_custkey").cast("long").as("user_id"),
         col("c_mktsegment").as("segment"))
     val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-    val srcDir = Files.createTempDirectory("q36src").toString
-    val cp = Files.createTempDirectory("q36cp").toString
+    val srcDir = graft.core.Graft.scratchDir("q36src")
+    val cp = graft.core.Graft.scratchDir("q36cp")
     def dump(d: org.apache.spark.sql.DataFrame): Unit =
       d.select(col("user_id"), col("ts"))
         .coalesce(1).write.mode("append").parquet(srcDir)
@@ -1191,8 +1191,8 @@ object KgOps {
     import spark.implicits._
     val baseSec = 1600000000L
     def ts(off: Long) = new java.sql.Timestamp((baseSec + off) * 1000L)
-    val srcDir = Files.createTempDirectory("q37src").toString
-    val cp = Files.createTempDirectory("q37cp").toString
+    val srcDir = graft.core.Graft.scratchDir("q37src")
+    val cp = graft.core.Graft.scratchDir("q37cp")
     def add(rows: Seq[(Long, java.sql.Timestamp)]): Unit =
       rows.toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
     add(Seq((0L, ts(0)), (1L, ts(60)), (2L, ts(120))))
@@ -1257,9 +1257,9 @@ object KgOps {
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("pts"))
     val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-    val vDir = Files.createTempDirectory(s"${queryName}v").toString
-    val pDir = Files.createTempDirectory(s"${queryName}p").toString
-    val cp = Files.createTempDirectory(s"${queryName}cp").toString
+    val vDir = graft.core.Graft.scratchDir(s"${queryName}v")
+    val pDir = graft.core.Graft.scratchDir(s"${queryName}p")
+    val cp = graft.core.Graft.scratchDir(s"${queryName}cp")
     def dump(d: DataFrame, dir: String): Unit =
       d.coalesce(1).write.mode("append").parquet(dir)
     dump(views.filter(col("view_id") <= mid), vDir)

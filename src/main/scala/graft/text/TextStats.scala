@@ -511,22 +511,29 @@ object TextStats {
     * |checkpoints| rows.
     *
     * Scale shape: the global order needs only a cumulative-offset
-    * window over the DOCUMENT table (corpus-row-free; range-partitioned
-    * sort of ~10⁹ doc rows, never the token stream) joined back to the
-    * exploded tokens; per-term first positions are a map-side-combinable
-    * MIN; the curve itself is |checkpoints| counting aggregates over the
-    * first-position table (vocabulary-sized).
+    * prefix sum over the DOCUMENT table (corpus-row-free, never the
+    * token stream) — computed via [[graft.sample.DistOrder.prefixSum]]'s
+    * two-level scheme (range shards from one quantile pass, per-shard
+    * windows, driver-prefixed shard totals), NOT an unpartitioned
+    * window, which would sort every doc row on one reducer — joined
+    * back to the exploded tokens; per-term first positions are a
+    * map-side-combinable MIN; the curve itself is |checkpoints|
+    * counting aggregates over the first-position table
+    * (vocabulary-sized).
     */
   def vocabGrowth(d: DataFrame,
                   checkpoints: Seq[Long] = Seq(1000L, 2000L, 5000L, 10000L,
                     20000L, 50000L)): DataFrame = {
     require(checkpoints.nonEmpty, "no checkpoints")
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val offsets = d
+    // materialized once (localCheckpoint): the two bounded driver jobs
+    // inside prefixSum (quantile boundaries, per-shard totals) and the
+    // final join then all read the tiny (doc_id, n) table instead of
+    // re-tokenizing the corpus per action
+    val counts = d
       .select(col("doc_id"), nTokensCol(col("text")).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .localCheckpoint()
+    val offsets = graft.sample.DistOrder.prefixSum(
+      counts, col("doc_id"), col("doc_id"), col("n"), "off")
     val firsts = d
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("p", "term")))

@@ -36,8 +36,11 @@ object GraftCli {
       |            --update-tag N [--selected-modules s1,s2,..]
       |            [--tenants T1,T2,.. [--best-effort true]]
       |            (with --tenants, --input is a template containing {tenant})
-      |            [--analysis-job-dir JOBS --out DIR] [--graph-buckets N]
+      |            [--analysis-job-dir JOBS|none --out DIR] [--graph-buckets N]
       |            [--edge-index true] [--cores N]
+      |            (analysis runs LAST, like the reference: default is the
+      |             shipped corpus under data/jobs/analysis -> WORKDIR/analysis;
+      |             --analysis-job-dir none disables)
       |  index-rebuild --work-dir DIR --update-tag N [--graph-buckets N]
       |  rebucket  --work-dir DIR --new-buckets N --update-tag T
       |            [--graph-buckets OLD] [--cores N]
@@ -186,8 +189,26 @@ object GraftCli {
     // validate the post-sync analysis flags BEFORE the (expensive) sync
     // runs: a forgotten --out or malformed --params must abort up front,
     // not after hours of pipeline work
-    val postJobDir = flags.get("analysis-job-dir")
-    val postOut = postJobDir.map(_ => req(flags, "out"))
+    // "analysis always last" (cartography/sync.py:42-63): with no
+    // --analysis-job-dir the SHIPPED corpus (data/jobs/analysis) runs by
+    // default, like the reference's in-package job library; an explicit
+    // dir overrides it; --analysis-job-dir none opts out entirely.
+    val postJobDir = flags.get("analysis-job-dir") match {
+      case Some("none") => None
+      case Some(d) => Some(d)
+      // analysis is a STAGE: a --selected-modules subset that skipped
+      // the graph merge must not run the default corpus against a graph
+      // that was never (re)built — exactly the reference's stage
+      // semantics (analysis runs when selected/last, not always)
+      case None if flags.contains("selected-modules") => None
+      case None => graft.jobs.GraphJob.shippedDir
+    }
+    // an explicit dir requires --out (forgetting it is a config error);
+    // the default shipped corpus lands under the work dir unless told
+    val postOut = postJobDir.map { _ =>
+      if (flags.contains("analysis-job-dir")) req(flags, "out")
+      else flags.getOrElse("out", s"$workDir/analysis")
+    }
     postJobDir.foreach { _ => parseParams(flags): Unit }
     val buckets = flags.getOrElse("graph-buckets",
       GraphTables.DefaultBuckets.toString).toInt

@@ -16,7 +16,7 @@ object ProfileKg {
     val noise = if (args.length > 3) args(3).toInt else 0
     val spark = Graft.session(s"local[$cpus]", cpus, "profile-kg")
     sys.env.get("GRAFT_LOG").foreach(spark.sparkContext.setLogLevel)
-    val work = Files.createTempDirectory("kgprof").toString
+    val work = graft.core.Graft.scratchDir("kgprof")
     val pipe = new KgPipeline(spark, work)
     val t0 = System.nanoTime()
     val res = pipe.run(Corpus.pages(spark, sfDir, replicas, noise),

@@ -194,6 +194,52 @@ class CliSpec extends SparkSpecBase {
     assert(counts2("Page") === 500L, "analysis ran against the tag-300 sync")
   }
 
+  test("cli: SHIPPED job corpus runs by default as sync's final stage; none opts out") {
+    val in = tmp("cliin3c")
+    val work = tmp("cliwork3c")
+    Corpus.pages(spark, sf, 1, 0).write.parquet(s"$in/pages")
+    Corpus.aliasRows.toDS().write.parquet(s"$in/dict")
+    // no --analysis-job-dir: the shipped corpus (data/jobs/analysis)
+    // must run after the pipeline — "analysis always last" — landing
+    // under WORKDIR/analysis
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work, "--update-tag", "100"))
+    val shipped = graft.jobs.GraphJob.shippedDir.get
+    val stems = graft.jobs.GraphJob.jobFilesIn(shipped)
+      .map(_.getFileName.toString.stripSuffix(".json"))
+    assert(stems.size >= 8, s"shipped corpus shrank: $stems")
+    // every shipped job ends in a pure read => every stem has output
+    stems.foreach { s =>
+      assert(Files.isDirectory(java.nio.file.Paths.get(s"$work/analysis/$s")),
+        s"shipped job $s produced no output")
+    }
+    // content sanity on two reports over the freshly synced KG graph
+    val stale = spark.read.parquet(s"$work/analysis/stale_asset_report")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(stale(("Page", "total_nodes")) === 500L)
+    assert(stale(("Page", "stale_nodes")) === 0L, "tag-100 sync has no stale")
+    val hubs = spark.read.parquet(s"$work/analysis/entity_hub_report")
+    assert(hubs.count() > 0 && hubs.count() <= 50)
+    // degree stats agree with the edge table itself
+    val deg = spark.read.parquet(s"$work/analysis/entity_degree_stats")
+      .filter(col("direction") === "out" && col("label") === "Page")
+      .collect()
+    val nEdges = GraphTables.edges(spark, s"$work/graph").read().count()
+    assert(deg.map(_.getLong(4)).sum +
+      spark.read.parquet(s"$work/analysis/entity_degree_stats")
+        .filter(col("direction") === "out" && col("label") =!= "Page")
+        .collect().map(_.getLong(4)).sum === nEdges,
+      "total out-degree must equal the edge count")
+
+    // --analysis-job-dir none disables the default corpus
+    val work2 = tmp("cliwork3d")
+    GraftCli.main(Array("sync", "--input", s"$in/pages", "--dict", s"$in/dict",
+      "--work-dir", work2, "--update-tag", "100",
+      "--analysis-job-dir", "none"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$work2/analysis")))
+  }
+
   test("cli: drift registry — timestamped captures, most-recent shortcut, default drift pair") {
     import graft.drift.DriftRegistry
     val in = tmp("cliin4")
