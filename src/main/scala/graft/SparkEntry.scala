@@ -1898,7 +1898,8 @@ object SparkEntry {
         |    CAST(16 + (cid % 7) * 2 AS BIGINT) AS h FROM img),
         |samp AS (
         |  SELECT t.id, t.y, t.x,
-        |    (t.px * 7 + t.py * 13 + t.cid * 31
+        |    (t.px * 7 + t.py * 13 + t.px * t.py * ((t.cid % 13) + 1)
+        |     + t.cid * 31 + (t.cid // 256) * 7
         |     + CASE WHEN t.pert AND (t.px + t.py) % 7 = 0 THEN 1 ELSE 0 END)
         |    % 256 AS g
         |  FROM (SELECT d.id, d.cid, d.pert, gy.y, gx.x,

@@ -799,11 +799,17 @@ object DataOps {
   /** Test-scaffolding full-PNG builder (the corpus side of qmm5) — the
     * engine-side decode never sees this code; the oracle recomputes
     * pixels from the same id-arithmetic independently. Gray value at
-    * (x, y) is `(x·7 + y·13 + cid·31 (+1 on the sparse (x+y)%7==0
-    * lattice for near-copies)) mod 256`; even cids encode as color
-    * type 0 (gray), odd as type 2 (RGB with R=G=B, so integer luma is
-    * the identity); scanline filter cycles `y mod 5` to exercise every
-    * defilter branch.
+    * (x, y) is `(x·7 + y·13 + x·y·((cid%13)+1) + cid·31 + (cid/256)·7
+    * (+1 on the sparse (x+y)%7==0 lattice for near-copies)) mod 256` —
+    * the x·y cross term and the /256 carry decorrelate hashes across
+    * cids (a purely linear formula makes distinct images differ by a
+    * constant gray offset, which lands unrelated pairs at small hamming
+    * distances and cycles with period 8,960 — at a 50k-image soak that
+    * quadratic near-collision mass cost 7 minutes; with the cross term
+    * the pair set is the planted copies plus a thin chance tail). Even
+    * cids encode as color type 0 (gray), odd as type 2 (RGB with
+    * R=G=B, so integer luma is the identity); scanline filter cycles
+    * `y mod 5` to exercise every defilter branch.
     */
   private[graft] def pngBytes(id: Long): Array[Byte] = {
     val cid = if (id % 4 == 1) id - 1 else id
@@ -813,7 +819,8 @@ object DataOps {
     val colorType = if (cid % 2 == 0) 0 else 2
     val bpp = if (colorType == 0) 1 else 3
     def gray(x: Int, y: Int): Int =
-      (((x * 7 + y * 13 + cid * 31) % 256 +
+      (((x * 7 + y * 13 + x * y * ((cid % 13) + 1) + cid * 31 +
+        (cid / 256) * 7) % 256 +
         (if (pert && (x + y) % 7 == 0) 1 else 0)) % 256).toInt
     val stride = w * bpp
     val pix = new Array[Byte](h * stride)

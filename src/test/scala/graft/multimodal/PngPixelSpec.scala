@@ -14,7 +14,8 @@ class PngPixelSpec extends SparkSpecBase {
   private def expectedGray(id: Long, x: Int, y: Int): Int = {
     val cid = if (id % 4 == 1) id - 1 else id
     val pert = id % 4 == 1
-    (((x * 7 + y * 13 + cid * 31) % 256 +
+    (((x * 7 + y * 13 + x * y * ((cid % 13) + 1) + cid * 31 +
+      (cid / 256) * 7) % 256 +
       (if (pert && (x + y) % 7 == 0) 1 else 0)) % 256).toInt
   }
 
