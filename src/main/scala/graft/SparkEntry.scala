@@ -160,6 +160,7 @@ object SparkEntry {
     "qmm3_wav_meta" -> (DataOps.qmm3WavMeta _),
     "qmm4_media_dispatch" -> (DataOps.qmm4MediaDispatch _),
     "qmm5_image_neardup" -> (DataOps.qmm5ImageNearDup _),
+    "qmm6_image_clusters" -> (DataOps.qmm6ImageClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1889,44 +1890,30 @@ object SparkEntry {
     // self-join, hamming via bit_count(xor). The Spark side decodes
     // real PNG bytes; any defilter/zlib/luma drift mismatches here.
     "qmm5_image_neardup" ->
-      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |img AS (SELECT id,
-        |    CASE WHEN id % 4 = 1 THEN id - 1 ELSE id END AS cid,
-        |    (id % 4 = 1) AS pert FROM ids),
-        |dims AS (SELECT id, cid, pert,
-        |    CAST(24 + (cid % 5) * 3 AS BIGINT) AS w,
-        |    CAST(16 + (cid % 7) * 2 AS BIGINT) AS h FROM img),
-        |samp AS (
-        |  SELECT t.id, t.y, t.x,
-        |    (t.px * 7 + t.py * 13 + t.px * t.py * ((t.cid % 13) + 1)
-        |     + t.cid * 31 + (t.cid // 256) * 7
-        |     + CASE WHEN t.pert AND (t.px + t.py) % 7 = 0 THEN 1 ELSE 0 END)
-        |    % 256 AS g
-        |  FROM (SELECT d.id, d.cid, d.pert, gy.y, gx.x,
-        |               (gx.x * d.w) // 9 AS px, (gy.y * d.h) // 8 AS py
-        |        FROM dims d, range(0, 8) gy(y), range(0, 9) gx(x)) t),
-        |bits AS (
-        |  SELECT a.id, a.y * 8 + a.x AS idx,
-        |         CASE WHEN b.g < a.g THEN 1 ELSE 0 END AS bit
-        |  FROM samp a JOIN samp b ON a.id = b.id AND a.y = b.y
-        |                         AND b.x = a.x + 1
-        |  WHERE a.x < 8),
-        |hashes AS (
-        |  SELECT id, CAST(SUM(CASE WHEN bit = 1 THEN
-        |      CASE WHEN idx = 63 THEN -9223372036854775808
-        |           ELSE (CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) END
-        |    ELSE 0 END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY id),
-        |bands AS (SELECT id, dhash, r.b AS band,
-        |    (dhash >> CAST(16 * r.b AS INTEGER)) & 65535 AS bv
-        |  FROM hashes, range(0, 4) r(b)),
-        |pairs AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-        |    a.dhash AS ah, b.dhash AS bh
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+      s"""$imgPairsCte
         |SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(ah, bh)) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
+    // qmm6: image dedup clusters — connected components over the qmm5
+    // pair graph (recursive min-label closure, the qdd3 pattern),
+    // singletons mapping to themselves, min-id representative
+    "qmm6_image_clusters" ->
+      s"""${imgPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |npairs AS (SELECT a_id AS doc_a, b_id AS doc_b FROM pairs
+        |           WHERE bit_count(xor(ah, bh)) <= 6),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM npairs
+        |          UNION SELECT doc_b, doc_a FROM npairs),
+        |lbl(n, l) AS (
+        |  SELECT id, id FROM ids
+        |  UNION
+        |  SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.n),
+        |cl AS (SELECT n AS doc_id, MIN(l) AS canonical FROM lbl GROUP BY n),
+        |sz AS (SELECT canonical, COUNT(*) AS n_imgs FROM cl
+        |       GROUP BY canonical)
+        |SELECT cl.doc_id, cl.canonical, CAST(sz.n_imgs AS BIGINT) AS n_imgs,
+        |  CAST(CASE WHEN cl.doc_id = cl.canonical THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_rep
+        |FROM cl JOIN sz USING (canonical) ORDER BY doc_id""".stripMargin,
     // qmm4: the sniffing dispatcher — expected kind/format/meta per
     // doc_id%3 branch, recomputed arithmetically (image dims, wav
     // rate/duration, raw byte length)
@@ -2039,6 +2026,51 @@ object SparkEntry {
       | GROUP BY d.doc_id
       | UNION ALL
       | SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Shared oracle CTE (qmm5/qmm6): every planted image's dHash
+    * recomputed from the generative pixel formula — never the PNG
+    * bytes — through the 9×8 nearest-neighbor grid, adjacent-sample
+    * comparison bits (bit 63 via the signed min-long addend, since
+    * 1<<63 overflows BIGINT), and the banded 4×16 candidate self-join.
+    * Ends in `pairs(a_id, b_id, ah, bh)`; `ids(id)` stays visible for
+    * the cluster closure.
+    */
+  private def imgPairsCte: String =
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |img AS (SELECT id,
+      |    CASE WHEN id % 4 = 1 THEN id - 1 ELSE id END AS cid,
+      |    (id % 4 = 1) AS pert FROM ids),
+      |dims AS (SELECT id, cid, pert,
+      |    CAST(24 + (cid % 5) * 3 AS BIGINT) AS w,
+      |    CAST(16 + (cid % 7) * 2 AS BIGINT) AS h FROM img),
+      |samp AS (
+      |  SELECT t.id, t.y, t.x,
+      |    (t.px * 7 + t.py * 13 + t.px * t.py * ((t.cid % 13) + 1)
+      |     + t.cid * 31 + (t.cid // 256) * 7
+      |     + CASE WHEN t.pert AND (t.px + t.py) % 7 = 0 THEN 1 ELSE 0 END)
+      |    % 256 AS g
+      |  FROM (SELECT d.id, d.cid, d.pert, gy.y, gx.x,
+      |               (gx.x * d.w) // 9 AS px, (gy.y * d.h) // 8 AS py
+      |        FROM dims d, range(0, 8) gy(y), range(0, 9) gx(x)) t),
+      |bits AS (
+      |  SELECT a.id, a.y * 8 + a.x AS idx,
+      |         CASE WHEN b.g < a.g THEN 1 ELSE 0 END AS bit
+      |  FROM samp a JOIN samp b ON a.id = b.id AND a.y = b.y
+      |                         AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (
+      |  SELECT id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN idx = 63 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) END
+      |    ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY id),
+      |bands AS (SELECT id, dhash, r.b AS band,
+      |    (dhash >> CAST(16 * r.b AS INTEGER)) & 65535 AS bv
+      |  FROM hashes, range(0, 4) r(b)),
+      |pairs AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+      |    a.dhash AS ah, b.dhash AS bh
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)""".stripMargin
 
   /** Shared oracle CTE: exact all-pairs Jaccard ≥ 1/2 over `corpus` via
     * inverted-index self-join with integer threshold arithmetic.

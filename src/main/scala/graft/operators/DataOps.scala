@@ -796,6 +796,38 @@ object DataOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** qmm6: image dedup CLUSTERS with representative selection — the
+    * removal decision on top of qmm5's pair evidence, completing the
+    * image-dedup story the way qdd3/qdd7 complete the text one:
+    * connected components over the near-dup pair graph
+    * ([[graft.dedup.Dedup.clusters]] — driver union-find under the
+    * bound, iterative star contraction above it), singleton images
+    * mapping to themselves, min-id representative. One row per image:
+    * (doc_id, canonical, n_imgs, is_rep).
+    */
+  def qmm6ImageClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map(id => ("png://" + id, pngBytes(id)))
+      .toDF("url", "payload")
+    val hashes = graft.multimodal.BinaryOps.imageHashes(spark, media).toDF()
+    val pairs = graft.multimodal.BinaryOps.imageNearDupPairs(hashes, 6)
+      .select(
+        regexp_replace(col("a_url"), "png://", "").cast("bigint").as("ai"),
+        regexp_replace(col("b_url"), "png://", "").cast("bigint").as("bi"))
+      .select(least(col("ai"), col("bi")).as("doc_a"),
+        greatest(col("ai"), col("bi")).as("doc_b"))
+    val cl = graft.dedup.Dedup.clusters(spark, ids.toDF("doc_id"), pairs,
+      sorted = false)
+    val sizes = cl.groupBy("canonical").agg(count(lit(1)).as("n_imgs"))
+    cl.join(sizes, "canonical")
+      .select(col("doc_id"), col("canonical"), col("n_imgs"),
+        when(col("doc_id") === col("canonical"), 1L).otherwise(0L)
+          .as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Test-scaffolding full-PNG builder (the corpus side of qmm5) — the
     * engine-side decode never sees this code; the oracle recomputes
     * pixels from the same id-arithmetic independently. Gray value at

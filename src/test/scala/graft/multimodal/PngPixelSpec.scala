@@ -90,6 +90,22 @@ class PngPixelSpec extends SparkSpecBase {
     assert(d02 + d23 > 0, "distinct formulas should differ somewhere")
   }
 
+  test("image clusters: planted pairs share a cluster, representative is the min id, singletons self-map") {
+    val rows = DataOps.qmm6ImageClusters(spark, sf1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val nDocs = spark.read.parquet(s"$sf1/documents.parquet").count()
+    assert(rows.size === nDocs, "one row per image, singletons included")
+    (0L until nDocs).filter(_ % 4 == 1).foreach { i =>
+      assert(rows(i)._1 === rows(i - 1)._1, s"planted pair ($i) split")
+      assert(rows(i)._2 >= 2L)
+    }
+    rows.foreach { case (id, (canonical, _, isRep)) =>
+      assert(canonical <= id, "representative must be the cluster min")
+      assert((isRep == 1L) === (id == canonical))
+    }
+  }
+
   test("imageNearDupPairs finds every planted (4k, 4k+1) pair at sf0.001") {
     import org.apache.spark.sql.functions._
     val pairs = DataOps.qmm5ImageNearDup(spark, sf1)
